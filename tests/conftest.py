@@ -1,0 +1,10 @@
+"""Test harness config: force the CPU backend with 8 virtual devices so
+multi-chip sharding paths are exercised without TPU hardware (must run
+before jax is imported anywhere)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

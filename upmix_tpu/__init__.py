@@ -1,0 +1,41 @@
+"""upmix_tpu — TPU-native multi-band stereo→LCR upmix framework.
+
+A brand-new JAX/XLA/Pallas implementation with the capabilities of the
+willleskowitz/upmix reference (stereo→LCR center extraction via multi-band
+WOLA STFT processing; see SURVEY.md).  The compute path is TPU-first:
+frames-as-tensors, batched FFTs, fused elementwise masking vmapped over
+bands, overlap-add as a static pad-sum fold, scan-based streaming, and
+mesh-sharded batch/long-input execution.
+
+Public surface:
+  - config: UpmixConfig / BandSpec / chain_bands — band plumbing and sizing
+  - models.offline: Upmixer — whole-file offline pipeline (the flagship path)
+  - models.streaming: StreamingUpmixer — block-based real-time engine
+  - io.wav: read_wav / write_wav — pure-NumPy WAV I/O
+  - oracle: faithful NumPy re-derivation of the reference semantics (test oracle)
+"""
+
+from upmix_tpu.config import (
+    EPS,
+    BandSpec,
+    UpmixConfig,
+    chain_bands,
+    compute_block_size_for_low_freq,
+    freq_to_bin,
+    hp_freq_to_crossover_width,
+    next_power_of_2,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EPS",
+    "BandSpec",
+    "UpmixConfig",
+    "chain_bands",
+    "compute_block_size_for_low_freq",
+    "freq_to_bin",
+    "hp_freq_to_crossover_width",
+    "next_power_of_2",
+    "__version__",
+]

@@ -1,0 +1,3 @@
+from upmix_tpu.io.wav import read_wav, write_wav
+
+__all__ = ["read_wav", "write_wav"]
