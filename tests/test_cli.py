@@ -1,0 +1,82 @@
+"""CLI surface tests (in-process main)."""
+
+import numpy as np
+import pytest
+
+from upmix_tpu.cli import main, parse_edges
+from upmix_tpu.io import read_wav, write_wav
+
+from helpers import make_stereo
+
+
+def _input(tmp_path, name="clip.wav", n=3000, sr=8000):
+    L, R = make_stereo(n, sr)
+    path = tmp_path / name
+    write_wav(path, np.column_stack([L, R]) * 0.4, sr)
+    return path
+
+
+def test_parse_edges():
+    assert parse_edges("0,30,120") == [0.0, 30.0, 120.0]
+    with pytest.raises(SystemExit):
+        parse_edges("0,abc")
+    with pytest.raises(SystemExit):
+        parse_edges("120,30")
+    with pytest.raises(SystemExit):
+        parse_edges("")
+
+
+def test_cli_stereo_sum(tmp_path, capsys):
+    path = _input(tmp_path)
+    rc = main(
+        [
+            str(path),
+            "--out-dir",
+            str(tmp_path / "out"),
+            "--band-edges",
+            "0,400,1600",
+            "--max-block-size",
+            "512",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert len(printed) == 1
+    y, sr = read_wav(printed[0])
+    assert y.shape[1] == 2 and sr == 8000
+
+
+def test_cli_split_and_batch(tmp_path, capsys):
+    a = _input(tmp_path, "a.wav")
+    b = _input(tmp_path, "b.wav")
+    rc = main(
+        [
+            str(a),
+            str(b),
+            "--out-dir",
+            str(tmp_path / "out"),
+            "--export-mode",
+            "split",
+            "--band-edges",
+            "0,400",
+            "--max-block-size",
+            "256",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert len(printed) == 6  # 3 files per input
+    names = [p.split("/")[-1] for p in printed]
+    assert any(n.startswith("a_Ls_") for n in names)
+    assert any(n.startswith("b_Rs_") for n in names)
+
+
+def test_cli_bad_mode_rejected(tmp_path):
+    path = _input(tmp_path)
+    with pytest.raises(SystemExit):
+        main([str(path), "--export-mode", "quad"])
+
+
+def test_cli_missing_file(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        main([str(tmp_path / "nope.wav"), "--out-dir", str(tmp_path)])

@@ -1,0 +1,92 @@
+"""Pure-NumPy WAV codec round-trips and error handling."""
+
+import numpy as np
+import pytest
+
+from upmix_tpu.io import read_wav, write_wav
+
+
+@pytest.mark.parametrize(
+    "subtype,tol",
+    [("PCM_16", 2**-15), ("PCM_24", 2**-23), ("PCM_32", 2**-30), ("FLOAT", 1e-7), ("DOUBLE", 0)],
+)
+def test_roundtrip_stereo(tmp_path, subtype, tol):
+    rng = np.random.default_rng(0)
+    x = np.clip(rng.standard_normal((1000, 2)) * 0.3, -1, 0.999)
+    path = tmp_path / "t.wav"
+    write_wav(path, x, 44100, subtype=subtype)
+    y, sr = read_wav(path)
+    assert sr == 44100
+    assert y.shape == (1000, 2)
+    np.testing.assert_allclose(y, x, atol=max(tol, 1e-18))
+
+
+def test_mono_shapes(tmp_path):
+    x = np.linspace(-0.5, 0.5, 321)
+    path = tmp_path / "m.wav"
+    write_wav(path, x, 8000)
+    y, sr = read_wav(path)
+    assert y.ndim == 1 and len(y) == 321
+    y2d, _ = read_wav(path, always_2d=True)
+    assert y2d.shape == (321, 1)
+
+
+def test_clipping_on_pcm_write(tmp_path):
+    x = np.array([1.5, -1.5, 0.0])
+    path = tmp_path / "c.wav"
+    write_wav(path, x, 8000, subtype="PCM_16")
+    y, _ = read_wav(path)
+    assert y[0] == pytest.approx(1.0 - 2**-15)
+    assert y[1] == pytest.approx(-1.0)
+
+
+def test_extensible_format(tmp_path):
+    # Hand-build a WAVE_FORMAT_EXTENSIBLE float32 file and read it.
+    import struct
+
+    x = np.linspace(-0.9, 0.9, 64).astype("<f4")
+    payload = x.tobytes()
+    guid = b"\x03\x00" + b"\x00" * 14  # subformat FLOAT + junk GUID tail
+    fmt_body = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 64000, 4, 32)
+    fmt_body += struct.pack("<H", 22) + struct.pack("<H", 32) + b"\x0f\x00\x00\x00" + guid
+    chunks = struct.pack("<4sI", b"fmt ", len(fmt_body)) + fmt_body
+    chunks += struct.pack("<4sI", b"data", len(payload)) + payload
+    raw = struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+    path = tmp_path / "ext.wav"
+    path.write_bytes(raw)
+    y, sr = read_wav(path)
+    assert sr == 16000
+    np.testing.assert_allclose(y, x.astype(np.float64), atol=1e-7)
+
+
+def test_error_paths(tmp_path):
+    p = tmp_path / "bad.wav"
+    p.write_bytes(b"RIFFxxxxJUNK")
+    with pytest.raises(ValueError):
+        read_wav(p)
+    p.write_bytes(b"short")
+    with pytest.raises(ValueError):
+        read_wav(p)
+    with pytest.raises(ValueError):
+        write_wav(tmp_path / "x.wav", np.zeros(4), 8000, subtype="OGG")
+    # fmt present but no data chunk
+    import struct
+
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    raw = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt_body), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt_body))
+        + fmt_body
+    )
+    p.write_bytes(raw)
+    with pytest.raises(ValueError):
+        read_wav(p)
+
+
+def test_odd_sized_data_chunk_alignment(tmp_path):
+    # 24-bit mono with odd payload length exercises the pad byte.
+    x = np.linspace(-0.5, 0.5, 7)
+    path = tmp_path / "odd.wav"
+    write_wav(path, x, 8000, subtype="PCM_24")
+    y, _ = read_wav(path)
+    np.testing.assert_allclose(y, x, atol=2**-22)

@@ -1,0 +1,172 @@
+"""Offline application layer: WAV load, peak-safe scaling, export modes.
+
+Replicates the reference's offline app semantics (python-prototype/main.py):
+mono→stereo duplication (main.py:47-48), silent-file peak guard
+(main.py:53-55), a single shared scale factor across Ls/C/Rs
+(main.py:85-97), the three export modes with their exact channel layouts
+(main.py:110-157), and the config-encoding output filenames
+(main.py:102-106).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from upmix_tpu.config import UpmixConfig
+from upmix_tpu.io import read_wav, write_wav
+from upmix_tpu.models.offline import Upmixer
+from upmix_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+EXPORT_MODES = ("AB", "split", "stereo_sum")
+
+
+def load_stereo(path):
+    """Load a WAV as stereo float64, duplicating mono, and measure the input
+    peak with the silent-file guard (main.py:43-55)."""
+    wave, sr = read_wav(path)
+    log.info("Loaded %r, sr=%s, shape=%s", str(path), sr, wave.shape)
+    if wave.ndim == 1:
+        wave = np.column_stack([wave, wave])
+    peak_in = float(np.max(np.abs(wave)))
+    if peak_in <= 0.0:
+        peak_in = 1e-9
+    return wave[:, 0], wave[:, 1], sr, peak_in
+
+
+def scale_lcr(C, Ls, Rs, peak_in: float):
+    """Single shared scale factor so no channel exceeds the original peak
+    (main.py:85-97)."""
+    overall = max(
+        float(np.max(np.abs(Ls))),
+        float(np.max(np.abs(C))),
+        float(np.max(np.abs(Rs))),
+        1e-9,
+    )
+    scale = peak_in / overall
+    log.info("Original peak = %.4f, L/C/R peak = %.4f", peak_in, overall)
+    log.info("Applying scale_factor = %.4f", scale)
+    return C * scale, Ls * scale, Rs * scale, scale
+
+
+def band_info_str(config: UpmixConfig) -> str:
+    """Output-filename band descriptor `b{block}({lo}-{hi})_...`
+    (main.py:102-106)."""
+    return "_".join(
+        f"b{b.block_size}({int(b.f_low)}-{int(b.f_high)})" for b in config.bands
+    )
+
+
+@dataclass
+class ExportResult:
+    paths: list
+    scale_factor: float
+
+
+def export_lcr(
+    out_dir,
+    base_name: str,
+    export_mode: str,
+    C: np.ndarray,
+    Ls: np.ndarray,
+    Rs: np.ndarray,
+    L: np.ndarray,
+    R: np.ndarray,
+    sr: int,
+    config: UpmixConfig,
+    subtype: str = "FLOAT",
+) -> ExportResult:
+    """Write output files per export mode with the reference's channel
+    layouts and filename encodings (main.py:110-157)."""
+    os.makedirs(out_dir, exist_ok=True)
+    info = band_info_str(config)
+    overlap = config.overlap
+    paths = []
+
+    if export_mode == "AB":
+        upmix_sum = Ls + C + Rs
+        orig_sum = np.asarray(L) + np.asarray(R)
+        n = min(len(upmix_sum), len(orig_sum))
+        ab = np.column_stack([upmix_sum[:n], orig_sum[:n]])
+        path = os.path.join(out_dir, f"{base_name}_AB_{info}_ov{overlap:.2f}.wav")
+        write_wav(path, ab, sr, subtype=subtype)
+        log.info("[AB] Wrote 2-ch => %s (Left = Ls+C+Rs, Right = L+R)", path)
+        paths.append(path)
+
+    elif export_mode == "split":
+        layouts = [
+            ("Ls", np.column_stack([Ls, np.zeros_like(Ls)])),
+            ("C", np.column_stack([C, C])),
+            ("Rs", np.column_stack([np.zeros_like(Rs), Rs])),
+        ]
+        for tag, data in layouts:
+            path = os.path.join(out_dir, f"{base_name}_{tag}_{info}.wav")
+            write_wav(path, data, sr, subtype=subtype)
+            log.info("[Split] Wrote => %s", path)
+            paths.append(path)
+
+    elif export_mode == "stereo_sum":
+        left = Ls + 0.5 * C
+        right = Rs + 0.5 * C
+        n = min(len(left), len(right))
+        path = os.path.join(out_dir, f"{base_name}_Sum_{info}_ov{overlap:.2f}.wav")
+        write_wav(path, np.column_stack([left[:n], right[:n]]), sr, subtype=subtype)
+        log.info("[StereoSum] Wrote 2-ch => %s (Left = Ls+C/2, Right = Rs+C/2)", path)
+        paths.append(path)
+
+    else:
+        raise ValueError(f"unknown export_mode {export_mode!r}; one of {EXPORT_MODES}")
+
+    return ExportResult(paths=paths, scale_factor=1.0)
+
+
+def run_offline(
+    in_path,
+    out_dir="out",
+    export_mode: str = "stereo_sum",
+    band_edges=(0, 30, 120, 480, 1920, 7680),
+    overlap: float = 0.75,
+    window: str = "blackman_harris",
+    xover_mode: str = "raised_cosine",
+    max_block_size: int = 2**16,
+    threshold_factor: float = 32.0,
+    synthesis: str = "wola",
+    subtype: str = "FLOAT",
+    upmixer: Upmixer | None = None,
+    verbose: bool = False,
+) -> ExportResult:
+    """Full offline pipeline: load → upmix → scale → export.
+
+    Defaults replicate main.py:29-73 (minus its edit-the-source config).
+    Pass a pre-built `upmixer` to reuse compiled programs across files.
+    """
+    if export_mode not in EXPORT_MODES:
+        raise ValueError(f"unknown export_mode {export_mode!r}; one of {EXPORT_MODES}")
+    L, R, sr, peak_in = load_stereo(in_path)
+
+    if upmixer is None:
+        config = UpmixConfig.make(
+            list(band_edges),
+            sr=float(sr),
+            overlap=overlap,
+            window=window,
+            xover_mode=xover_mode,
+            max_block_size=max_block_size,
+            threshold_factor=threshold_factor,
+            synthesis=synthesis,
+            verbose=verbose,
+        )
+        upmixer = Upmixer(config)
+    config = upmixer.config
+
+    C, Ls, Rs = upmixer.process_np(L.astype(np.float32), R.astype(np.float32))
+    C, Ls, Rs, scale = scale_lcr(C, Ls, Rs, peak_in)
+
+    base = os.path.splitext(os.path.basename(str(in_path)))[0]
+    result = export_lcr(out_dir, base, export_mode, C, Ls, Rs, L, R, sr, config, subtype)
+    result.scale_factor = scale
+    return result
