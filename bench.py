@@ -1,0 +1,88 @@
+"""Headline benchmark: stereo→LCR offline upmix realtime factor on one chip.
+
+Runs the flagship offline pipeline (default 44.1 kHz 6-band config,
+band_edges [0,30,120,480,1920,7680] — reference main.py:62-73) over
+synthetic stereo audio and reports audio-seconds processed per wall-clock
+second per chip.  The reference publishes no numbers (SURVEY.md §6); the
+north-star target from BASELINE.md is >1000× realtime per chip, which is
+what `vs_baseline` is normalized against.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TARGET_REALTIME = 1000.0  # BASELINE.md north star: >1000x realtime/chip
+
+SR = 44100.0
+BAND_EDGES = (0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0)
+N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 2**21))  # ~47.6 s of audio
+ITERS = int(os.environ.get("BENCH_ITERS", 30))
+WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.offline import build_offline_fn
+
+    config = UpmixConfig.make(list(BAND_EDGES), sr=SR)
+    base_fn = build_offline_fn(config, N_SAMPLES)
+
+    # Timing must be robust to remote/tunneled device runtimes where
+    # block_until_ready can acknowledge dispatch rather than completion:
+    # each iteration's input depends on the previous iteration's output
+    # (true serialization on the device stream), and the clock stops only
+    # after fetching real result bytes of the final iteration.
+    def step(L, R, seed):
+        c, ls, rs = base_fn(L + seed, R - seed)
+        return c, ls, rs
+
+    fn = jax.jit(step)
+
+    rng = np.random.default_rng(0)
+    L = jnp.asarray(rng.standard_normal(N_SAMPLES), jnp.float32)
+    R = jnp.asarray(rng.standard_normal(N_SAMPLES), jnp.float32)
+    L, R = jax.device_put((L, R))
+
+    def run(iters):
+        seed = jnp.zeros((), jnp.float32)
+        out = None
+        for _ in range(iters):
+            out = fn(L, R, seed)
+            seed = out[0][0] * 1e-6  # tiny data dependency chains the iters
+        return float(np.asarray(out[0][0]))  # fetch forces completion
+
+    run(WARMUP)
+    t0 = time.perf_counter()
+    run(ITERS)
+    t1 = time.perf_counter()
+
+    sec_per_iter = (t1 - t0) / ITERS
+    audio_sec = N_SAMPLES / SR
+    realtime_factor = audio_sec / sec_per_iter
+
+    print(
+        json.dumps(
+            {
+                "metric": "offline_upmix_realtime_factor",
+                "value": round(realtime_factor, 2),
+                "unit": "audio_sec/sec/chip",
+                "vs_baseline": round(realtime_factor / TARGET_REALTIME, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

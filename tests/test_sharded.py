@@ -1,0 +1,123 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh:
+frame-axis (sequence) sharding parity vs single-device, halo correctness
+at shard boundaries, and data-parallel batching (SURVEY.md §4 "multi-chip").
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from upmix_tpu.config import UpmixConfig
+from upmix_tpu.oracle import oracle_multiband
+from upmix_tpu.parallel import ShardedUpmixer, build_sharded_offline_fn, make_mesh, sequence_plan
+
+from helpers import make_stereo, snr_db
+
+
+def _cfg(**kw):
+    kw.setdefault("max_block_size", 512)
+    return UpmixConfig.make([0.0, 400.0, 1600.0], sr=8000.0, **kw)
+
+
+def test_mesh_helpers():
+    mesh = make_mesh()
+    assert mesh.shape["seq"] == len(jax.devices())
+    mesh2 = make_mesh({"data": 2, "seq": 4})
+    assert mesh2.shape == {"data": 2, "seq": 4}
+    with pytest.raises(ValueError):
+        make_mesh({"seq": 1024})
+
+
+def test_sequence_plan_geometry():
+    cfg = _cfg()
+    plan = sequence_plan(cfg, 5000, 8)
+    assert plan.n_padded == plan.chunk * 8
+    assert plan.n_padded >= 5000
+    assert plan.chunk >= plan.halo
+    for b in cfg.bands:
+        assert plan.chunk % b.hop_size == 0
+
+
+def test_seq_sharded_parity_vs_oracle():
+    cfg = _cfg()
+    mesh = make_mesh({"seq": 8})
+    su = ShardedUpmixer(cfg, mesh)
+    L, R = make_stereo(5000, cfg.sr, seed=0)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    got = su.process(L32, R32)
+    for name, r, g in zip("C Ls Rs".split(), ref, got):
+        s = snr_db(r, np.asarray(g))
+        assert s > 60.0, f"{name}: {s:.1f} dB"
+
+
+def test_seq_sharded_matches_single_device_pipeline():
+    # Halo correctness: the 8-way sharded result must match the unsharded
+    # JAX pipeline to float32 tolerance at every shard boundary.
+    from upmix_tpu.models.offline import upmix_offline
+
+    cfg = _cfg()
+    mesh = make_mesh({"seq": 8})
+    su = ShardedUpmixer(cfg, mesh)
+    L, R = make_stereo(9000, cfg.sr, seed=1)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    single = upmix_offline(L32, R32, cfg)
+    sharded = su.process(L32, R32)
+    plan = sequence_plan(cfg, 9000, 8)
+    for r, g in zip(single, sharded):
+        g = np.asarray(g)
+        assert snr_db(r, g) > 60.0
+        # Inspect a window across each internal shard boundary explicitly.
+        for d in range(1, 8):
+            edge = d * plan.chunk
+            if edge + 64 > len(r):
+                break
+            win_r = r[edge - 64 : edge + 64]
+            win_g = g[edge - 64 : edge + 64]
+            assert np.max(np.abs(win_r - win_g)) < 1e-3, f"boundary {d}"
+
+
+def test_dp_sp_mesh_batch():
+    cfg = _cfg()
+    mesh = make_mesh({"data": 2, "seq": 4})
+    su = ShardedUpmixer(cfg, mesh)
+    L0, R0 = make_stereo(4000, cfg.sr, seed=2)
+    L1, R1 = make_stereo(4000, cfg.sr, seed=3)
+    x = np.stack(
+        [np.stack([L0, R0]), np.stack([L1, R1])]
+    ).astype(np.float32)
+    y = su.process_batch(x)
+    assert y.shape == (2, 3, 4000)
+    for i, (Lx, Rx) in enumerate([(L0, R0), (L1, R1)]):
+        ref = oracle_multiband(Lx.astype(np.float32), Rx.astype(np.float32), cfg)
+        for c in range(3):
+            assert snr_db(ref[c], np.asarray(y[i, c])) > 60.0
+
+
+def test_odd_batch_padding():
+    cfg = _cfg()
+    mesh = make_mesh({"data": 2, "seq": 4})
+    su = ShardedUpmixer(cfg, mesh)
+    L, R = make_stereo(3000, cfg.sr, seed=4)
+    x = np.stack([np.stack([L, R])]).astype(np.float32)  # batch of 1 on data=2
+    y = su.process_batch(x)
+    assert y.shape == (1, 3, 3000)
+    ref = oracle_multiband(L.astype(np.float32), R.astype(np.float32), cfg)
+    assert snr_db(ref[0], np.asarray(y[0, 0])) > 60.0
+
+
+def test_build_sharded_fn_direct():
+    cfg = _cfg()
+    mesh = make_mesh({"seq": 8})
+    fn, plan = build_sharded_offline_fn(cfg, 4096, mesh, data_axis=None)
+    x = np.zeros((1, 2, plan.n_padded), np.float32)
+    y = fn(x)
+    assert y.shape == (1, 3, plan.n_padded)
+    assert np.all(np.asarray(y) == 0.0)
+
+
+def test_process_batch_validates_shape():
+    cfg = _cfg()
+    su = ShardedUpmixer(cfg, make_mesh({"seq": 8}))
+    with pytest.raises(ValueError):
+        su.process_batch(np.zeros((2, 3, 100), np.float32))

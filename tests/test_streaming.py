@@ -1,0 +1,163 @@
+"""Streaming engine tests: parity vs the C++-semantics streaming oracle,
+push_block vs scan equivalence, warmup latency, and state checkpointing
+(SURVEY.md §4 "streaming parity" — substitutes for Bela-hardware testing).
+"""
+
+import numpy as np
+import pytest
+
+from upmix_tpu.config import UpmixConfig
+from upmix_tpu.models.streaming import (
+    WARMUP_BLOCKS,
+    StreamingUpmixer,
+    init_stream_state,
+    mix_stereo_sum,
+)
+from upmix_tpu.oracle.reference import oracle_stream_multiband
+
+from helpers import make_stereo, snr_db
+
+
+HW = 256
+
+
+def _stream_cfg(edges=(0.0, 400.0, 1600.0), sr=8000.0, hw=HW, **kw):
+    return UpmixConfig.streaming(list(edges), sr=sr, hw_block_size=hw, **kw)
+
+
+def test_stream_parity_vs_oracle():
+    cfg = _stream_cfg()
+    L, R = make_stereo(16 * HW, cfg.sr, seed=0)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref_l, ref_r = oracle_stream_multiband(L32, R32, cfg, HW)
+    s = StreamingUpmixer(cfg, HW)
+    got_l, got_r = s.process_signal(L32, R32, mix="stereo_sum")
+    assert snr_db(ref_l, np.asarray(got_l)) > 60.0
+    assert snr_db(ref_r, np.asarray(got_r)) > 60.0
+
+
+def test_stream_parity_hard_zero_cpp_mode():
+    # Full C++-parity configuration: hard-zero band limits (the effective
+    # C++ behavior — SURVEY.md §2.2), analysis-window synthesis, C++ bin
+    # rounding.
+    cfg = _stream_cfg(xover_mode="hard_zero", synthesis="analysis", bin_rounding="cpp")
+    L, R = make_stereo(12 * HW, cfg.sr, seed=1)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref_l, ref_r = oracle_stream_multiband(L32, R32, cfg, HW)
+    s = StreamingUpmixer(cfg, HW)
+    got_l, got_r = s.process_signal(L32, R32, mix="stereo_sum")
+    assert snr_db(ref_l, np.asarray(got_l)) > 60.0
+    assert snr_db(ref_r, np.asarray(got_r)) > 60.0
+
+
+def test_push_block_matches_scan():
+    cfg = _stream_cfg()
+    L, R = make_stereo(8 * HW, cfg.sr, seed=2)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    s = StreamingUpmixer(cfg, HW)
+    ref_c, ref_ls, ref_rs = s.process_signal(L32, R32, mix="lcr")
+    s.reset()
+    got = []
+    for i in range(0, len(L32), HW):
+        c, ls, rs = s.push_block(L32[i : i + HW], R32[i : i + HW])
+        got.append(np.stack([np.asarray(c), np.asarray(ls), np.asarray(rs)]))
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_array_equal(got[0], np.asarray(ref_c))
+    np.testing.assert_array_equal(got[1], np.asarray(ref_ls))
+    np.testing.assert_array_equal(got[2], np.asarray(ref_rs))
+
+
+def test_warmup_latency_is_uniform_4_blocks():
+    # All bands come online together after exactly 4 hw blocks
+    # (bela/upmix.cpp:232-237, 498-506 — [verified] SURVEY.md §2.2).
+    cfg = _stream_cfg()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(8 * HW).astype(np.float32)
+    s = StreamingUpmixer(cfg, HW)
+    outs = []
+    for i in range(0, len(x), HW):
+        c, ls, rs = s.push_block(x[i : i + HW], x[i : i + HW])
+        outs.append(np.max(np.abs(np.asarray(c))))
+    assert all(o == 0.0 for o in outs[: WARMUP_BLOCKS - 1])
+    assert outs[WARMUP_BLOCKS - 1] > 0.0  # first output at block index 3
+
+
+def test_state_is_checkpointable():
+    # The state pytree can be saved/restored mid-stream with identical
+    # continuation (SURVEY.md §5 checkpoint/resume).
+    cfg = _stream_cfg()
+    L, R = make_stereo(10 * HW, cfg.sr, seed=4)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+
+    s = StreamingUpmixer(cfg, HW)
+    full = []
+    for i in range(0, len(L32), HW):
+        c, ls, rs = s.push_block(L32[i : i + HW], R32[i : i + HW])
+        full.append(np.asarray(c))
+
+    s2 = StreamingUpmixer(cfg, HW)
+    half = 5 * HW
+    for i in range(0, half, HW):
+        s2.push_block(L32[i : i + HW], R32[i : i + HW])
+    # Round-trip the state through host numpy (a checkpoint).
+    import jax
+
+    ckpt = jax.tree.map(np.asarray, s2.state)
+    s3 = StreamingUpmixer(cfg, HW)
+    s3.state = jax.tree.map(np.asarray, ckpt)
+    resumed = []
+    for i in range(half, len(L32), HW):
+        c, ls, rs = s3.push_block(L32[i : i + HW], R32[i : i + HW])
+        resumed.append(np.asarray(c))
+    np.testing.assert_array_equal(
+        np.concatenate(full[5:]), np.concatenate(resumed)
+    )
+
+
+def test_stream_vs_offline_parity_after_latency():
+    # Offline and streaming paths share kernels; after the 4-block warmup
+    # the streaming stereo_sum output must track the offline stereo_sum mix
+    # of the same config (SURVEY.md §4 "streaming parity").
+    from upmix_tpu.models.offline import Upmixer
+
+    cfg = _stream_cfg()
+    L, R = make_stereo(24 * HW, cfg.sr, seed=5)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+
+    s = StreamingUpmixer(cfg, HW)
+    st_l, st_r = s.process_signal(L32, R32, mix="stereo_sum")
+    c, ls, rs = Upmixer(cfg).process_np(L32, R32)
+    off_l, off_r = ls + 0.5 * c, rs + 0.5 * c
+
+    # Streaming output is delayed by the warmup: streaming block k carries
+    # the content of offline samples starting at (k-3)*hw... compare the
+    # overlapping steady-state region.
+    lat = (WARMUP_BLOCKS - 1) * HW
+    n = len(L32) - lat - 4 * HW
+    a = np.asarray(st_l)[lat : lat + n]
+    b = off_l[:n]
+    assert snr_db(b, a) > 60.0
+    a = np.asarray(st_r)[lat : lat + n]
+    b = off_r[:n]
+    assert snr_db(b, a) > 60.0
+
+
+def test_invalid_hw_block_raises():
+    cfg = UpmixConfig.make([0.0, 400.0], sr=8000.0, max_block_size=512)
+    with pytest.raises(ValueError):
+        StreamingUpmixer(cfg, 100)  # not a multiple of every hop
+
+
+def test_oversized_band_block_raises():
+    cfg = UpmixConfig.make([0.0, 400.0], sr=8000.0, max_block_size=4096)
+    with pytest.raises(ValueError):
+        StreamingUpmixer(cfg, 256)  # 4096 > 4*256
+
+
+def test_mix_stereo_sum_layout():
+    import jax.numpy as jnp
+
+    lcr = jnp.asarray(np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], np.float32))
+    l, r = mix_stereo_sum(lcr)
+    np.testing.assert_allclose(np.asarray(l), [3.5, 5.0])
+    np.testing.assert_allclose(np.asarray(r), [5.5, 7.0])

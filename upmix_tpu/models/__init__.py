@@ -1,3 +1,4 @@
 from upmix_tpu.models.offline import Upmixer, upmix_offline
+from upmix_tpu.models.streaming import StreamingUpmixer
 
-__all__ = ["Upmixer", "upmix_offline"]
+__all__ = ["Upmixer", "upmix_offline", "StreamingUpmixer"]

@@ -1,0 +1,259 @@
+"""Streaming (block-based, real-time) multiband upmix engine.
+
+TPU-first re-design of the reference's real-time path (bela/upmix.cpp).
+The reference realizes streaming imperatively: per-band ring buffers
+(upmix.cpp:77-128), mutable overlap-add accumulators (upmix.cpp:134-166),
+and a readiness check that gates each band until enough input is buffered
+(upmix.cpp:232-237).  Here the whole engine is a pure function
+
+    step : (StreamState, in_block[2, hw]) -> (StreamState, out_block)
+
+so a real-time host calls one jitted step per hardware block, an offline
+caller runs `lax.scan` over all blocks in a single compiled program, and
+the state pytree is trivially checkpointable (SURVEY.md §5).
+
+Structural facts exploited (all verified in SURVEY.md §2.2/§3.2):
+
+  - With the fixed 75% overlap, every band's readiness threshold is exactly
+    ``4 * hw_block`` samples, so all bands come online together at the 4th
+    hardware block.  One shared input-history buffer of the last
+    ``4 * hw_block`` samples therefore serves every band: at processing
+    time for block t, band pass p reads history[p*hop : p*hop + block].
+  - Bands sharing a block size share their forward FFTs, and since the
+    iSTFT/OLA is linear, their masked spectra are summed **in the spectral
+    domain** — each bucket needs 2 forward + 3 inverse FFTs per pass batch
+    regardless of band count (vs 2+3 per band per pass in the reference).
+  - The not-ready branch emits silence without touching OLA state, exactly
+    the reference's degraded mode (upmix.cpp:485-491).
+
+Output modes: ``"stereo_sum"`` reproduces the Bela mix
+``out = side + 0.5*center`` (upmix.cpp:295-303); ``"lcr"`` emits the three
+discrete channels for parity with the offline path.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upmix_tpu.config import UpmixConfig, bucket_bands
+from upmix_tpu.ops.framing import frame_signal
+from upmix_tpu.ops.gains import band_gain_curve
+from upmix_tpu.ops.mask import center_mask
+from upmix_tpu.ops.windows import design_wola_synthesis_window, make_window
+
+WARMUP_BLOCKS = 4  # uniform readiness latency, bela/upmix.cpp:232-237 [verified]
+
+
+@dataclass(frozen=True)
+class _StreamBucketPlan:
+    block_size: int
+    hop_size: int
+    passes: int  # hw_block // hop
+    analysis_window: np.ndarray  # [block]
+    synthesis_window: np.ndarray  # [block]
+    gains: np.ndarray  # [n_bands_in_bucket, n_bins]
+
+
+def _plan_stream_buckets(config: UpmixConfig, hw_block_size: int):
+    plans = []
+    for block_size, bands in bucket_bands(config.bands).items():
+        hop = bands[0].hop_size
+        if hw_block_size % hop != 0:
+            raise ValueError(
+                f"hw block size {hw_block_size} must be a multiple of every "
+                f"band hop (violated by block {block_size}, hop {hop})"
+            )
+        if block_size > WARMUP_BLOCKS * hw_block_size:
+            # The C++ engine caps block sizes at hw_block*4
+            # (bela/upmix.cpp:498-506); larger blocks would break the shared
+            # history-window invariant.
+            raise ValueError(
+                f"band block size {block_size} exceeds hw_block*4 = "
+                f"{WARMUP_BLOCKS * hw_block_size}; build the config with "
+                f"UpmixConfig.streaming (max_block_size = hw_block*4)"
+            )
+        aw = make_window(config.window, block_size)
+        if config.synthesis == "wola":
+            sw = design_wola_synthesis_window(aw, config.overlap)
+        elif config.synthesis == "analysis":
+            # C++ parity: synthesis window is the plain analysis window
+            # (bela/upmix.cpp:200-201).
+            sw = aw
+        else:
+            raise ValueError(f"unknown synthesis mode {config.synthesis!r}")
+        gains = np.stack([band_gain_curve(b, dtype=np.float32) for b in bands])
+        plans.append(
+            _StreamBucketPlan(
+                block_size=block_size,
+                hop_size=hop,
+                passes=hw_block_size // hop,
+                analysis_window=aw,
+                synthesis_window=sw,
+                gains=gains,
+            )
+        )
+    return plans
+
+
+def init_stream_state(config: UpmixConfig, hw_block_size: int):
+    """Fresh engine state: {history [2, 4*hw], t (blocks seen), ola{block: [3, block]}}.
+
+    A plain dict-of-arrays pytree — works under jit/scan, serializes with
+    any checkpointing library, and is the explicit analog of the
+    reference's ring-buffer + accumulator mutable state
+    (upmix.cpp:121-127, 164).
+    """
+    plans = _plan_stream_buckets(config, hw_block_size)
+    return {
+        "history": jnp.zeros((2, WARMUP_BLOCKS * hw_block_size), dtype=jnp.float32),
+        "t": jnp.zeros((), dtype=jnp.int32),
+        "ola": {
+            plan.block_size: jnp.zeros((3, plan.block_size), dtype=jnp.float32)
+            for plan in plans
+        },
+    }
+
+
+def _bucket_pass_block(plan: _StreamBucketPlan, history: jnp.ndarray, ola: jnp.ndarray):
+    """Run one hardware block's worth of passes for a bucket.
+
+    history: [2, 4*hw] (the last 4 hw blocks).  ola: [3, block].
+    Returns (out [3, hw], new_ola [3, block]).
+    """
+    B, H, P = plan.block_size, plan.hop_size, plan.passes
+    # Pass p reads history[p*H : p*H + B]; trailing length (P-1)*H + B.
+    needed = (P - 1) * H + B
+    frames = frame_signal(history[:, :needed], B, H, P)  # [2, P, B]
+    frames = frames * jnp.asarray(plan.analysis_window)
+    spec = jnp.fft.rfft(frames)  # [2, P, n_bins]
+    gains = jnp.asarray(plan.gains)[:, None, :]  # [nb, 1, n_bins]
+    spec_l = spec[0][None] * gains
+    spec_r = spec[1][None] * gains
+    spec_c, spec_ls, spec_rs = center_mask(spec_l, spec_r)
+    summed = jnp.stack(
+        [spec_c.sum(axis=0), spec_ls.sum(axis=0), spec_rs.sum(axis=0)]
+    )  # [3, P, n_bins]
+    rec = jnp.fft.irfft(summed, n=B) * jnp.asarray(plan.synthesis_window)  # [3, P, B]
+
+    # Sequential OLA over the passes (carried accumulator, as in
+    # upmix.cpp:145-162 / center_extraction.py:391-407).
+    def ola_step(accum, rec_p):
+        accum = accum + rec_p
+        emit = accum[:, :H]
+        accum = jnp.concatenate([accum[:, H:], jnp.zeros((3, H), jnp.float32)], axis=1)
+        return accum, emit
+
+    new_ola, hops = jax.lax.scan(ola_step, ola, jnp.moveaxis(rec, 1, 0))
+    out = jnp.moveaxis(hops, 0, 1).reshape(3, P * H)  # [3, hw]
+    return out, new_ola
+
+
+def build_stream_step(config: UpmixConfig, hw_block_size: int):
+    """Build the pure streaming step: (state, in_block[2, hw]) -> (state, out).
+
+    out is [3, hw] (C, Ls, Rs) — mix with `mix_stereo_sum` for the Bela
+    2-channel output.  Jit-compatible; scan-compatible.
+    """
+    plans = _plan_stream_buckets(config, hw_block_size)
+    hw = hw_block_size
+
+    def step(state, x_block):
+        x_block = x_block.astype(jnp.float32)
+        history = jnp.concatenate([state["history"][:, hw:], x_block], axis=1)
+        t = state["t"] + 1
+
+        def go(olas):
+            out = None
+            new_olas = {}
+            for plan in plans:
+                o, new_olas[plan.block_size] = _bucket_pass_block(
+                    plan, history, olas[plan.block_size]
+                )
+                out = o if out is None else out + o
+            return out, new_olas
+
+        def silent(olas):
+            # Not-ready bands contribute silence and leave OLA state
+            # untouched (upmix.cpp:485-491).
+            return jnp.zeros((3, hw), jnp.float32), olas
+
+        out, new_olas = jax.lax.cond(t >= WARMUP_BLOCKS, go, silent, state["ola"])
+        return {"history": history, "t": t, "ola": new_olas}, out
+
+    return step
+
+
+def mix_stereo_sum(lcr: jnp.ndarray):
+    """Bela output mix: (L, R) = (Ls + 0.5*C, Rs + 0.5*C)
+    (upmix.cpp:295-303; same layout as the offline stereo_sum export,
+    main.py:143-157).  lcr: [3, ...] ordered (C, Ls, Rs)."""
+    c, ls, rs = lcr[0], lcr[1], lcr[2]
+    return ls + 0.5 * c, rs + 0.5 * c
+
+
+class StreamingUpmixer:
+    """Stateful host-side wrapper around the pure streaming step.
+
+    `push_block` is the real-time call (one jitted step per hardware
+    block); `process_signal` scans all blocks inside one compiled program
+    for offline use and parity testing.
+    """
+
+    def __init__(self, config: UpmixConfig, hw_block_size: int):
+        self.config = config
+        self.hw_block_size = int(hw_block_size)
+        self._step = jax.jit(build_stream_step(config, self.hw_block_size))
+        self.state = init_stream_state(config, self.hw_block_size)
+        self._scan_cache = {}
+
+    def reset(self):
+        self.state = init_stream_state(self.config, self.hw_block_size)
+
+    def push_block(self, in_l, in_r):
+        """Feed one hardware block; returns (C, Ls, Rs) each [hw]."""
+        x = jnp.stack(
+            [jnp.asarray(in_l, jnp.float32), jnp.asarray(in_r, jnp.float32)]
+        )
+        self.state, out = self._step(self.state, x)
+        return out[0], out[1], out[2]
+
+    def _scan_fn(self, n_blocks: int):
+        fn = self._scan_cache.get(n_blocks)
+        if fn is None:
+            step = build_stream_step(self.config, self.hw_block_size)
+
+            @jax.jit
+            def scan_all(state, blocks):  # blocks [n_blocks, 2, hw]
+                return jax.lax.scan(step, state, blocks)
+
+            fn = scan_all
+            self._scan_cache[n_blocks] = fn
+        return fn
+
+    def process_signal(self, L, R, mix: str = "lcr"):
+        """Whole-signal streaming processing (truncates to whole hw blocks,
+        like a real-time device — cf. oracle_stream_multiband).
+
+        mix="lcr" returns (C, Ls, Rs); mix="stereo_sum" returns (outL, outR)
+        with the Bela 2-channel mix.
+        """
+        hw = self.hw_block_size
+        n = (len(L) // hw) * hw
+        n_blocks = n // hw
+        x = jnp.stack(
+            [jnp.asarray(L[:n], jnp.float32), jnp.asarray(R[:n], jnp.float32)]
+        )  # [2, n]
+        blocks = jnp.moveaxis(x.reshape(2, n_blocks, hw), 1, 0)  # [nb, 2, hw]
+        state = init_stream_state(self.config, hw)
+        _, outs = self._scan_fn(n_blocks)(state, blocks)  # [nb, 3, hw]
+        lcr = jnp.moveaxis(outs, 0, 1).reshape(3, n)
+        if mix == "stereo_sum":
+            return mix_stereo_sum(lcr)
+        if mix == "lcr":
+            return lcr[0], lcr[1], lcr[2]
+        raise ValueError(f"unknown mix {mix!r}; one of ('lcr', 'stereo_sum')")
