@@ -1,0 +1,484 @@
+// upmix_host — native streaming host shell for the upmix_tpu framework.
+//
+// C++ equivalent of the reference's real-time engine (bela/upmix.cpp): a
+// block-based stereo->LCR upmixer for low-latency local playback where no
+// TPU is attached.  The DSP semantics intentionally match the framework's
+// JAX streaming path (upmix_tpu/models/streaming.py) and the NumPy oracle
+// (upmix_tpu/oracle/reference.py) so the three implementations are
+// SNR-comparable; tests bit-compare this engine against the oracle.
+//
+// Design differences from the reference implementation (this is not a
+// translation):
+//   - One shared input history per engine (not per-band ring buffers):
+//     with the fixed 75% overlap every band's readiness threshold is
+//     exactly 4 hardware blocks (verified in SURVEY.md §2.2), so band
+//     pass p simply reads history[p*hop : p*hop + block].
+//   - Forward FFTs are packed: L and R are transformed in ONE complex FFT
+//     (z = wL + i*wR) and unpacked by conjugate symmetry; the C and Ls
+//     inverse transforms share one complex IFFT the same way.  2+3
+//     real transforms per pass become 1+2 complex ones.
+//   - Band-limit gains are precomputed per-band gain vectors (the
+//     "live-fade" raised-cosine semantics of the Python reference, or
+//     hard-zero for C++-reference parity — see SURVEY.md §2.2 on the
+//     reference C++ fade no-op bug).
+//   - Synthesis window is WOLA-designed by default (Python-reference
+//     semantics); "analysis" mode reproduces the C++ reference's plain
+//     Blackman-Harris synthesis.
+//
+// API: extern "C", handle-based; see upmix_host.h-equivalent declarations
+// at the bottom.  Thread model: single producer — one engine instance per
+// stream, no internal locking (matches the single-audio-thread usage of
+// the reference).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <fenv.h>
+#include <new>
+#include <vector>
+
+namespace {
+
+constexpr double kEps = 1e-12;  // mask/WOLA epsilon (reference EPS)
+constexpr int kWarmupBlocks = 4;
+
+// ---------------------------------------------------------------------------
+// FFT: iterative radix-2 complex FFT for power-of-two sizes.
+// ---------------------------------------------------------------------------
+
+struct Fft {
+  int n = 0;
+  std::vector<int> rev;        // bit-reversal permutation
+  std::vector<double> tw_re;   // stage twiddles, packed
+  std::vector<double> tw_im;
+
+  void init(int size) {
+    n = size;
+    rev.assign(n, 0);
+    int log2n = 0;
+    while ((1 << log2n) < n) ++log2n;
+    for (int i = 0; i < n; ++i) {
+      int r = 0;
+      for (int b = 0; b < log2n; ++b)
+        if (i & (1 << b)) r |= 1 << (log2n - 1 - b);
+      rev[i] = r;
+    }
+    tw_re.assign(n / 2, 0.0);
+    tw_im.assign(n / 2, 0.0);
+    for (int k = 0; k < n / 2; ++k) {
+      double a = -2.0 * M_PI * k / n;
+      tw_re[k] = std::cos(a);
+      tw_im[k] = std::sin(a);
+    }
+  }
+
+  // In-place forward transform (sign -1).  For inverse, conjugate in/out.
+  void forward(double* re, double* im) const {
+    for (int i = 0; i < n; ++i) {
+      int j = rev[i];
+      if (j > i) {
+        std::swap(re[i], re[j]);
+        std::swap(im[i], im[j]);
+      }
+    }
+    for (int len = 2; len <= n; len <<= 1) {
+      int half = len >> 1;
+      int step = n / len;
+      for (int i = 0; i < n; i += len) {
+        for (int k = 0; k < half; ++k) {
+          double wr = tw_re[k * step], wi = tw_im[k * step];
+          int a = i + k, b = i + k + half;
+          double xr = re[b] * wr - im[b] * wi;
+          double xi = re[b] * wi + im[b] * wr;
+          re[b] = re[a] - xr;
+          im[b] = im[a] - xi;
+          re[a] += xr;
+          im[a] += xi;
+        }
+      }
+    }
+  }
+
+  void inverse(double* re, double* im) const {
+    for (int i = 0; i < n; ++i) im[i] = -im[i];
+    forward(re, im);
+    double s = 1.0 / n;
+    for (int i = 0; i < n; ++i) {
+      re[i] *= s;
+      im[i] *= -s;
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Host-side config math (mirrors upmix_tpu/config.py, which mirrors the
+// reference's sizing rules).
+// ---------------------------------------------------------------------------
+
+int next_power_of_2(int x) {
+  if (x < 1) return 1;
+  int p = 1;
+  while (p < x) p <<= 1;
+  return p;
+}
+
+// rounding: 0 = python (banker's, no clamp), 1 = cpp (half-away, clamped)
+int freq_to_bin(double f, double sr, int fft_size, int rounding) {
+  if (rounding == 1) {
+    double b = f * fft_size / sr;
+    if (b < 0.0) b = 0.0;
+    double mx = fft_size / 2;
+    if (b > mx) b = mx;
+    return (int)std::floor(b + 0.5);
+  }
+  int old = fegetround();
+  fesetround(FE_TONEAREST);  // round-half-even, like Python round()
+  long v = lrint(f / (sr / (double)fft_size));
+  fesetround(old);
+  return (int)v;
+}
+
+int compute_block_size(double f_low, double sr, int max_block, double thresh) {
+  if (f_low <= 0.0) return max_block;
+  double t = sr * thresh / f_low;
+  int cand = next_power_of_2((int)std::ceil(t));
+  return cand < max_block ? cand : max_block;
+}
+
+std::vector<float> make_blackman_harris(int n) {
+  std::vector<float> w(n);
+  const double a0 = 0.35875, a1 = 0.48829, a2 = 0.14128, a3 = 0.01168;
+  for (int i = 0; i < n; ++i) {
+    double x = 2.0 * M_PI * i / (n - 1);
+    w[i] = (float)(a0 - a1 * std::cos(x) + a2 * std::cos(2 * x) -
+                   a3 * std::cos(3 * x));
+  }
+  return w;
+}
+
+std::vector<float> design_wola_synthesis(const std::vector<float>& aw, int hop) {
+  int L = (int)aw.size();
+  int K = L / hop;  // frames overlapping each sample at this hop
+  std::vector<float> sw(L);
+  for (int n = 0; n < L; ++n) {
+    double denom = kEps;
+    for (int k = 0; k < K; ++k) {
+      float a = aw[(n + k * hop) % L];
+      denom += (double)(a * a);
+    }
+    sw[n] = (float)(aw[n] / denom);
+  }
+  return sw;
+}
+
+// Live-fade raised-cosine / hard-zero gain curve
+// (mirrors upmix_tpu/ops/gains.py; reference center_extraction.py:273-332).
+std::vector<double> band_gain_curve(double f_low, double f_high, double sr,
+                                    int fft_size, int xover_mode,  // 0=rc 1=hz
+                                    double width_low, double width_high,
+                                    int rounding) {
+  int n_bins = fft_size / 2 + 1;
+  int bin_low = freq_to_bin(f_low, sr, fft_size, rounding);
+  int bin_high = freq_to_bin(f_high, sr, fft_size, rounding);
+  if (bin_low > bin_high) std::swap(bin_low, bin_high);
+  std::vector<double> g(n_bins, 1.0);
+
+  if (xover_mode != 0) {  // hard zero
+    for (int i = 0; i < bin_low && i < n_bins; ++i) g[i] = 0.0;
+    for (int i = bin_high + 1; i < n_bins; ++i) g[i] = 0.0;
+    return g;
+  }
+
+  if (bin_low < 0) bin_low = 0;
+  if (bin_high > n_bins - 1) bin_high = n_bins - 1;
+  if (bin_low > bin_high) {
+    std::fill(g.begin(), g.end(), 0.0);
+    return g;
+  }
+  int fade_lo = freq_to_bin(width_low, sr, fft_size, rounding);
+  int fade_hi = freq_to_bin(width_high, sr, fft_size, rounding);
+
+  if (f_low > 0.0) {
+    int start = bin_low - fade_lo;
+    if (start < 0) start = 0;
+    for (int i = 0; i < start; ++i) g[i] = 0.0;
+    int len = bin_low - start;
+    for (int i = 0; i < len; ++i) {
+      double x = (i + 0.5) / len;
+      g[start + i] = 0.5 * (1.0 - std::cos(M_PI * x));
+    }
+  }
+  if (f_high < sr * 0.5) {
+    int start = bin_high + 1;
+    int end = start + fade_hi;
+    if (end > n_bins) end = n_bins;
+    if (start < n_bins) {
+      int len = end - start;
+      for (int i = 0; i < len; ++i) {
+        double x = (i + 0.5) / len;
+        g[start + i] = 0.5 * (1.0 + std::cos(M_PI * x));
+      }
+      for (int i = end; i < n_bins; ++i) g[i] = 0.0;
+    }
+  }
+  return g;
+}
+
+// ---------------------------------------------------------------------------
+// Engine
+// ---------------------------------------------------------------------------
+
+struct Band {
+  int block = 0, hop = 0, passes = 0;
+  std::vector<float> aw, sw;
+  std::vector<double> gain;        // [block/2 + 1]
+  std::vector<float> accum;        // OLA accumulators [3][block] flattened
+  Fft* fft = nullptr;              // shared per block size
+
+  float* acc(int ch) { return accum.data() + (size_t)ch * block; }
+};
+
+struct Engine {
+  double sr = 0;
+  int hw = 0;            // hardware block size
+  int hist_len = 0;      // 4 * hw
+  int64_t t = 0;         // hardware blocks received
+  std::vector<float> histL, histR;  // shared input history, newest at tail
+  std::vector<Band> bands;
+  std::vector<Fft> ffts;            // one per distinct block size
+  // scratch (largest block)
+  std::vector<double> zre, zim, wre, wim;
+
+  // spectra scratch per pass: L/R/C/Ls/Rs half-spectra
+  std::vector<double> sLre, sLim, sRre, sRim, sCre, sCim, sSre, sSim,
+      sTre, sTim;
+
+  void alloc_scratch(int maxb) {
+    zre.resize(maxb); zim.resize(maxb); wre.resize(maxb); wim.resize(maxb);
+    int nb = maxb / 2 + 1;
+    sLre.resize(nb); sLim.resize(nb); sRre.resize(nb); sRim.resize(nb);
+    sCre.resize(nb); sCim.resize(nb); sSre.resize(nb); sSim.resize(nb);
+    sTre.resize(nb); sTim.resize(nb);
+  }
+};
+
+// One pass of one band: read history window at offset, produce hop samples
+// of (C, Ls, Rs) into out[3][hop] (float32, matching oracle numerics).
+void band_pass(Engine& e, Band& b, int offset, float* outC, float* outLs,
+               float* outRs) {
+  int B = b.block, H = b.hop, NB = B / 2 + 1;
+
+  // Packed forward FFT: z = wL + i*wR.
+  for (int i = 0; i < B; ++i) {
+    float l = e.histL[offset + i] * b.aw[i];
+    float r = e.histR[offset + i] * b.aw[i];
+    e.zre[i] = (double)l;
+    e.zim[i] = (double)r;
+  }
+  b.fft->forward(e.zre.data(), e.zim.data());
+  // Unpack: L[k] = (Z[k] + conj(Z[N-k]))/2; R[k] = (Z[k] - conj(Z[N-k]))/2i
+  for (int k = 0; k < NB; ++k) {
+    int kc = (B - k) & (B - 1);
+    double ar = e.zre[k], ai = e.zim[k];
+    double br = e.zre[kc], bi = -e.zim[kc];
+    double lre = 0.5 * (ar + br), lim = 0.5 * (ai + bi);
+    double rre = 0.5 * (ai - bi), rim = -0.5 * (ar - br);
+    double g = b.gain[k];
+    e.sLre[k] = lre * g; e.sLim[k] = lim * g;
+    e.sRre[k] = rre * g; e.sRim[k] = rim * g;
+  }
+
+  // Center-extraction mask (reference math, double precision like the
+  // oracle's float64 spectra).
+  for (int k = 0; k < NB; ++k) {
+    double lre = e.sLre[k], lim = e.sLim[k];
+    double rre = e.sRre[k], rim = e.sRim[k];
+    double magl = std::sqrt(lre * lre + lim * lim);
+    double magr = std::sqrt(rre * rre + rim * rim);
+    double cross = magl * magr;  // |L * conj(R)| == |L||R|
+    double coh = cross / (cross + kEps);
+    double bal = (magl - magr) / (magl + magr + kEps);
+    double f = 0.5 * coh * (1.0 - std::fabs(bal));
+    double cre = f * (lre + rre), cim = f * (lim + rim);
+    e.sCre[k] = cre; e.sCim[k] = cim;
+    e.sSre[k] = lre - cre; e.sSim[k] = lim - cim;   // Ls
+    e.sTre[k] = rre - cre; e.sTim[k] = rim - cim;   // Rs
+  }
+
+  // Packed inverse 1: c + i*ls from full spectra via conjugate symmetry.
+  for (int k = 0; k < B; ++k) {
+    double cr, ci, lr, li;
+    if (k < NB) { cr = e.sCre[k]; ci = e.sCim[k]; lr = e.sSre[k]; li = e.sSim[k]; }
+    else { int kc = B - k; cr = e.sCre[kc]; ci = -e.sCim[kc]; lr = e.sSre[kc]; li = -e.sSim[kc]; }
+    e.zre[k] = cr - li;
+    e.zim[k] = ci + lr;
+  }
+  b.fft->inverse(e.zre.data(), e.zim.data());
+  // Inverse 2: rs (imag input zero by symmetry packing with nothing).
+  for (int k = 0; k < B; ++k) {
+    if (k < NB) { e.wre[k] = e.sTre[k]; e.wim[k] = e.sTim[k]; }
+    else { int kc = B - k; e.wre[k] = e.sTre[kc]; e.wim[k] = -e.sTim[kc]; }
+  }
+  b.fft->inverse(e.wre.data(), e.wim.data());
+
+  // OLA accumulate (float32, synthesis-windowed — oracle casts the irfft
+  // to float32 BEFORE the window multiply, reference ce.py:124-137).
+  float* aC = b.acc(0); float* aL = b.acc(1); float* aR = b.acc(2);
+  for (int i = 0; i < B; ++i) {
+    float sw = b.sw[i];
+    aC[i] += (float)e.zre[i] * sw;
+    aL[i] += (float)e.zim[i] * sw;
+    aR[i] += (float)e.wre[i] * sw;
+  }
+  // Emit + shift.
+  std::memcpy(outC, aC, sizeof(float) * H);
+  std::memcpy(outLs, aL, sizeof(float) * H);
+  std::memcpy(outRs, aR, sizeof(float) * H);
+  std::memmove(aC, aC + H, sizeof(float) * (B - H));
+  std::memmove(aL, aL + H, sizeof(float) * (B - H));
+  std::memmove(aR, aR + H, sizeof(float) * (B - H));
+  std::memset(aC + B - H, 0, sizeof(float) * H);
+  std::memset(aL + B - H, 0, sizeof(float) * H);
+  std::memset(aR + B - H, 0, sizeof(float) * H);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// xover_mode: 0 = raised_cosine (live-fade), 1 = hard_zero
+// synthesis:  0 = wola, 1 = analysis (C++-reference parity)
+// rounding:   0 = python, 1 = cpp
+void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
+                   int xover_mode, int synthesis, int rounding,
+                   double threshold_multi, double xo_fraction) {
+  if (sr <= 0 || hw_block < 4 || n_edges < 1) return nullptr;
+  std::vector<double> e(edges, edges + n_edges);
+  if (e.back() < sr / 2.0) e.push_back(sr / 2.0);
+  if (e.size() < 2) return nullptr;
+
+  Engine* eng = new (std::nothrow) Engine();
+  if (!eng) return nullptr;
+  eng->sr = sr;
+  eng->hw = hw_block;
+  eng->hist_len = kWarmupBlocks * hw_block;
+  eng->histL.assign(eng->hist_len, 0.0f);
+  eng->histR.assign(eng->hist_len, 0.0f);
+
+  int max_block = hw_block * kWarmupBlocks;
+  double prev_width = 0.0;
+  int maxb = 0;
+  for (size_t i = 0; i + 1 < e.size(); ++i) {
+    Band b;
+    b.block = compute_block_size(e[i], sr, max_block, threshold_multi);
+    b.hop = b.block / 4;  // fixed 75% overlap in the streaming engine
+    if (b.hop < 1 || hw_block % b.hop != 0) { delete eng; return nullptr; }
+    b.passes = hw_block / b.hop;
+    b.aw = make_blackman_harris(b.block);
+    b.sw = synthesis == 0 ? design_wola_synthesis(b.aw, b.hop) : b.aw;
+    double w_hi = e[i + 1] * xo_fraction;
+    b.gain = band_gain_curve(e[i], e[i + 1], sr, b.block, xover_mode,
+                             prev_width, w_hi, rounding);
+    prev_width = w_hi;
+    b.accum.assign((size_t)3 * b.block, 0.0f);
+    if (b.block > maxb) maxb = b.block;
+    eng->bands.push_back(std::move(b));
+  }
+  // Shared FFT plans per distinct block size.
+  eng->ffts.reserve(eng->bands.size());
+  for (auto& b : eng->bands) {
+    Fft* found = nullptr;
+    for (auto& f : eng->ffts)
+      if (f.n == b.block) { found = &f; break; }
+    if (!found) {
+      eng->ffts.emplace_back();
+      eng->ffts.back().init(b.block);
+      found = &eng->ffts.back();
+    }
+  }
+  // (Re-resolve pointers after vector growth is done.)
+  for (auto& b : eng->bands)
+    for (auto& f : eng->ffts)
+      if (f.n == b.block) { b.fft = &f; break; }
+  eng->alloc_scratch(maxb);
+  return eng;
+}
+
+void upmix_destroy(void* h) { delete static_cast<Engine*>(h); }
+
+int upmix_num_bands(void* h) {
+  return (int)static_cast<Engine*>(h)->bands.size();
+}
+
+int upmix_band_block_size(void* h, int i) {
+  Engine* e = static_cast<Engine*>(h);
+  if (i < 0 || i >= (int)e->bands.size()) return 0;
+  return e->bands[i].block;
+}
+
+int upmix_latency_blocks(void*) { return kWarmupBlocks; }
+
+// Process ONE hardware block: inL/inR length hw -> outC/outLs/outRs length
+// hw.  Returns 1 if real output was produced, 0 during warmup (outputs are
+// zero-filled — the reference's "not ready -> silence" degraded mode).
+int upmix_process_block(void* h, const float* inL, const float* inR,
+                        float* outC, float* outLs, float* outRs) {
+  Engine& e = *static_cast<Engine*>(h);
+  int hw = e.hw, hl = e.hist_len;
+  // Slide history left by hw, append the new block.
+  std::memmove(e.histL.data(), e.histL.data() + hw, sizeof(float) * (hl - hw));
+  std::memmove(e.histR.data(), e.histR.data() + hw, sizeof(float) * (hl - hw));
+  std::memcpy(e.histL.data() + hl - hw, inL, sizeof(float) * hw);
+  std::memcpy(e.histR.data() + hl - hw, inR, sizeof(float) * hw);
+  e.t += 1;
+
+  std::memset(outC, 0, sizeof(float) * hw);
+  std::memset(outLs, 0, sizeof(float) * hw);
+  std::memset(outRs, 0, sizeof(float) * hw);
+  if (e.t < kWarmupBlocks) return 0;
+
+  std::vector<float> c(hw), ls(hw), rs(hw);
+  for (auto& b : e.bands) {
+    for (int p = 0; p < b.passes; ++p) {
+      band_pass(e, b, p * b.hop, c.data() + p * b.hop, ls.data() + p * b.hop,
+                rs.data() + p * b.hop);
+    }
+    for (int i = 0; i < hw; ++i) {
+      outC[i] += c[i];
+      outLs[i] += ls[i];
+      outRs[i] += rs[i];
+    }
+  }
+  return 1;
+}
+
+// Convenience: stereo_sum streaming over n samples (n must be a multiple
+// of the hw block).  out = side + 0.5 * center (reference Bela mix).
+int upmix_process_stereo_sum(void* h, const float* inL, const float* inR,
+                             int n, float* outL, float* outR) {
+  Engine& e = *static_cast<Engine*>(h);
+  if (n % e.hw != 0) return -1;
+  std::vector<float> c(e.hw), ls(e.hw), rs(e.hw);
+  for (int s = 0; s < n; s += e.hw) {
+    upmix_process_block(h, inL + s, inR + s, c.data(), ls.data(), rs.data());
+    for (int i = 0; i < e.hw; ++i) {
+      outL[s + i] = ls[i] + 0.5f * c[i];
+      outR[s + i] = rs[i] + 0.5f * c[i];
+    }
+  }
+  return 0;
+}
+
+void upmix_reset(void* h) {
+  Engine& e = *static_cast<Engine*>(h);
+  std::fill(e.histL.begin(), e.histL.end(), 0.0f);
+  std::fill(e.histR.begin(), e.histR.end(), 0.0f);
+  e.t = 0;
+  for (auto& b : e.bands) std::fill(b.accum.begin(), b.accum.end(), 0.0f);
+}
+
+}  // extern "C"

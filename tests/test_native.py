@@ -1,0 +1,127 @@
+"""Native C++ streaming host shell: parity vs the NumPy oracle and the JAX
+streaming engine (the "real-time without a real Bela" test — SURVEY.md §4).
+
+Skipped when native/libupmix_host.so hasn't been built (`make -C native`).
+"""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from upmix_tpu.config import UpmixConfig
+from upmix_tpu.oracle.reference import oracle_stream_multiband
+
+from helpers import make_stereo, snr_db
+
+native = pytest.importorskip("upmix_tpu.native")
+
+if not native.is_available():
+    import os
+
+    # Build on demand so a fresh checkout can still run the suite.
+    mk = subprocess.run(
+        ["make", "-C", os.path.join(os.path.dirname(__file__), "..", "native")],
+        capture_output=True,
+    )
+    if not native.is_available():  # pragma: no cover
+        pytest.skip(
+            f"native lib unavailable: {mk.stderr.decode()[-200:]}",
+            allow_module_level=True,
+        )
+
+HW = 256
+EDGES = [0.0, 400.0, 1600.0]
+SR = 8000.0
+
+
+def test_native_parity_vs_oracle_cpp_mode():
+    cfg = UpmixConfig.streaming(EDGES, sr=SR, hw_block_size=HW)  # analysis+cpp
+    eng = native.NativeStreamingUpmixer(
+        EDGES, sr=SR, hw_block_size=HW, synthesis="analysis", bin_rounding="cpp"
+    )
+    L, R = make_stereo(16 * HW, SR, seed=0)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref_l, ref_r = oracle_stream_multiband(L32, R32, cfg, HW)
+    got_l, got_r = eng.process_signal(L32, R32, mix="stereo_sum")
+    assert snr_db(ref_l, got_l) > 60.0
+    assert snr_db(ref_r, got_r) > 60.0
+
+
+def test_native_parity_vs_oracle_wola_mode():
+    cfg = UpmixConfig.streaming(
+        EDGES, sr=SR, hw_block_size=HW, synthesis="wola", bin_rounding="python"
+    )
+    eng = native.NativeStreamingUpmixer(
+        EDGES, sr=SR, hw_block_size=HW, synthesis="wola", bin_rounding="python"
+    )
+    L, R = make_stereo(16 * HW, SR, seed=1)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref_l, ref_r = oracle_stream_multiband(L32, R32, cfg, HW)
+    got_l, got_r = eng.process_signal(L32, R32, mix="stereo_sum")
+    assert snr_db(ref_l, got_l) > 60.0
+    assert snr_db(ref_r, got_r) > 60.0
+
+
+def test_native_vs_jax_streaming():
+    # Cross-implementation agreement: C++ shell vs the JAX scan engine.
+    from upmix_tpu.models.streaming import StreamingUpmixer
+
+    cfg = UpmixConfig.streaming(EDGES, sr=SR, hw_block_size=HW)
+    s = StreamingUpmixer(cfg, HW)
+    eng = native.NativeStreamingUpmixer(
+        EDGES, sr=SR, hw_block_size=HW, synthesis="analysis", bin_rounding="cpp"
+    )
+    L, R = make_stereo(12 * HW, SR, seed=2)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    jc, jls, jrs = s.process_signal(L32, R32, mix="lcr")
+    nc, nls, nrs = eng.process_signal(L32, R32, mix="lcr")
+    assert snr_db(np.asarray(jc), nc) > 60.0
+    assert snr_db(np.asarray(jls), nls) > 60.0
+    assert snr_db(np.asarray(jrs), nrs) > 60.0
+
+
+def test_native_hard_zero_mode():
+    cfg = UpmixConfig.streaming(
+        EDGES, sr=SR, hw_block_size=HW, xover_mode="hard_zero"
+    )
+    eng = native.NativeStreamingUpmixer(
+        EDGES,
+        sr=SR,
+        hw_block_size=HW,
+        xover_mode="hard_zero",
+        synthesis="analysis",
+        bin_rounding="cpp",
+    )
+    L, R = make_stereo(12 * HW, SR, seed=3)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref_l, ref_r = oracle_stream_multiband(L32, R32, cfg, HW)
+    got_l, got_r = eng.process_signal(L32, R32, mix="stereo_sum")
+    assert snr_db(ref_l, got_l) > 60.0
+    assert snr_db(ref_r, got_r) > 60.0
+
+
+def test_native_warmup_and_reset():
+    eng = native.NativeStreamingUpmixer(EDGES, sr=SR, hw_block_size=HW)
+    assert eng.latency_blocks == 4
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(HW).astype(np.float32)
+    for k in range(3):
+        c, ls, rs = eng.push_block(x, x)
+        assert np.all(c == 0.0), f"block {k} should be warmup silence"
+    c, ls, rs = eng.push_block(x, x)
+    assert np.abs(c).max() > 0.0
+    eng.reset()
+    c, ls, rs = eng.push_block(x, x)
+    assert np.all(c == 0.0)  # warmup restarts after reset
+
+
+def test_native_block_sizing_matches_config():
+    eng = native.NativeStreamingUpmixer(EDGES, sr=SR, hw_block_size=HW)
+    cfg = UpmixConfig.streaming(EDGES, sr=SR, hw_block_size=HW)
+    assert eng.block_sizes == [b.block_size for b in cfg.bands]
+
+
+def test_native_invalid_config_raises():
+    with pytest.raises(ValueError):
+        native.NativeStreamingUpmixer(EDGES, sr=SR, hw_block_size=3)

@@ -1,0 +1,177 @@
+"""ctypes loader and Python wrapper for the native streaming engine."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "libupmix_host.so",
+)
+
+_XOVER_MODES = {"raised_cosine": 0, "hard_zero": 1}
+_SYNTHESIS = {"wola": 0, "analysis": 1}
+_ROUNDING = {"python": 0, "cpp": 1}
+
+_f32p = ctypes.POINTER(ctypes.c_float)
+
+
+def library_path() -> str:
+    return _LIB_PATH
+
+
+def is_available() -> bool:
+    try:
+        return _load() is not None
+    except OSError:
+        return False
+
+
+def _load():
+    global _LIB
+    if _LIB is None:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.upmix_create.restype = ctypes.c_void_p
+        lib.upmix_create.argtypes = [
+            ctypes.c_double,  # sr
+            ctypes.c_int,  # hw_block
+            ctypes.POINTER(ctypes.c_double),  # edges
+            ctypes.c_int,  # n_edges
+            ctypes.c_int,  # xover_mode
+            ctypes.c_int,  # synthesis
+            ctypes.c_int,  # rounding
+            ctypes.c_double,  # threshold_multi
+            ctypes.c_double,  # xo_fraction
+        ]
+        lib.upmix_destroy.argtypes = [ctypes.c_void_p]
+        lib.upmix_num_bands.restype = ctypes.c_int
+        lib.upmix_num_bands.argtypes = [ctypes.c_void_p]
+        lib.upmix_band_block_size.restype = ctypes.c_int
+        lib.upmix_band_block_size.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.upmix_latency_blocks.restype = ctypes.c_int
+        lib.upmix_latency_blocks.argtypes = [ctypes.c_void_p]
+        lib.upmix_process_block.restype = ctypes.c_int
+        lib.upmix_process_block.argtypes = [ctypes.c_void_p] + [_f32p] * 5
+        lib.upmix_process_stereo_sum.restype = ctypes.c_int
+        lib.upmix_process_stereo_sum.argtypes = (
+            [ctypes.c_void_p, _f32p, _f32p, ctypes.c_int, _f32p, _f32p]
+        )
+        lib.upmix_reset.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    return _LIB
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(_f32p)
+
+
+class NativeStreamingUpmixer:
+    """C++ streaming engine with the same surface as StreamingUpmixer.
+
+    band_edges are raw Hz edges (Nyquist appended automatically, as in
+    chain_bands); the engine is fixed 75% overlap with block sizes capped
+    at hw_block*4 (streaming semantics).
+    """
+
+    def __init__(
+        self,
+        band_edges,
+        sr: float,
+        hw_block_size: int,
+        xover_mode: str = "raised_cosine",
+        synthesis: str = "wola",
+        bin_rounding: str = "python",
+        threshold_factor: float = 32.0,
+        xo_fraction: float = 0.25,
+    ):
+        lib = _load()
+        edges = np.asarray(list(band_edges), dtype=np.float64)
+        self._lib = lib
+        self.hw_block_size = int(hw_block_size)
+        self.sr = float(sr)
+        self._h = lib.upmix_create(
+            ctypes.c_double(self.sr),
+            self.hw_block_size,
+            edges.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(edges),
+            _XOVER_MODES[xover_mode],
+            _SYNTHESIS[synthesis],
+            _ROUNDING[bin_rounding],
+            ctypes.c_double(threshold_factor),
+            ctypes.c_double(xo_fraction),
+        )
+        if not self._h:
+            raise ValueError(
+                "upmix_create failed (bad sr/hw_block/edges combination)"
+            )
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.upmix_destroy(h)
+            self._h = None
+
+    @property
+    def num_bands(self) -> int:
+        return self._lib.upmix_num_bands(self._h)
+
+    @property
+    def block_sizes(self):
+        return [
+            self._lib.upmix_band_block_size(self._h, i)
+            for i in range(self.num_bands)
+        ]
+
+    @property
+    def latency_blocks(self) -> int:
+        return self._lib.upmix_latency_blocks(self._h)
+
+    def reset(self):
+        self._lib.upmix_reset(self._h)
+
+    def push_block(self, in_l, in_r):
+        """One hardware block in → (C, Ls, Rs) out, each [hw]."""
+        hw = self.hw_block_size
+        in_l = np.ascontiguousarray(in_l, dtype=np.float32)
+        in_r = np.ascontiguousarray(in_r, dtype=np.float32)
+        if in_l.shape != (hw,) or in_r.shape != (hw,):
+            raise ValueError(f"blocks must be shape ({hw},)")
+        c = np.empty(hw, np.float32)
+        ls = np.empty(hw, np.float32)
+        rs = np.empty(hw, np.float32)
+        self._lib.upmix_process_block(
+            self._h, _ptr(in_l), _ptr(in_r), _ptr(c), _ptr(ls), _ptr(rs)
+        )
+        return c, ls, rs
+
+    def process_signal(self, L, R, mix: str = "lcr"):
+        """Whole-signal streaming (truncates to whole hw blocks)."""
+        hw = self.hw_block_size
+        n = (len(L) // hw) * hw
+        L = np.ascontiguousarray(L[:n], dtype=np.float32)
+        R = np.ascontiguousarray(R[:n], dtype=np.float32)
+        if mix == "stereo_sum":
+            out_l = np.empty(n, np.float32)
+            out_r = np.empty(n, np.float32)
+            rc = self._lib.upmix_process_stereo_sum(
+                self._h, _ptr(L), _ptr(R), n, _ptr(out_l), _ptr(out_r)
+            )
+            if rc != 0:
+                raise RuntimeError("upmix_process_stereo_sum failed")
+            return out_l, out_r
+        if mix != "lcr":
+            raise ValueError(f"unknown mix {mix!r}; one of ('lcr', 'stereo_sum')")
+        C = np.empty(n, np.float32)
+        Ls = np.empty(n, np.float32)
+        Rs = np.empty(n, np.float32)
+        for s in range(0, n, hw):
+            c, ls, rs = self.push_block(L[s : s + hw], R[s : s + hw])
+            C[s : s + hw] = c
+            Ls[s : s + hw] = ls
+            Rs[s : s + hw] = rs
+        return C, Ls, Rs
