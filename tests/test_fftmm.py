@@ -1,0 +1,175 @@
+"""Matmul-FFT kernel tests: transform correctness vs numpy in the permuted
+layout, layout helpers, and full-pipeline parity of the "mm" kernel vs the
+NumPy oracle (forced on CPU, where "auto" would pick "xla")."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from upmix_tpu.config import UpmixConfig
+from upmix_tpu.models.offline import resolve_kernel, upmix_offline
+from upmix_tpu.oracle import oracle_multiband
+from upmix_tpu.ops.fftmm import (
+    bin_of,
+    conj_mirror,
+    fft_mm,
+    half_to_full,
+    ifft_mm,
+    irfft_mm,
+    make_plan,
+    pair_irfft_mm,
+    permute_bins,
+    stereo_rfft_mm,
+)
+
+from helpers import make_stereo, snr_db
+
+
+@pytest.mark.parametrize("n", [16, 256, 1024, 4096])
+def test_fft_mm_matches_numpy(n):
+    plan = make_plan(n)
+    assert plan.n1 * plan.n2 == n
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))).astype(
+        np.complex64
+    )
+    Z = np.asarray(fft_mm(jnp.asarray(x), plan))
+    ref = np.fft.fft(x)
+    k1 = np.arange(plan.n1)[:, None]
+    k2 = np.arange(plan.n2)[None, :]
+    refp = ref[:, bin_of(plan, k1, k2)]
+    assert np.abs(Z - refp).max() / np.abs(ref).max() < 1e-5
+    y = np.asarray(ifft_mm(jnp.asarray(Z), plan))
+    assert np.abs(y - x).max() / np.abs(x).max() < 1e-5
+
+
+@pytest.mark.parametrize("n", [256, 1024])
+def test_stereo_pack_unpack(n):
+    plan = make_plan(n)
+    rng = np.random.default_rng(1)
+    l = rng.standard_normal((2, n)).astype(np.float32)
+    r = rng.standard_normal((2, n)).astype(np.float32)
+    sl, sr = stereo_rfft_mm(jnp.asarray(l), jnp.asarray(r), plan)
+    k1 = np.arange(plan.n1)[:, None]
+    k2 = np.arange(plan.n2)[None, :]
+    idx = bin_of(plan, k1, k2)
+    assert np.abs(np.asarray(sl) - np.fft.fft(l)[:, idx]).max() < 1e-3
+    assert np.abs(np.asarray(sr) - np.fft.fft(r)[:, idx]).max() < 1e-3
+    y0, y1 = pair_irfft_mm(sl, sr, plan)
+    assert np.abs(np.asarray(y0) - l).max() < 1e-5
+    assert np.abs(np.asarray(y1) - r).max() < 1e-5
+    y2 = irfft_mm(sl, plan)
+    assert np.abs(np.asarray(y2) - l).max() < 1e-5
+
+
+def test_conj_mirror_is_negation_map():
+    plan = make_plan(64)
+    z = np.arange(64, dtype=np.complex64).reshape(plan.n1, plan.n2)
+    # entry (k1,k2) holds bin value k1 + n1*k2 — mirror must hold (-k)%n
+    m = np.asarray(conj_mirror(jnp.asarray(z)))
+    k1 = np.arange(plan.n1)[:, None]
+    k2 = np.arange(plan.n2)[None, :]
+    k = bin_of(plan, k1, k2)
+    flat = np.zeros(64, dtype=np.complex64)
+    flat[k.reshape(-1)] = z.reshape(-1)
+    expect = flat[(-k) % 64]
+    np.testing.assert_allclose(m, expect)
+
+
+def test_permute_and_half_to_full():
+    plan = make_plan(16)
+    half = np.arange(9, dtype=np.float32)
+    full = half_to_full(half, 16)
+    assert full[0] == 0 and full[8] == 8
+    np.testing.assert_array_equal(full[9:], half[1:8][::-1])
+    perm = permute_bins(plan, full)
+    k1 = np.arange(plan.n1)[:, None]
+    k2 = np.arange(plan.n2)[None, :]
+    np.testing.assert_array_equal(perm, full[bin_of(plan, k1, k2)])
+
+
+def test_non_power_of_two_rejected():
+    with pytest.raises(ValueError):
+        make_plan(48)
+
+
+def test_resolve_kernel():
+    assert resolve_kernel("mm") == "mm"
+    assert resolve_kernel("xla") == "xla"
+    assert resolve_kernel("auto") in ("mm", "xla")
+    with pytest.raises(ValueError):
+        resolve_kernel("cuda")
+
+
+def test_mm_pipeline_parity_vs_oracle():
+    cfg = UpmixConfig.make([0.0, 400.0, 1600.0], sr=8000.0, max_block_size=512)
+    L, R = make_stereo(5000, cfg.sr, seed=0)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    got = upmix_offline(L32, R32, cfg, kernel="mm")
+    for name, r, g in zip("C Ls Rs".split(), ref, got):
+        s = snr_db(r, g)
+        assert s > 60.0, f"{name}: {s:.1f} dB"
+
+
+def test_mm_matches_xla_kernel():
+    cfg = UpmixConfig.make([0.0, 400.0], sr=8000.0, max_block_size=256)
+    L, R = make_stereo(3000, cfg.sr, seed=1)
+    a = upmix_offline(L.astype(np.float32), R.astype(np.float32), cfg, kernel="xla")
+    b = upmix_offline(L.astype(np.float32), R.astype(np.float32), cfg, kernel="mm")
+    for x, y in zip(a, b):
+        assert snr_db(x, y) > 80.0
+
+
+def test_banded_plan_and_transforms():
+    from upmix_tpu.ops.fftmm import (
+        conj_mirror_banded,
+        fft_banded,
+        ifft_banded,
+        make_banded_plan,
+        pair_irfft_banded,
+        permute_bins_banded,
+        stereo_rfft_banded,
+    )
+
+    n = 1024
+    bp = make_banded_plan(n, 10, 80)  # narrow support -> few columns
+    assert bp.n_cols < bp.base.n2
+    # support columns (bins 10..80 and their conjugate mirrors) are kept
+    support_cols = {b // bp.base.n1 for b in range(10, 81)}
+    support_cols |= {((-b) % n) // bp.base.n1 for b in range(10, 81)}
+    assert support_cols <= set(bp.cols)
+
+    rng = np.random.default_rng(2)
+    l = rng.standard_normal((3, n)).astype(np.float32)
+    r = rng.standard_normal((3, n)).astype(np.float32)
+    sl, sr = stereo_rfft_banded(jnp.asarray(l), jnp.asarray(r), bp)
+    # banded forward must agree with numpy on the SUPPORT columns (the
+    # mirror-only columns are contractually garbage — see make_banded_plan)
+    ref = np.fft.fft(l)
+    k1 = np.arange(bp.base.n1)[:, None]
+    sup_idx = [i for i, c in enumerate(bp.cols) if c in support_cols]
+    k2s = np.asarray([bp.cols[i] for i in sup_idx])[None, :]
+    refb = ref[:, k1 + bp.base.n1 * k2s]
+    assert (
+        np.abs(np.asarray(sl)[..., sup_idx] - refb).max() / np.abs(ref).max() < 1e-5
+    )
+
+    # gain -> inverse round-trip: zero outside support, compare vs numpy
+    g_half = np.zeros(n // 2 + 1, np.float32)
+    g_half[10:81] = 1.0
+    g_full = half_to_full(g_half, n)
+    gp = jnp.asarray(permute_bins_banded(bp, g_full))
+    y0, y1 = pair_irfft_banded(sl * gp, sr * gp, bp)
+    ref_y0 = np.fft.irfft(np.fft.rfft(l) * g_half, n=n)
+    ref_y1 = np.fft.irfft(np.fft.rfft(r) * g_half, n=n)
+    assert np.abs(np.asarray(y0) - ref_y0).max() < 1e-5
+    assert np.abs(np.asarray(y1) - ref_y1).max() < 1e-5
+
+
+def test_banded_full_support_degenerates_to_full():
+    from upmix_tpu.ops.fftmm import make_banded_plan
+
+    bp = make_banded_plan(256, 0, 128)
+    assert bp.is_full

@@ -5,24 +5,37 @@ TPU-first re-design of the reference's offline path
 running sequential hop loops, the entire job is ONE jitted program:
 
   - Bands are bucketed by block size (config.bucket_bands); each bucket's
-    frames are extracted once, windowed, and rFFT'd as a single batched
+    frames are extracted once, windowed, and FFT'd as a single batched
     transform shared by all bands in the bucket.
   - Per-band band-limit gains and the center-extraction mask are fused
     elementwise math batched over the bucket's band axis; the band sum is
     taken IN THE SPECTRAL DOMAIN (linearity of the iSTFT), so each bucket
-    needs only 2 forward + 3 inverse FFTs regardless of band count —
-    versus 2+3 per band per hop in the reference.
-  - Overlap-add is a static pad-sum fold (ops.framing.overlap_add); the
-    reference's accumulator state machine disappears.
+    needs only 1-2 forward + 2-3 inverse transforms regardless of band
+    count — versus 2+3 per band per hop in the reference.
+  - Overlap-add is a static fold; the reference's accumulator state
+    machine disappears.
 
-Numerics: float32 / complex64 throughout (the reference's C++ path is
-float32; the Python path is float64 — parity is by SNR, with ≈140 dB of
-margin in the WOLA round-trip per SURVEY.md §6).
+Two kernel strategies (kernel= argument):
+
+  - "mm" (default on TPU): grouped zero-copy framing + matmul FFT.
+    With hop = block/K, frames j ≡ g (mod K) are non-overlapping and
+    contiguous, so framing is K reshapes (no gather/copy) and the OLA
+    fold is K shifted adds.  Transforms run via ops.fftmm — 2-stage
+    Cooley-Tukey as MXU matmuls in a permuted spectral layout, with both
+    stereo channels packed into one complex transform and (C, Ls) sharing
+    one inverse.  This avoids XLA's log(N)-pass FFT, which makes the
+    pipeline HBM-bound (measured ~5x slower end to end).
+  - "xla": jnp.fft.rfft/irfft with strided framing — the portable
+    reference path (default on CPU, where XLA's FFT is fine and the
+    matmul FLOPs are not).
+
+Numerics: float32 / complex64 throughout; parity vs the float64 NumPy
+oracle is ~130-145 dB SNR either way (the >60 dB bar of BASELINE.md has
+huge margin).
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -30,6 +43,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from upmix_tpu.config import UpmixConfig, bucket_bands
+from upmix_tpu.ops.fftmm import (
+    irfft_real_banded,
+    make_real_banded_plan,
+    permute_half_bins,
+    rfft_real_banded,
+)
 from upmix_tpu.ops.framing import frame_signal, offline_frame_plan, overlap_add
 from upmix_tpu.ops.gains import band_gain_curve
 from upmix_tpu.ops.mask import center_mask
@@ -75,7 +94,7 @@ def _plan_buckets(config: UpmixConfig, n_samples: int):
 
 
 def _bucket_lcr(plan: _BucketPlan, L: jnp.ndarray, R: jnp.ndarray, n_samples: int):
-    """One bucket's (C, Ls, Rs) time-domain contribution, length n_samples.
+    """One bucket's (C, Ls, Rs) contribution via the XLA-FFT path.
 
     L, R: [n] float32.  Shapes are static; everything fuses under jit.
     """
@@ -99,17 +118,87 @@ def _bucket_lcr(plan: _BucketPlan, L: jnp.ndarray, R: jnp.ndarray, n_samples: in
     return folded[:, :n_samples]
 
 
-def build_offline_fn(config: UpmixConfig, n_samples: int):
+def _bucket_lcr_mm(plan: _BucketPlan, L: jnp.ndarray, R: jnp.ndarray, n_samples: int):
+    """One bucket's (C, Ls, Rs) via grouped framing + matmul FFT.
+
+    Requires hop | block (true for every power-of-two overlap).  Frames
+    with index ≡ g (mod K), K = block/hop, start at g*hop and are exactly
+    one block apart — non-overlapping and contiguous, so framing is K
+    reshapes of slices and the OLA fold is K shifted adds.
+    """
+    B, H = plan.block_size, plan.hop_size
+    K = B // H
+    F = plan.num_frames
+    Fp = -(-F // K) * K  # frames padded up to a multiple of K
+    M = Fp // K  # frames per group
+    T = (Fp + K - 1) * H  # grouped-framing signal length (>= total_padded)
+
+    # Banded plan restricted to the bucket's gain support: outside the
+    # bands' passbands+fades every spectral value is zeroed anyway, so the
+    # transform only materializes the k2 columns that carry energy (exact
+    # semantics — the multirate-decimation equivalent).  Real SoA kernel:
+    # separate re/im f32 tensors, half spectrum, real-part-only inverse.
+    nz = np.nonzero(plan.gains.max(axis=0))[0]
+    lo, hi = (int(nz[0]), int(nz[-1])) if len(nz) else (0, 0)
+    fplan = make_real_banded_plan(B, lo, hi)
+
+    x = jnp.stack([L, R])  # [2, n]
+    x = jnp.pad(x, ((0, 0), (0, T - n_samples)))
+    groups = [x[:, g * H : g * H + M * B].reshape(2, M, B) for g in range(K)]
+    fr = jnp.stack(groups, axis=1)  # [2, K, M, B]
+    fr = fr * jnp.asarray(plan.analysis_window)
+
+    sre, sim = rfft_real_banded(fr, fplan)  # [2, K, M, N1, C] each
+
+    # Gains in the banded half-spectrum layout, batched over bands.
+    gains_perm = np.stack(
+        [permute_half_bins(fplan, g) for g in plan.gains]
+    )  # [nb, N1, C]
+    g = jnp.asarray(gains_perm)[None, :, None, None, :, :]  # [1, nb, 1, 1, N1, C]
+    spec = jax.lax.complex(sre[:, None] * g, sim[:, None] * g)  # [2, nb, K, M, N1, C]
+    sc, sls, srs = center_mask(spec[0], spec[1])
+    summed = jnp.stack([sc, sls, srs]).sum(axis=1)  # [3, K, M, N1, C]
+
+    rec = irfft_real_banded(
+        jnp.real(summed), jnp.imag(summed), fplan
+    )  # [3, K, M, B] f32
+    rec = rec * jnp.asarray(plan.synthesis_window)
+
+    # Fold: groups are internally non-overlapping -> flat reshape, then K
+    # statically-shifted adds.
+    flat = rec.reshape(3, K, M * B)
+    acc = None
+    for g_ in range(K):
+        part = jnp.pad(flat[:, g_], ((0, 0), (g_ * H, T - g_ * H - M * B)))
+        acc = part if acc is None else acc + part
+    return acc[:, :n_samples]
+
+
+_KERNELS = ("auto", "mm", "xla")
+
+
+def resolve_kernel(kernel: str) -> str:
+    if kernel not in _KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}; one of {_KERNELS}")
+    if kernel == "auto":
+        # MXU-matmul FFT on accelerators; XLA FFT on CPU hosts.
+        return "xla" if jax.default_backend() == "cpu" else "mm"
+    return kernel
+
+
+def build_offline_fn(config: UpmixConfig, n_samples: int, kernel: str = "auto"):
     """Build the (un-jitted) whole-file processing function for a fixed
     input length.  Returns fn(L, R) -> (C, Ls, Rs), each [n_samples] f32."""
     plans = _plan_buckets(config, n_samples)
+    kern = resolve_kernel(kernel)
+    bucket_fn = _bucket_lcr_mm if kern == "mm" else _bucket_lcr
 
     def fn(L: jnp.ndarray, R: jnp.ndarray):
         L = L.astype(jnp.float32)
         R = R.astype(jnp.float32)
         acc = None
         for plan in plans:
-            contrib = _bucket_lcr(plan, L, R, n_samples)
+            contrib = bucket_fn(plan, L, R, n_samples)
             acc = contrib if acc is None else acc + contrib
         return acc[0], acc[1], acc[2]
 
@@ -124,15 +213,16 @@ class Upmixer:
     lengths up to bound the number of compiled variants.
     """
 
-    def __init__(self, config: UpmixConfig, pad_granularity: int = 1):
+    def __init__(self, config: UpmixConfig, pad_granularity: int = 1, kernel: str = "auto"):
         self.config = config
         self.pad_granularity = max(1, int(pad_granularity))
+        self.kernel = kernel
         self._cache = {}
 
     def _compiled(self, n_padded: int):
         fn = self._cache.get(n_padded)
         if fn is None:
-            fn = jax.jit(build_offline_fn(self.config, n_padded))
+            fn = jax.jit(build_offline_fn(self.config, n_padded, self.kernel))
             self._cache[n_padded] = fn
         return fn
 
@@ -154,6 +244,6 @@ class Upmixer:
         return np.asarray(c), np.asarray(ls), np.asarray(rs)
 
 
-def upmix_offline(L, R, config: UpmixConfig):
+def upmix_offline(L, R, config: UpmixConfig, kernel: str = "auto"):
     """One-shot convenience wrapper (numpy in/out)."""
-    return Upmixer(config).process_np(np.asarray(L), np.asarray(R))
+    return Upmixer(config, kernel=kernel).process_np(np.asarray(L), np.asarray(R))
