@@ -1,0 +1,126 @@
+"""Application-level streaming path and demo entry point."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from upmix_tpu.app import run_streaming
+from upmix_tpu.config import streaming_stft_table
+from upmix_tpu.io import read_wav, write_wav
+
+from helpers import make_stereo
+
+
+@pytest.fixture
+def wav_path(tmp_path):
+    sr = 8000
+    L, R = make_stereo(8 * 256, float(sr), seed=0)
+    p = tmp_path / "in.wav"
+    write_wav(p, np.column_stack([L, R]).astype(np.float32), sr, subtype="FLOAT")
+    return p
+
+
+def test_run_streaming_jax(wav_path, tmp_path):
+    out = run_streaming(
+        wav_path,
+        out_dir=tmp_path / "out",
+        hw_block_size=256,
+        band_edges=[0, 400, 1600],
+    )
+    assert len(out.paths) == 1
+    assert "Stream_hw256" in os.path.basename(out.paths[0])
+    w, sr = read_wav(out.paths[0])
+    assert w.shape == (8 * 256, 2)
+    assert np.abs(w[4 * 256 :]).max() > 0  # post-warmup audio present
+
+
+def test_run_streaming_native_matches_jax(wav_path, tmp_path):
+    native = pytest.importorskip("upmix_tpu.native")
+    if not native.is_available():
+        pytest.skip("native lib not built")
+    a = run_streaming(
+        wav_path, out_dir=tmp_path / "a", hw_block_size=256, band_edges=[0, 400, 1600]
+    )
+    b = run_streaming(
+        wav_path,
+        out_dir=tmp_path / "b",
+        hw_block_size=256,
+        band_edges=[0, 400, 1600],
+        engine="native",
+    )
+    wa, _ = read_wav(a.paths[0])
+    wb, _ = read_wav(b.paths[0])
+    err = np.abs(wa - wb).max()
+    assert err < 1e-3, f"jax/native mismatch {err}"
+
+
+def test_run_streaming_bad_engine(wav_path, tmp_path):
+    with pytest.raises(ValueError):
+        run_streaming(wav_path, out_dir=tmp_path, hw_block_size=256, engine="cuda")
+
+
+def test_streaming_stft_table():
+    table = streaming_stft_table(48000.0, 2048)
+    assert "stft 8192" in table  # low freqs capped at hw*4
+    assert "5120" in table
+
+
+def test_cli_streaming(wav_path, tmp_path):
+    from upmix_tpu.cli import main
+
+    rc = main(
+        [
+            str(wav_path),
+            "--streaming",
+            "--hw-block",
+            "256",
+            "--band-edges",
+            "0,400,1600",
+            "--out-dir",
+            str(tmp_path / "cli_out"),
+            "--meter",
+        ]
+    )
+    assert rc == 0
+    outs = os.listdir(tmp_path / "cli_out")
+    assert len(outs) == 1 and "Stream" in outs[0]
+
+
+def test_cli_upmixer_cache_reuse(tmp_path):
+    # Two same-rate files must share one Upmixer via the cache.
+    from upmix_tpu.app import run_offline
+
+    sr = 8000
+    paths = []
+    for i in range(2):
+        L, R = make_stereo(2000, float(sr), seed=i)
+        p = tmp_path / f"in{i}.wav"
+        write_wav(p, np.column_stack([L, R]).astype(np.float32), sr, subtype="FLOAT")
+        paths.append(p)
+    cache = {}
+    for p in paths:
+        run_offline(
+            p,
+            out_dir=tmp_path / "out",
+            band_edges=[0, 400],
+            max_block_size=256,
+            pad_granularity=4096,
+            upmixer_cache=cache,
+        )
+    assert len(cache) == 1
+    up = cache[sr]
+    assert len(up._cache) == 1  # both lengths padded to one compiled program
+
+
+def test_demo_entry(tmp_path, wav_path):
+    pytest.importorskip("matplotlib")
+    from upmix_tpu.demo import run_demo
+
+    win_png, cmp_png = run_demo(
+        wav_path, out_dir=tmp_path / "demo", band_edges=[0.0, 400.0, 1600.0]
+    )
+    assert os.path.exists(win_png)
+    assert os.path.exists(cmp_png)

@@ -124,6 +124,81 @@ def export_lcr(
     return ExportResult(paths=paths, scale_factor=1.0)
 
 
+def run_streaming(
+    in_path,
+    out_dir="out",
+    hw_block_size: int = 2048,
+    band_edges=(0, 500, 2000, 8000),
+    window: str = "blackman_harris",
+    xover_mode: str = "raised_cosine",
+    threshold_factor: float = 32.0,
+    synthesis: str = "analysis",
+    bin_rounding: str = "cpp",
+    engine: str = "jax",
+    subtype: str = "FLOAT",
+    verbose: bool = False,
+) -> ExportResult:
+    """Streaming (block-based) pipeline: WAV → block engine → 2-channel
+    stereo_sum WAV, simulating the real-time path offline.
+
+    Defaults replicate the C++ reference's shipped configuration: 4 bands
+    at 0/500/2000/8000 Hz, 2048-sample hardware blocks, plain-BH synthesis
+    and hard C++ bin rounding (bela/upmix.cpp:521-528; README.md:65).
+    engine="jax" runs the scan-based TPU engine; engine="native" runs the
+    C++ host shell (requires `make -C native`).
+    """
+    from upmix_tpu.config import UpmixConfig
+
+    L, R, sr, _peak = load_stereo(in_path)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+
+    config = UpmixConfig.streaming(
+        list(band_edges),
+        sr=float(sr),
+        hw_block_size=hw_block_size,
+        window=window,
+        xover_mode=xover_mode,
+        threshold_factor=threshold_factor,
+        synthesis=synthesis,
+        bin_rounding=bin_rounding,
+        verbose=verbose,
+    )
+
+    if engine == "jax":
+        from upmix_tpu.models.streaming import StreamingUpmixer
+
+        s = StreamingUpmixer(config, hw_block_size)
+        out_l, out_r = s.process_signal(L32, R32, mix="stereo_sum")
+        out_l, out_r = np.asarray(out_l), np.asarray(out_r)
+    elif engine == "native":
+        from upmix_tpu.native import NativeStreamingUpmixer
+
+        eng = NativeStreamingUpmixer(
+            list(band_edges),
+            sr=float(sr),
+            hw_block_size=hw_block_size,
+            xover_mode=xover_mode,
+            synthesis=synthesis,
+            bin_rounding=bin_rounding,
+            threshold_factor=threshold_factor,
+        )
+        out_l, out_r = eng.process_signal(L32, R32, mix="stereo_sum")
+    else:
+        raise ValueError(f"unknown engine {engine!r}; one of ('jax', 'native')")
+
+    os.makedirs(out_dir, exist_ok=True)
+    info = band_info_str(config)
+    base = os.path.splitext(os.path.basename(str(in_path)))[0]
+    path = os.path.join(
+        out_dir, f"{base}_Stream_hw{hw_block_size}_{info}.wav"
+    )
+    write_wav(path, np.column_stack([out_l, out_r]), sr, subtype=subtype)
+    log.info(
+        "[Stream:%s] Wrote 2-ch => %s (Left = Ls+C/2, Right = Rs+C/2)", engine, path
+    )
+    return ExportResult(paths=[path], scale_factor=1.0)
+
+
 def run_offline(
     in_path,
     out_dir="out",
@@ -137,17 +212,24 @@ def run_offline(
     synthesis: str = "wola",
     subtype: str = "FLOAT",
     upmixer: Upmixer | None = None,
+    upmixer_cache: dict | None = None,
+    kernel: str = "auto",
+    pad_granularity: int = 1,
     verbose: bool = False,
 ) -> ExportResult:
     """Full offline pipeline: load → upmix → scale → export.
 
     Defaults replicate main.py:29-73 (minus its edit-the-source config).
-    Pass a pre-built `upmixer` to reuse compiled programs across files.
+    Pass a pre-built `upmixer`, or a shared `upmixer_cache` dict (keyed by
+    sample rate internally) to reuse compiled programs across a batch of
+    files.
     """
     if export_mode not in EXPORT_MODES:
         raise ValueError(f"unknown export_mode {export_mode!r}; one of {EXPORT_MODES}")
     L, R, sr, peak_in = load_stereo(in_path)
 
+    if upmixer is None and upmixer_cache is not None:
+        upmixer = upmixer_cache.get(sr)
     if upmixer is None:
         config = UpmixConfig.make(
             list(band_edges),
@@ -160,7 +242,9 @@ def run_offline(
             synthesis=synthesis,
             verbose=verbose,
         )
-        upmixer = Upmixer(config)
+        upmixer = Upmixer(config, pad_granularity=pad_granularity, kernel=kernel)
+        if upmixer_cache is not None:
+            upmixer_cache[sr] = upmixer
     config = upmixer.config
 
     C, Ls, Rs = upmixer.process_np(L.astype(np.float32), R.astype(np.float32))

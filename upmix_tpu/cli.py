@@ -76,6 +76,45 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["FLOAT", "DOUBLE", "PCM_16", "PCM_24", "PCM_32"],
         help="output WAV sample format (default 32-bit float)",
     )
+    p.add_argument(
+        "--kernel",
+        default="auto",
+        choices=["auto", "mm", "xla"],
+        help="transform kernel: mm (MXU matmul FFT, accelerator default) or "
+        "xla (jnp.fft, CPU default)",
+    )
+    p.add_argument(
+        "--pad-granularity",
+        type=int,
+        default=1,
+        help="round input lengths up to a multiple of this to share compiled "
+        "programs across a batch of files (default 1 = exact lengths)",
+    )
+    p.add_argument(
+        "--streaming",
+        action="store_true",
+        help="run the block-based streaming engine instead of the offline "
+        "pipeline (2-channel stereo_sum output, C++-reference defaults)",
+    )
+    p.add_argument(
+        "--hw-block",
+        type=int,
+        default=2048,
+        help="streaming hardware block size in samples (default 2048, the "
+        "reference Bela config)",
+    )
+    p.add_argument(
+        "--engine",
+        default="jax",
+        choices=["jax", "native"],
+        help="streaming engine: jax (scan-based, TPU) or native (C++ host "
+        "shell; requires `make -C native`)",
+    )
+    p.add_argument(
+        "--meter",
+        action="store_true",
+        help="print the realtime factor (audio-sec per wall-sec) after each file",
+    )
     p.add_argument("--verbose", action="store_true", help="print per-band config table")
     return p
 
@@ -96,7 +135,35 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     edges = parse_edges(args.band_edges)
 
+    import time
+
+    if args.streaming:
+        from upmix_tpu.app import run_streaming
+
+        for path in args.inputs:
+            t0 = time.perf_counter()
+            result = run_streaming(
+                path,
+                out_dir=args.out_dir,
+                hw_block_size=args.hw_block,
+                band_edges=edges,
+                window=args.window,
+                xover_mode=args.xover_mode,
+                threshold_factor=args.threshold_factor,
+                engine=args.engine,
+                subtype=args.subtype,
+                verbose=args.verbose,
+            )
+            _report(args, path, t0)
+            for out in result.paths:
+                print(out)
+        return 0
+
+    # Offline: share one compiled Upmixer per sample rate across the batch
+    # (with --pad-granularity, files of similar length share programs too).
+    upmixer_cache = {}
     for path in args.inputs:
+        t0 = time.perf_counter()
         result = run_offline(
             path,
             out_dir=args.out_dir,
@@ -109,11 +176,28 @@ def main(argv=None) -> int:
             threshold_factor=args.threshold_factor,
             synthesis=args.synthesis,
             subtype=args.subtype,
+            kernel=args.kernel,
+            pad_granularity=args.pad_granularity,
+            upmixer_cache=upmixer_cache,
             verbose=args.verbose,
         )
+        _report(args, path, t0)
         for out in result.paths:
             print(out)
     return 0
+
+
+def _report(args, path, t0) -> None:
+    if not args.meter:
+        return
+    import time
+
+    from upmix_tpu.io import read_wav
+
+    wave, sr = read_wav(path)
+    wall = time.perf_counter() - t0
+    audio = len(wave) / sr
+    log.info("[%s] %.2f audio-sec in %.2f s -> %.1fx realtime", path, audio, wall, audio / wall)
 
 
 if __name__ == "__main__":

@@ -198,6 +198,8 @@ class UpmixConfig:
         """C++-parity streaming config: fixed 75% overlap, block sizes capped
         at hw_block_size * 4, at most 8 bands (bela/upmix.cpp:444-445,
         498-506)."""
+        if verbose:
+            print(streaming_stft_table(sr, hw_block_size, threshold_factor))
         bands = chain_bands(
             band_edges,
             overlap=0.75,
@@ -279,6 +281,28 @@ def chain_bands(
         )
         prev_xover_high = xover_high
     return bands
+
+
+def streaming_stft_table(
+    sr: float,
+    hw_block_size: int,
+    threshold_factor: float = THRESHOLD_MULTI,
+    freqs: Sequence[float] = (20, 40, 80, 160, 320, 640, 1280, 2560, 5120),
+) -> str:
+    """STFT-size reference table for streaming configs — functional parity
+    with the C++ engine's setup printout (bela/upmix.cpp:448-459), which
+    prints the block size the dynamic-resolution rule assigns to a range of
+    sample low-frequencies given the hw_block*4 cap."""
+    lines = [
+        f"STFT size by band low frequency (sr={sr:.0f} Hz, "
+        f"hw_block={hw_block_size}, cap={hw_block_size * 4}):"
+    ]
+    for f in freqs:
+        size = compute_block_size_for_low_freq(
+            float(f), sr, max_block_size=hw_block_size * 4, threshold_factor=threshold_factor
+        )
+        lines.append(f"  f_low >= {f:7.1f} Hz -> stft {size}")
+    return "\n".join(lines)
 
 
 def bucket_bands(bands: Iterable[BandSpec]) -> dict:
