@@ -173,3 +173,43 @@ def test_banded_full_support_degenerates_to_full():
 
     bp = make_banded_plan(256, 0, 128)
     assert bp.is_full
+
+
+def test_chunked_scan_parity_vs_oracle():
+    from upmix_tpu.models.offline import build_offline_chunked_fn
+
+    import jax
+
+    cfg = UpmixConfig.make([0.0, 400.0, 1600.0], sr=8000.0, max_block_size=512)
+    n = 10000
+    L, R = make_stereo(n, cfg.sr, seed=3)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    fn = jax.jit(build_offline_chunked_fn(cfg, n, kernel="mm", chunk=2048))
+    got = fn(jnp.asarray(L32), jnp.asarray(R32))
+    for name, r, g in zip("C Ls Rs".split(), ref, got):
+        s = snr_db(r, np.asarray(g))
+        assert s > 60.0, f"{name}: {s:.1f} dB"
+
+
+def test_chunked_matches_whole_file():
+    from upmix_tpu.models.offline import build_offline_chunked_fn, build_offline_fn
+
+    import jax
+
+    cfg = UpmixConfig.make([0.0, 400.0], sr=8000.0, max_block_size=256)
+    n = 7000
+    L, R = make_stereo(n, cfg.sr, seed=4)
+    L32, R32 = jnp.asarray(L, jnp.float32), jnp.asarray(R, jnp.float32)
+    whole = jax.jit(build_offline_fn(cfg, n, kernel="mm", chunk=0))(L32, R32)
+    chunked = jax.jit(build_offline_chunked_fn(cfg, n, kernel="mm", chunk=1024))(L32, R32)
+    for a, b in zip(whole, chunked):
+        assert snr_db(np.asarray(a), np.asarray(b)) > 100.0
+
+
+def test_chunk_smaller_than_halo_rejected():
+    from upmix_tpu.models.offline import build_offline_chunked_fn
+
+    cfg = UpmixConfig.make([0.0, 400.0], sr=8000.0, max_block_size=512)
+    with pytest.raises(ValueError):
+        build_offline_chunked_fn(cfg, 4096, chunk=128)

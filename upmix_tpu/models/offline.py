@@ -43,7 +43,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from upmix_tpu.config import UpmixConfig, bucket_bands
+from upmix_tpu.ops.dftmm import irdft_direct, make_direct_plan, rdft_direct
 from upmix_tpu.ops.fftmm import (
+    _split,
     irfft_real_banded,
     make_real_banded_plan,
     permute_half_bins,
@@ -118,51 +120,71 @@ def _bucket_lcr(plan: _BucketPlan, L: jnp.ndarray, R: jnp.ndarray, n_samples: in
     return folded[:, :n_samples]
 
 
-def _bucket_lcr_mm(plan: _BucketPlan, L: jnp.ndarray, R: jnp.ndarray, n_samples: int):
-    """One bucket's (C, Ls, Rs) via grouped framing + matmul FFT.
+def _bucket_fold_mm(plan: _BucketPlan, x_ext: jnp.ndarray, F: int):
+    """One bucket's folded (C, Ls, Rs) over F frames via grouped framing +
+    matmul transforms.
+
+    x_ext: [2, T] with T = (F + K - 1) * H, F a multiple of K = block/hop.
+    Frames start at 0, H, ..., (F-1)*H.  Returns [3, T].
 
     Requires hop | block (true for every power-of-two overlap).  Frames
-    with index ≡ g (mod K), K = block/hop, start at g*hop and are exactly
-    one block apart — non-overlapping and contiguous, so framing is K
-    reshapes of slices and the OLA fold is K shifted adds.
+    with index ≡ g (mod K) start at g*hop and are exactly one block apart
+    — non-overlapping and contiguous, so framing is K reshapes of slices
+    and the OLA fold is K shifted adds.
     """
     B, H = plan.block_size, plan.hop_size
     K = B // H
-    F = plan.num_frames
-    Fp = -(-F // K) * K  # frames padded up to a multiple of K
-    M = Fp // K  # frames per group
-    T = (Fp + K - 1) * H  # grouped-framing signal length (>= total_padded)
+    if F % K:
+        raise ValueError(f"frame count {F} must be a multiple of K={K}")
+    M = F // K  # frames per group
+    T = (F + K - 1) * H
+    if x_ext.shape != (2, T):
+        raise ValueError(f"expected x_ext [2, {T}], got {x_ext.shape}")
 
-    # Banded plan restricted to the bucket's gain support: outside the
-    # bands' passbands+fades every spectral value is zeroed anyway, so the
-    # transform only materializes the k2 columns that carry energy (exact
-    # semantics — the multirate-decimation equivalent).  Real SoA kernel:
-    # separate re/im f32 tensors, half spectrum, real-part-only inverse.
+    # Support restriction: outside the bands' passbands+fades every
+    # spectral value is zeroed by the gains, so the transforms only
+    # materialize the bins that carry energy (exact semantics — the
+    # multirate-decimation equivalent).
     nz = np.nonzero(plan.gains.max(axis=0))[0]
     lo, hi = (int(nz[0]), int(nz[-1])) if len(nz) else (0, 0)
-    fplan = make_real_banded_plan(B, lo, hi)
+    kept = hi - lo + 1
+    n1, n2 = _split(B)
 
-    x = jnp.stack([L, R])  # [2, n]
-    x = jnp.pad(x, ((0, 0), (0, T - n_samples)))
-    groups = [x[:, g * H : g * H + M * B].reshape(2, M, B) for g in range(K)]
-    fr = jnp.stack(groups, axis=1)  # [2, K, M, B]
-    fr = fr * jnp.asarray(plan.analysis_window)
+    groups = [x_ext[:, g * H : g * H + M * B].reshape(2, M, B) for g in range(K)]
+    fr = jnp.stack(groups, axis=1)  # [2, K, M, B] (un-windowed)
 
-    sre, sim = rfft_real_banded(fr, fplan)  # [2, K, M, N1, C] each
-
-    # Gains in the banded half-spectrum layout, batched over bands.
-    gains_perm = np.stack(
-        [permute_half_bins(fplan, g) for g in plan.gains]
-    )  # [nb, N1, C]
-    g = jnp.asarray(gains_perm)[None, :, None, None, :, :]  # [1, nb, 1, 1, N1, C]
-    spec = jax.lax.complex(sre[:, None] * g, sim[:, None] * g)  # [2, nb, K, M, N1, C]
-    sc, sls, srs = center_mask(spec[0], spec[1])
-    summed = jnp.stack([sc, sls, srs]).sum(axis=1)  # [3, K, M, N1, C]
-
-    rec = irfft_real_banded(
-        jnp.real(summed), jnp.imag(summed), fplan
-    )  # [3, K, M, B] f32
-    rec = rec * jnp.asarray(plan.synthesis_window)
+    # Direct-DFT weight slices are [B, 2*kept] program constants; bound
+    # their size so compiled programs stay small (large blocks use the
+    # 2-stage kernel, whose constants are O(sqrt(B)^2) tiny).
+    weight_bytes = B * 2 * kept * 4
+    if kept <= n1 + n2 and weight_bytes <= (8 << 20):
+        # Narrow support: direct banded DFT — one matmul per direction
+        # with the analysis/synthesis windows and normalization folded
+        # into the weight slices.
+        dplan = make_direct_plan(
+            B, lo, hi, plan.analysis_window, plan.synthesis_window
+        )
+        sre, sim = rdft_direct(fr, dplan)  # [2, K, M, kept]
+        g = jnp.asarray(plan.gains[:, lo : hi + 1])[None, :, None, None, :]
+        spec = jax.lax.complex(sre[:, None] * g, sim[:, None] * g)
+        sc, sls, srs = center_mask(spec[0], spec[1])
+        summed = jnp.stack([sc, sls, srs]).sum(axis=1)  # [3, K, M, kept]
+        rec = irdft_direct(
+            jnp.real(summed), jnp.imag(summed), dplan
+        )  # [3, K, M, B], synthesis-windowed
+    else:
+        # Wide support: 2-stage real SoA matmul FFT in the permuted
+        # banded layout.
+        fplan = make_real_banded_plan(B, lo, hi)
+        frw = fr * jnp.asarray(plan.analysis_window)
+        sre, sim = rfft_real_banded(frw, fplan)  # [2, K, M, N1, C]
+        gains_perm = np.stack([permute_half_bins(fplan, g) for g in plan.gains])
+        g = jnp.asarray(gains_perm)[None, :, None, None, :, :]
+        spec = jax.lax.complex(sre[:, None] * g, sim[:, None] * g)
+        sc, sls, srs = center_mask(spec[0], spec[1])
+        summed = jnp.stack([sc, sls, srs]).sum(axis=1)  # [3, K, M, N1, C]
+        rec = irfft_real_banded(jnp.real(summed), jnp.imag(summed), fplan)
+        rec = rec * jnp.asarray(plan.synthesis_window)
 
     # Fold: groups are internally non-overlapping -> flat reshape, then K
     # statically-shifted adds.
@@ -171,7 +193,19 @@ def _bucket_lcr_mm(plan: _BucketPlan, L: jnp.ndarray, R: jnp.ndarray, n_samples:
     for g_ in range(K):
         part = jnp.pad(flat[:, g_], ((0, 0), (g_ * H, T - g_ * H - M * B)))
         acc = part if acc is None else acc + part
-    return acc[:, :n_samples]
+    return acc  # [3, T]
+
+
+def _bucket_lcr_mm(plan: _BucketPlan, L: jnp.ndarray, R: jnp.ndarray, n_samples: int):
+    """Whole-signal wrapper over _bucket_fold_mm (grouped framing + matmul
+    transforms): pads to the grouped geometry and trims to n_samples."""
+    B, H = plan.block_size, plan.hop_size
+    K = B // H
+    Fp = -(-plan.num_frames // K) * K
+    T = (Fp + K - 1) * H
+    x = jnp.stack([L, R])
+    x = jnp.pad(x, ((0, 0), (0, T - n_samples)))
+    return _bucket_fold_mm(plan, x, Fp)[:, :n_samples]
 
 
 _KERNELS = ("auto", "mm", "xla")
@@ -186,11 +220,97 @@ def resolve_kernel(kernel: str) -> str:
     return kernel
 
 
-def build_offline_fn(config: UpmixConfig, n_samples: int, kernel: str = "auto"):
+# Long inputs are processed as a scan over fixed-size chunks with
+# overlap-discard halos: working-set locality is what sets throughput on
+# TPU (measured on v5e: 2^18-sample chunks run ~2x faster per sample than
+# one 2^21-sample program and ~3x faster than 2^22), and memory stays
+# bounded for arbitrarily long files.  The spill of each chunk's
+# overlap-add tail is carried into the next chunk — exact semantics, same
+# math as the sequence-parallel halo exchange in parallel/sharded.py.
+CHUNK_SAMPLES = 2**18
+_CHUNK_THRESHOLD = 2**18  # below this, one whole-file program is faster
+
+
+def _chain_hop_lcm(plans) -> int:
+    import math as _math
+
+    unit = 1
+    for p in plans:
+        unit = unit * p.hop_size // _math.gcd(unit, p.hop_size)
+    return unit
+
+
+def build_offline_chunked_fn(
+    config: UpmixConfig, n_samples: int, kernel: str = "auto", chunk: int = CHUNK_SAMPLES
+):
+    """Chunked-scan variant of build_offline_fn (kernel 'mm' only).
+
+    Returns fn(L, R) -> (C, Ls, Rs) each [n_samples].  One compiled chunk
+    body is reused across ceil(n/chunk) scan steps.
+    """
+    plans = _plan_buckets(config, chunk)  # geometry is per-chunk
+    unit = _chain_hop_lcm(plans)
+    if chunk % unit:
+        chunk = -(-chunk // unit) * unit
+    halo = max(p.block_size - p.hop_size for p in plans)
+    if chunk < halo:
+        raise ValueError(f"chunk {chunk} smaller than halo {halo}")
+    n_seg = -(-n_samples // chunk)
+    n_pad = n_seg * chunk
+
+    def fn(L: jnp.ndarray, R: jnp.ndarray):
+        x = jnp.stack([L.astype(jnp.float32), R.astype(jnp.float32)])
+        x = jnp.pad(x, ((0, 0), (0, n_pad + halo - n_samples)))
+        # segments with right halo: [n_seg, 2, chunk + halo]
+        idx = np.arange(n_seg) * chunk
+        segs = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(x, int(s), chunk + halo, axis=1) for s in idx]
+        )
+
+        def body(carry, seg):  # carry: spill tail [3, halo]
+            y = None
+            for p in plans:
+                B, H = p.block_size, p.hop_size
+                K = B // H
+                F = chunk // H  # frames whose output starts in this chunk
+                T = (F + K - 1) * H  # = chunk + B - H <= chunk + halo
+                contrib = _bucket_fold_mm(p, seg[:, :T], F)  # [3, T]
+                pad = chunk + halo - T
+                if pad:
+                    contrib = jnp.pad(contrib, ((0, 0), (0, pad)))
+                y = contrib if y is None else y + contrib
+            out = y[:, :chunk].at[:, :halo].add(carry)
+            return y[:, chunk:], out
+
+        zero = jnp.zeros((3, halo), jnp.float32)
+        _, outs = jax.lax.scan(body, zero, segs)  # [n_seg, 3, chunk]
+        full = jnp.moveaxis(outs, 0, 1).reshape(3, n_pad)
+        return full[0, :n_samples], full[1, :n_samples], full[2, :n_samples]
+
+    return fn
+
+
+def build_offline_fn(
+    config: UpmixConfig,
+    n_samples: int,
+    kernel: str = "auto",
+    chunk: int | None = None,
+):
     """Build the (un-jitted) whole-file processing function for a fixed
-    input length.  Returns fn(L, R) -> (C, Ls, Rs), each [n_samples] f32."""
-    plans = _plan_buckets(config, n_samples)
+    input length.  Returns fn(L, R) -> (C, Ls, Rs), each [n_samples] f32.
+
+    Long inputs on the 'mm' kernel automatically run as a chunked scan
+    (see build_offline_chunked_fn); pass chunk=0 to force one whole-file
+    program, or a positive chunk size to override the default.
+    """
     kern = resolve_kernel(kernel)
+    if kern == "mm" and chunk != 0:
+        chunk_size = chunk if chunk else CHUNK_SAMPLES
+        if n_samples > (_CHUNK_THRESHOLD if chunk is None else 0):
+            return build_offline_chunked_fn(
+                config, n_samples, kernel=kern, chunk=chunk_size
+            )
+    plans = _plan_buckets(config, n_samples)
     bucket_fn = _bucket_lcr_mm if kern == "mm" else _bucket_lcr
 
     def fn(L: jnp.ndarray, R: jnp.ndarray):
