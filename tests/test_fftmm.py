@@ -213,3 +213,51 @@ def test_chunk_smaller_than_halo_rejected():
     cfg = UpmixConfig.make([0.0, 400.0], sr=8000.0, max_block_size=512)
     with pytest.raises(ValueError):
         build_offline_chunked_fn(cfg, 4096, chunk=128)
+
+
+def test_pallas_fused_bucket_matches_fold():
+    # Fused pallas engine (interpret mode on CPU) vs the XLA bucket fold.
+    import jax
+
+    from upmix_tpu.models.offline import _bucket_fold_mm, _plan_buckets
+    from upmix_tpu.ops.dftmm import make_direct_plan
+    from upmix_tpu.ops.pallas_upmix import fused_bucket_lcr, make_fused_plan
+
+    cfg = UpmixConfig.make([0.0, 400.0, 1600.0], sr=8000.0, max_block_size=512)
+    p = _plan_buckets(cfg, 4096)[0]
+    B, H = p.block_size, p.hop_size
+    K = B // H
+    chunk = 2048
+    nz = np.nonzero(p.gains.max(axis=0))[0]
+    lo, hi = int(nz[0]), int(nz[-1])
+    dplan = make_direct_plan(B, lo, hi, p.analysis_window, p.synthesis_window)
+    fp = make_fused_plan(
+        B, H, chunk, dplan.w_fwd, dplan.w_inv, p.gains[:, lo : hi + 1], tile_samples=512
+    )
+    assert fp.n_tiles > 1  # exercises the cross-tile spill carry
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, chunk + B - H)).astype(np.float32)
+    main, spill = fused_bucket_lcr(jnp.asarray(x), fp, interpret=True)
+    F = chunk // H
+    ref = _bucket_fold_mm(p, jnp.asarray(x[:, : (F + K - 1) * H]), F)
+    assert snr_db(np.asarray(ref[:, :chunk]), np.asarray(main)) > 100.0
+    assert snr_db(np.asarray(ref[:, chunk:]), np.asarray(spill)) > 100.0
+
+
+def test_chunked_with_pallas_parity_vs_oracle():
+    import jax
+
+    from upmix_tpu.models.offline import build_offline_chunked_fn
+
+    cfg = UpmixConfig.make([0.0, 400.0, 1600.0], sr=8000.0, max_block_size=512)
+    n = 9000
+    L, R = make_stereo(n, cfg.sr, seed=5)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    fn = jax.jit(
+        build_offline_chunked_fn(cfg, n, kernel="mm", chunk=2048, use_pallas=True)
+    )
+    got = fn(jnp.asarray(L32), jnp.asarray(R32))
+    for name, r, g in zip("C Ls Rs".split(), ref, got):
+        s = snr_db(r, np.asarray(g))
+        assert s > 60.0, f"{name}: {s:.1f} dB"

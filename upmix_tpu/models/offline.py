@@ -240,14 +240,27 @@ def _chain_hop_lcm(plans) -> int:
     return unit
 
 
+# Weight-size bound for the fused pallas engine: both DFT slices plus the
+# frame tiles must fit comfortably in ~16 MB of VMEM.
+_PALLAS_WEIGHT_BYTES = 3 << 20
+
+
 def build_offline_chunked_fn(
-    config: UpmixConfig, n_samples: int, kernel: str = "auto", chunk: int = CHUNK_SAMPLES
+    config: UpmixConfig,
+    n_samples: int,
+    kernel: str = "auto",
+    chunk: int = CHUNK_SAMPLES,
+    use_pallas: bool | None = None,
 ):
     """Chunked-scan variant of build_offline_fn (kernel 'mm' only).
 
     Returns fn(L, R) -> (C, Ls, Rs) each [n_samples].  One compiled chunk
-    body is reused across ceil(n/chunk) scan steps.
+    body is reused across ceil(n/chunk) scan steps.  Small-block buckets
+    run the fused pallas engine (ops/pallas_upmix.py) when `use_pallas`
+    (default: on accelerators; interpret-mode on CPU when forced True).
     """
+    from upmix_tpu.ops.pallas_upmix import fused_bucket_lcr, make_fused_plan
+
     plans = _plan_buckets(config, chunk)  # geometry is per-chunk
     unit = _chain_hop_lcm(plans)
     if chunk % unit:
@@ -257,6 +270,33 @@ def build_offline_chunked_fn(
         raise ValueError(f"chunk {chunk} smaller than halo {halo}")
     n_seg = -(-n_samples // chunk)
     n_pad = n_seg * chunk
+
+    on_cpu = jax.default_backend() == "cpu"
+    if use_pallas is None:
+        use_pallas = not on_cpu
+
+    fused_plans = {}
+    if use_pallas:
+        for p in plans:
+            nz = np.nonzero(p.gains.max(axis=0))[0]
+            if not len(nz):
+                continue
+            lo, hi = int(nz[0]), int(nz[-1])
+            kept = hi - lo + 1
+            w_bytes = p.block_size * 2 * kept * 4
+            if w_bytes > _PALLAS_WEIGHT_BYTES:
+                continue
+            dplan = make_direct_plan(
+                p.block_size, lo, hi, p.analysis_window, p.synthesis_window
+            )
+            fused_plans[p.block_size] = make_fused_plan(
+                p.block_size,
+                p.hop_size,
+                chunk,
+                dplan.w_fwd,
+                dplan.w_inv,
+                p.gains[:, lo : hi + 1],
+            )
 
     def fn(L: jnp.ndarray, R: jnp.ndarray):
         x = jnp.stack([L.astype(jnp.float32), R.astype(jnp.float32)])
@@ -274,7 +314,12 @@ def build_offline_chunked_fn(
                 K = B // H
                 F = chunk // H  # frames whose output starts in this chunk
                 T = (F + K - 1) * H  # = chunk + B - H <= chunk + halo
-                contrib = _bucket_fold_mm(p, seg[:, :T], F)  # [3, T]
+                fp = fused_plans.get(p.block_size)
+                if fp is not None:
+                    main, sp = fused_bucket_lcr(seg[:, :T], fp, interpret=on_cpu)
+                    contrib = jnp.concatenate([main, sp], axis=1)  # [3, T]
+                else:
+                    contrib = _bucket_fold_mm(p, seg[:, :T], F)  # [3, T]
                 pad = chunk + halo - T
                 if pad:
                     contrib = jnp.pad(contrib, ((0, 0), (0, pad)))

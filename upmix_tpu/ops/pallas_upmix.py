@@ -1,0 +1,239 @@
+"""Pallas fused bucket engine — the whole per-bucket pipeline in one kernel.
+
+For small-block buckets the XLA direct-DFT path still materializes the 4x
+overlapped frame tensor, the masked spectra, and the reconstructed frames
+in HBM (~35 input-widths of traffic).  This kernel fuses framing, the
+windowed forward DFT (MXU dot against the precomputed [B, 2K] weight
+slice), the per-band gain + center-extraction mask, the inverse DFT
+([2K, B], synthesis window folded in), and the overlap-add fold — reading
+the input once and writing the folded output once.
+
+Structure (TPU pallas semantics):
+  - grid over tiles of TF consecutive frames; grid steps execute
+    sequentially on the TensorCore, so the OLA spill between tiles lives
+    in VMEM scratch carried across steps (initialized at step 0).
+  - the input is passed TWICE with offset block indices (tile i and
+    i + 1): the second view provides the B-H lookahead samples that the
+    tile's last frames need — overlapping reads without manual DMA.
+  - within a tile, frames with index ≡ g (mod K) are contiguous, so
+    framing is K reshapes of the VMEM-resident tile.
+  - outputs: the folded main region [3, TF*H] per tile (non-overlapping
+    block writes) plus the final tile's spill [3, B-H].
+
+Used for buckets whose DFT weight slices fit comfortably in VMEM
+(B*2K*4 bytes per direction; models/offline.py gates on ~3 MB).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from upmix_tpu.config import EPS
+
+
+@dataclass(frozen=True)
+class FusedPlan:
+    block_size: int
+    hop_size: int
+    tile_frames: int  # TF, multiple of K = block/hop
+    n_tiles: int
+    chunk: int  # TF*H*n_tiles == total fresh output samples
+    w_fwd: np.ndarray  # [B, 2K]
+    w_inv: np.ndarray  # [2K, B]
+    gains: np.ndarray  # [nb, K]
+
+
+def make_fused_plan(
+    block_size: int,
+    hop_size: int,
+    chunk: int,
+    w_fwd: np.ndarray,
+    w_inv: np.ndarray,
+    gains: np.ndarray,
+    tile_samples: int = 2**15,
+) -> FusedPlan:
+    B, H = block_size, hop_size
+    K = B // H
+    frames = chunk // H
+    tf = max(K, min(frames, tile_samples // H))
+    # TF must divide the frame count and be a multiple of K (powers of two).
+    while frames % tf:
+        tf //= 2
+    tf = max(tf, K)
+    if frames % tf or tf % K:
+        raise ValueError(f"cannot tile {frames} frames with K={K}")
+    return FusedPlan(
+        block_size=B,
+        hop_size=H,
+        tile_frames=tf,
+        n_tiles=frames // tf,
+        chunk=chunk,
+        w_fwd=np.ascontiguousarray(w_fwd, np.float32),
+        w_inv=np.ascontiguousarray(w_inv, np.float32),
+        gains=np.ascontiguousarray(gains, np.float32),
+    )
+
+
+def _dot_f32(a, b):
+    """f32-grade matmul inside a Mosaic kernel.
+
+    Mosaic lowers a plain f32 jnp.dot as a single bf16 MXU pass (~8
+    mantissa bits -> ~53 dB pipeline SNR, below the 60 dB bar), and the
+    XLA `precision` knob does not reach the Mosaic lowering.  Split each
+    operand into hi+lo bf16 parts and accumulate three partial products in
+    f32 (the classic bf16x3 scheme, ~1e-6 relative error)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda x, y: jax.lax.dot(x, y, preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
+def _mask_soa(slre, slim, srre, srim):
+    """Center-extraction mask on separate re/im parts (reference math)."""
+    magl = jnp.sqrt(slre * slre + slim * slim)
+    magr = jnp.sqrt(srre * srre + srim * srim)
+    cross = magl * magr  # |L * conj(R)| == |L| |R|
+    coh = cross / (cross + EPS)
+    bal = (magl - magr) / (magl + magr + EPS)
+    f = 0.5 * coh * (1.0 - jnp.abs(bal))
+    cre = f * (slre + srre)
+    cim = f * (slim + srim)
+    return cre, cim
+
+
+def _kernel(plan: FusedPlan):
+    B, H, TF = plan.block_size, plan.hop_size, plan.tile_frames
+    K = B // H
+    M = TF // K
+    nb, Kb = plan.gains.shape
+    tile = TF * H
+    spill = B - H
+    n_tiles = plan.n_tiles
+
+    def kernel(x_ref, x_next_ref, wf_ref, wi_ref, g_ref, out_ref, spill_ref, acc):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        # Tile-local signal: TF*H fresh samples + B-H lookahead.
+        xloc = jnp.concatenate([x_ref[...], x_next_ref[:, :spill]], axis=1)
+
+        # Frames (natural order j = g + K*m within the tile): group g holds
+        # frames starting at g*H, stride B — contiguous slices.
+        wf = wf_ref[...]
+        specs = []
+        for ch in range(2):
+            groups = [
+                xloc[ch, g * H : g * H + M * B].reshape(M, B) for g in range(K)
+            ]
+            fr = jnp.stack(groups, axis=0).reshape(K * M, B)  # [K, M] order
+            specs.append(_dot_f32(fr, wf))
+        sl, sr = specs  # [K*M, 2K]
+        slre, slim = sl[:, :Kb], sl[:, Kb:]
+        srre, srim = sr[:, :Kb], sr[:, Kb:]
+
+        # Per-band gain + mask, band-summed (static unroll over bands).
+        c_re = jnp.zeros_like(slre)
+        c_im = jnp.zeros_like(slre)
+        l_re = jnp.zeros_like(slre)
+        l_im = jnp.zeros_like(slre)
+        r_re = jnp.zeros_like(slre)
+        r_im = jnp.zeros_like(slre)
+        for b in range(nb):
+            g = g_ref[b, :]
+            glre, glim = slre * g, slim * g
+            grre, grim = srre * g, srim * g
+            cre, cim = _mask_soa(glre, glim, grre, grim)
+            c_re += cre
+            c_im += cim
+            l_re += glre - cre
+            l_im += glim - cim
+            r_re += grre - cre
+            r_im += grim - cim
+
+        wi = wi_ref[...]
+        recs = []
+        for sre, sim in ((c_re, c_im), (l_re, l_im), (r_re, r_im)):
+            s = jnp.concatenate([sre, sim], axis=1)  # [K*M, 2K]
+            recs.append(_dot_f32(s, wi))
+        rec = jnp.stack(recs)  # [3, K*M, B], synthesis-windowed
+
+        # Fold within the tile: group flats + K shifted adds -> [3, tile+spill].
+        rec = rec.reshape(3, K, M * B)
+        total = tile + spill
+        folded = jnp.zeros((3, total), jnp.float32)
+        for g in range(K):
+            part = jnp.pad(rec[:, g], ((0, 0), (g * H, total - g * H - M * B)))
+            folded = folded + part
+
+        # (.at[].add lowers to scatter-add, which Mosaic lacks — concat.)
+        folded = jnp.concatenate(
+            [folded[:, :spill] + acc[...], folded[:, spill:]], axis=1
+        )
+        out_ref[...] = folded[:, :tile]
+        acc[...] = folded[:, tile:]
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            spill_ref[...] = folded[:, tile:]
+
+    return kernel
+
+
+def _build_call(plan: FusedPlan, interpret: bool):
+    B, H, TF = plan.block_size, plan.hop_size, plan.tile_frames
+    tile = TF * H
+    spill = B - H
+    nb, Kb = plan.gains.shape
+
+    return pl.pallas_call(
+        _kernel(plan),
+        grid=(plan.n_tiles,),
+        in_specs=[
+            pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile), lambda i: (0, i + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 2 * Kb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * Kb, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, Kb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, spill), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, plan.chunk), jnp.float32),
+            jax.ShapeDtypeStruct((3, spill), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((3, spill), jnp.float32)],
+        interpret=interpret,
+    )
+
+
+def fused_bucket_lcr(
+    x: jnp.ndarray, plan: FusedPlan, interpret: bool = False
+):
+    """Run the fused engine over one chunk.
+
+    x: [2, chunk + B - H] float32 (fresh samples + right halo).
+    Returns (main [3, chunk], spill [3, B - H]) — main is the folded
+    output for [0, chunk); spill overlaps the NEXT chunk's head.
+    """
+    B, H = plan.block_size, plan.hop_size
+    tile = plan.tile_frames * H
+    need = plan.chunk + tile  # lookahead view needs one extra tile
+    pad = need - x.shape[1]
+    if pad < 0:
+        raise ValueError(f"x too long: {x.shape[1]} > {need}")
+    xp = jnp.pad(x, ((0, 0), (0, pad)))
+    call = _build_call(plan, interpret)
+    return call(xp, xp, jnp.asarray(plan.w_fwd), jnp.asarray(plan.w_inv), jnp.asarray(plan.gains))
