@@ -240,9 +240,10 @@ def _chain_hop_lcm(plans) -> int:
     return unit
 
 
-# Weight-size bound for the fused pallas engine: both DFT slices plus the
-# frame tiles must fit comfortably in ~16 MB of VMEM.
-_PALLAS_WEIGHT_BYTES = 3 << 20
+# Weight-size bound (bytes per direction) for the fused pallas engine:
+# both DFT slices (as bf16 hi/lo pairs, same bytes as f32) plus the frame
+# tiles must fit in ~16 MB of VMEM.
+_PALLAS_WEIGHT_BYTES = 7 << 20
 
 
 def build_offline_chunked_fn(

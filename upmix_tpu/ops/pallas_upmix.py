@@ -44,9 +44,23 @@ class FusedPlan:
     tile_frames: int  # TF, multiple of K = block/hop
     n_tiles: int
     chunk: int  # TF*H*n_tiles == total fresh output samples
-    w_fwd: np.ndarray  # [B, 2K]
-    w_inv: np.ndarray  # [2K, B]
+    # DFT weight slices pre-split into bf16 hi/lo pairs (bf16x3 matmuls
+    # without in-kernel splitting — halves the VMEM high-water mark).
+    wf_hi: np.ndarray  # [B, 2K] bf16
+    wf_lo: np.ndarray
+    wi_hi: np.ndarray  # [2K, B] bf16
+    wi_lo: np.ndarray
     gains: np.ndarray  # [nb, K]
+
+
+def _split_bf16(w: np.ndarray):
+    import jax.numpy as _jnp
+
+    hi = np.asarray(w, np.float32).astype(_jnp.bfloat16)
+    lo = (np.asarray(w, np.float32) - np.asarray(hi, np.float32)).astype(
+        _jnp.bfloat16
+    )
+    return np.asarray(hi), np.asarray(lo)
 
 
 def make_fused_plan(
@@ -68,30 +82,32 @@ def make_fused_plan(
     tf = max(tf, K)
     if frames % tf or tf % K:
         raise ValueError(f"cannot tile {frames} frames with K={K}")
+    wf_hi, wf_lo = _split_bf16(w_fwd)
+    wi_hi, wi_lo = _split_bf16(w_inv)
     return FusedPlan(
         block_size=B,
         hop_size=H,
         tile_frames=tf,
         n_tiles=frames // tf,
         chunk=chunk,
-        w_fwd=np.ascontiguousarray(w_fwd, np.float32),
-        w_inv=np.ascontiguousarray(w_inv, np.float32),
+        wf_hi=wf_hi,
+        wf_lo=wf_lo,
+        wi_hi=wi_hi,
+        wi_lo=wi_lo,
         gains=np.ascontiguousarray(gains, np.float32),
     )
 
 
-def _dot_f32(a, b):
+def _dot_f32(a, b_hi, b_lo):
     """f32-grade matmul inside a Mosaic kernel.
 
     Mosaic lowers a plain f32 jnp.dot as a single bf16 MXU pass (~8
     mantissa bits -> ~53 dB pipeline SNR, below the 60 dB bar), and the
-    XLA `precision` knob does not reach the Mosaic lowering.  Split each
-    operand into hi+lo bf16 parts and accumulate three partial products in
-    f32 (the classic bf16x3 scheme, ~1e-6 relative error)."""
+    XLA `precision` knob does not reach the Mosaic lowering.  bf16x3:
+    split the activation into hi+lo bf16 parts (weights arrive pre-split)
+    and accumulate three partial products in f32 (~1e-6 relative error)."""
     a_hi = a.astype(jnp.bfloat16)
     a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    b_hi = b.astype(jnp.bfloat16)
-    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     d = lambda x, y: jax.lax.dot(x, y, preferred_element_type=jnp.float32)
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
@@ -118,7 +134,10 @@ def _kernel(plan: FusedPlan):
     spill = B - H
     n_tiles = plan.n_tiles
 
-    def kernel(x_ref, x_next_ref, wf_ref, wi_ref, g_ref, out_ref, spill_ref, acc):
+    def kernel(
+        x_ref, x_next_ref, wfh_ref, wfl_ref, wih_ref, wil_ref, g_ref,
+        out_ref, spill_ref, acc,
+    ):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -130,14 +149,13 @@ def _kernel(plan: FusedPlan):
 
         # Frames (natural order j = g + K*m within the tile): group g holds
         # frames starting at g*H, stride B — contiguous slices.
-        wf = wf_ref[...]
         specs = []
         for ch in range(2):
             groups = [
                 xloc[ch, g * H : g * H + M * B].reshape(M, B) for g in range(K)
             ]
             fr = jnp.stack(groups, axis=0).reshape(K * M, B)  # [K, M] order
-            specs.append(_dot_f32(fr, wf))
+            specs.append(_dot_f32(fr, wfh_ref[...], wfl_ref[...]))
         sl, sr = specs  # [K*M, 2K]
         slre, slim = sl[:, :Kb], sl[:, Kb:]
         srre, srim = sr[:, :Kb], sr[:, Kb:]
@@ -161,11 +179,10 @@ def _kernel(plan: FusedPlan):
             r_re += grre - cre
             r_im += grim - cim
 
-        wi = wi_ref[...]
         recs = []
         for sre, sim in ((c_re, c_im), (l_re, l_im), (r_re, r_im)):
             s = jnp.concatenate([sre, sim], axis=1)  # [K*M, 2K]
-            recs.append(_dot_f32(s, wi))
+            recs.append(_dot_f32(s, wih_ref[...], wil_ref[...]))
         rec = jnp.stack(recs)  # [3, K*M, B], synthesis-windowed
 
         # Fold within the tile: group flats + K shifted adds -> [3, tile+spill].
@@ -203,6 +220,8 @@ def _build_call(plan: FusedPlan, interpret: bool):
             pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, tile), lambda i: (0, i + 1), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 2 * Kb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 2 * Kb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * Kb, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * Kb, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, Kb), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -236,4 +255,12 @@ def fused_bucket_lcr(
         raise ValueError(f"x too long: {x.shape[1]} > {need}")
     xp = jnp.pad(x, ((0, 0), (0, pad)))
     call = _build_call(plan, interpret)
-    return call(xp, xp, jnp.asarray(plan.w_fwd), jnp.asarray(plan.w_inv), jnp.asarray(plan.gains))
+    return call(
+        xp,
+        xp,
+        jnp.asarray(plan.wf_hi),
+        jnp.asarray(plan.wf_lo),
+        jnp.asarray(plan.wi_hi),
+        jnp.asarray(plan.wi_lo),
+        jnp.asarray(plan.gains),
+    )
