@@ -125,3 +125,32 @@ def test_native_block_sizing_matches_config():
 def test_native_invalid_config_raises():
     with pytest.raises(ValueError):
         native.NativeStreamingUpmixer(EDGES, sr=SR, hw_block_size=3)
+
+
+def test_concurrent_engines_are_independent():
+    # Race-safety contract (SURVEY.md §5): engines share no mutable state;
+    # two instances on two threads must produce the same results as
+    # sequential runs.  (Run against the TSan build via
+    # `make -C native tsan` + LD_PRELOAD for full data-race checking.)
+    import threading
+
+    L, R = make_stereo(12 * HW, SR, seed=9)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+
+    def run():
+        eng = native.NativeStreamingUpmixer(EDGES, sr=SR, hw_block_size=HW)
+        return eng.process_signal(L32, R32, mix="stereo_sum")
+
+    seq = run()
+    results = [None, None]
+    threads = [
+        threading.Thread(target=lambda i=i: results.__setitem__(i, run()))
+        for i in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for res in results:
+        np.testing.assert_array_equal(res[0], seq[0])
+        np.testing.assert_array_equal(res[1], seq[1])

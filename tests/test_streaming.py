@@ -161,3 +161,33 @@ def test_mix_stereo_sum_layout():
     l, r = mix_stereo_sum(lcr)
     np.testing.assert_allclose(np.asarray(l), [3.5, 5.0])
     np.testing.assert_allclose(np.asarray(r), [5.5, 7.0])
+
+
+def test_state_checkpoint_with_orbax(tmp_path):
+    # The streaming state pytree round-trips through a real checkpointing
+    # library (SURVEY.md §5 checkpoint/resume).
+    orbax = pytest.importorskip("orbax.checkpoint")
+    import jax
+
+    cfg = _stream_cfg()
+    L, R = make_stereo(8 * HW, cfg.sr, seed=10)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    s = StreamingUpmixer(cfg, HW)
+    for i in range(0, 4 * HW, HW):
+        s.push_block(L32[i : i + HW], R32[i : i + HW])
+
+    ckptr = orbax.PyTreeCheckpointer()
+    path = tmp_path / "ckpt"
+    ckptr.save(path, jax.tree.map(np.asarray, s.state))
+    restored = ckptr.restore(path)
+
+    s2 = StreamingUpmixer(cfg, HW)
+    s2.state = restored
+    out_a, out_b = [], []
+    for i in range(4 * HW, 8 * HW, HW):
+        ca, _, _ = s.push_block(L32[i : i + HW], R32[i : i + HW])
+        out_a.append(np.asarray(ca))
+    for i in range(4 * HW, 8 * HW, HW):
+        cb, _, _ = s2.push_block(L32[i : i + HW], R32[i : i + HW])
+        out_b.append(np.asarray(cb))
+    np.testing.assert_array_equal(np.concatenate(out_a), np.concatenate(out_b))

@@ -24,6 +24,7 @@ from upmix_tpu.config import (
     freq_to_bin,
     hp_freq_to_crossover_width,
     next_power_of_2,
+    streaming_stft_table,
 )
 
 __version__ = "0.1.0"
@@ -37,5 +38,28 @@ __all__ = [
     "freq_to_bin",
     "hp_freq_to_crossover_width",
     "next_power_of_2",
+    "streaming_stft_table",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # Lazy heavyweight surfaces (importing them pulls in jax program
+    # construction; keep bare `import upmix_tpu` light).
+    if name in ("Upmixer", "upmix_offline", "StreamingUpmixer"):
+        import upmix_tpu.models as _m
+
+        return getattr(_m, name)
+    if name == "BatchUpmixer":
+        from upmix_tpu.models.batch import BatchUpmixer
+
+        return BatchUpmixer
+    if name == "ShardedUpmixer":
+        from upmix_tpu.parallel import ShardedUpmixer
+
+        return ShardedUpmixer
+    if name in ("run_offline", "run_streaming"):
+        import upmix_tpu.app as _a
+
+        return getattr(_a, name)
+    raise AttributeError(f"module 'upmix_tpu' has no attribute {name!r}")

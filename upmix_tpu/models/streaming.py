@@ -112,8 +112,10 @@ def init_stream_state(config: UpmixConfig, hw_block_size: int):
     return {
         "history": jnp.zeros((2, WARMUP_BLOCKS * hw_block_size), dtype=jnp.float32),
         "t": jnp.zeros((), dtype=jnp.int32),
+        # String keys: checkpoint formats (orbax) stringify dict keys on
+        # restore, so use strings from the start.
         "ola": {
-            plan.block_size: jnp.zeros((3, plan.block_size), dtype=jnp.float32)
+            str(plan.block_size): jnp.zeros((3, plan.block_size), dtype=jnp.float32)
             for plan in plans
         },
     }
@@ -171,9 +173,8 @@ def build_stream_step(config: UpmixConfig, hw_block_size: int):
             out = None
             new_olas = {}
             for plan in plans:
-                o, new_olas[plan.block_size] = _bucket_pass_block(
-                    plan, history, olas[plan.block_size]
-                )
+                key = str(plan.block_size)
+                o, new_olas[key] = _bucket_pass_block(plan, history, olas[key])
                 out = o if out is None else out + o
             return out, new_olas
 
