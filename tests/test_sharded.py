@@ -121,3 +121,30 @@ def test_process_batch_validates_shape():
     su = ShardedUpmixer(cfg, make_mesh({"seq": 8}))
     with pytest.raises(ValueError):
         su.process_batch(np.zeros((2, 3, 100), np.float32))
+
+
+def test_seq_sharded_mm_kernel_parity():
+    # The sharded path with the matmul-transform kernel (forced on the CPU
+    # mesh) must match the oracle like the xla path does.
+    cfg = _cfg()
+    mesh = make_mesh({"seq": 8})
+    su = ShardedUpmixer(cfg, mesh, kernel="mm")
+    L, R = make_stereo(6000, cfg.sr, seed=6)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    got = su.process(L32, R32)
+    for name, r, g in zip("C Ls Rs".split(), ref, got):
+        s = snr_db(r, np.asarray(g))
+        assert s > 60.0, f"{name}: {s:.1f} dB"
+
+
+def test_dp_sp_mm_kernel_batch():
+    cfg = _cfg()
+    mesh = make_mesh({"data": 2, "seq": 4})
+    su = ShardedUpmixer(cfg, mesh, kernel="mm")
+    L0, R0 = make_stereo(4000, cfg.sr, seed=7)
+    x = np.stack([np.stack([L0, R0]), np.stack([R0, L0])]).astype(np.float32)
+    y = su.process_batch(x)
+    assert y.shape == (2, 3, 4000)
+    ref = oracle_multiband(L0.astype(np.float32), R0.astype(np.float32), cfg)
+    assert snr_db(ref[0], np.asarray(y[0, 0])) > 60.0

@@ -39,6 +39,7 @@ except ImportError:  # pragma: no cover - older JAX
         return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 from upmix_tpu.config import UpmixConfig, bucket_bands
+from upmix_tpu.models.offline import _bucket_fold_mm, _plan_buckets, resolve_kernel
 from upmix_tpu.ops.framing import frame_signal, overlap_add
 from upmix_tpu.ops.gains import band_gain_curve
 from upmix_tpu.ops.mask import center_mask
@@ -108,12 +109,13 @@ def _plan_seq_buckets(config: UpmixConfig):
 
 
 def sequence_plan(config: UpmixConfig, n_samples: int, n_seq: int) -> SequencePlan:
-    """Choose the per-device chunk size: a multiple of every bucket's hop,
+    """Choose the per-device chunk size: a multiple of every bucket's block
+    size (so per-device frame counts divide the grouped-framing factor K),
     at least as large as the largest input halo ``block - hop``."""
     buckets = _plan_seq_buckets(config)
     unit = 1
     for p in buckets:
-        unit = unit * p.hop_size // math.gcd(unit, p.hop_size)
+        unit = unit * p.block_size // math.gcd(unit, p.block_size)
     halo = max(p.block_size - p.hop_size for p in buckets)
     chunk = max(math.ceil(n_samples / (n_seq * unit)), 1) * unit
     while chunk < halo:
@@ -128,11 +130,20 @@ def sequence_plan(config: UpmixConfig, n_samples: int, n_seq: int) -> SequencePl
 
 
 def _local_lcr(
-    plans, chunk: int, halo: int, seq_axis: str, axis_size: int, x_loc: jnp.ndarray
+    plans,
+    chunk: int,
+    halo: int,
+    seq_axis: str,
+    axis_size: int,
+    kern: str,
+    x_loc: jnp.ndarray,
 ):
     """Per-device body: x_loc [..., 2, chunk] -> y_loc [..., 3, chunk].
 
     Two nearest-neighbor `ppermute`s realize the input and output halos.
+    kern="mm" routes each bucket through the matmul-transform kernel
+    (offline._bucket_fold_mm — same code as the single-chip chunked scan);
+    kern="xla" keeps the jnp.fft path (the CPU/virtual-mesh default).
     """
     # Input halo: receive the first `halo` samples of the right neighbor.
     # (Each device sends its head to its left neighbor; the last device
@@ -142,30 +153,51 @@ def _local_lcr(
     halo_in = jax.lax.ppermute(head, seq_axis, perm)
     x_ext = jnp.concatenate([x_loc, halo_in], axis=-1)  # [..., 2, chunk+halo]
 
-    y_total = jnp.zeros((*x_loc.shape[:-2], 3, chunk + halo), jnp.float32)
-    for plan in plans:
-        B, H = plan.block_size, plan.hop_size
-        n_frames = chunk // H
-        needed = (n_frames - 1) * H + B  # = chunk + (B - H) <= chunk + halo
-        frames = frame_signal(x_ext[..., :needed], B, H, n_frames)
-        frames = frames * jnp.asarray(plan.analysis_window)
-        spec = jnp.fft.rfft(frames)  # [..., 2, F, n_bins]
-        gains = jnp.asarray(plan.gains)[:, None, :]
-        spec_l = spec[..., 0, None, :, :] * gains
-        spec_r = spec[..., 1, None, :, :] * gains
-        spec_c, spec_ls, spec_rs = center_mask(spec_l, spec_r)
-        summed = jnp.stack(
-            [spec_c.sum(axis=-3), spec_ls.sum(axis=-3), spec_rs.sum(axis=-3)],
-            axis=-3,
-        )  # [..., 3, F, n_bins]
-        rec = jnp.fft.irfft(summed, n=B) * jnp.asarray(plan.synthesis_window)
-        folded = overlap_add(rec, H)  # [..., 3, chunk + (B - H)]
-        pad = chunk + halo - folded.shape[-1]
-        if pad:
-            folded = jnp.pad(
-                folded, [(0, 0)] * (folded.ndim - 1) + [(0, pad)]
-            )
-        y_total = y_total + folded
+    if kern == "mm":
+
+        def single(xe):  # [2, chunk + halo]
+            y = None
+            for plan in plans:
+                B, H = plan.block_size, plan.hop_size
+                K = B // H
+                F = chunk // H
+                T = (F + K - 1) * H  # = chunk + B - H <= chunk + halo
+                contrib = _bucket_fold_mm(plan, xe[:, :T], F)  # [3, T]
+                pad = chunk + halo - T
+                if pad:
+                    contrib = jnp.pad(contrib, ((0, 0), (0, pad)))
+                y = contrib if y is None else y + contrib
+            return y
+
+        fn = single
+        for _ in range(x_loc.ndim - 2):
+            fn = jax.vmap(fn)
+        y_total = fn(x_ext)
+    else:
+        y_total = jnp.zeros((*x_loc.shape[:-2], 3, chunk + halo), jnp.float32)
+        for plan in plans:
+            B, H = plan.block_size, plan.hop_size
+            n_frames = chunk // H
+            needed = (n_frames - 1) * H + B  # = chunk + (B - H) <= chunk + halo
+            frames = frame_signal(x_ext[..., :needed], B, H, n_frames)
+            frames = frames * jnp.asarray(plan.analysis_window)
+            spec = jnp.fft.rfft(frames)  # [..., 2, F, n_bins]
+            gains = jnp.asarray(plan.gains)[:, None, :]
+            spec_l = spec[..., 0, None, :, :] * gains
+            spec_r = spec[..., 1, None, :, :] * gains
+            spec_c, spec_ls, spec_rs = center_mask(spec_l, spec_r)
+            summed = jnp.stack(
+                [spec_c.sum(axis=-3), spec_ls.sum(axis=-3), spec_rs.sum(axis=-3)],
+                axis=-3,
+            )  # [..., 3, F, n_bins]
+            rec = jnp.fft.irfft(summed, n=B) * jnp.asarray(plan.synthesis_window)
+            folded = overlap_add(rec, H)  # [..., 3, chunk + (B - H)]
+            pad = chunk + halo - folded.shape[-1]
+            if pad:
+                folded = jnp.pad(
+                    folded, [(0, 0)] * (folded.ndim - 1) + [(0, pad)]
+                )
+            y_total = y_total + folded
 
     # Output halo: our fold's tail [chunk:] overlaps the right neighbor's
     # head — send it right and add the tail received from the left.
@@ -182,6 +214,7 @@ def build_sharded_offline_fn(
     mesh: Mesh,
     data_axis: str | None = "data",
     seq_axis: str = "seq",
+    kernel: str = "auto",
 ):
     """Build the jitted sharded pipeline.
 
@@ -191,7 +224,8 @@ def build_sharded_offline_fn(
     """
     n_seq = mesh.shape[seq_axis]
     plan = sequence_plan(config, n_samples, n_seq)
-    plans = _plan_seq_buckets(config)
+    plans = _plan_buckets(config, plan.chunk)
+    kern = resolve_kernel(kernel)
 
     use_data = data_axis is not None and data_axis in mesh.shape
     batch_spec = data_axis if use_data else None
@@ -199,7 +233,7 @@ def build_sharded_offline_fn(
     out_spec = P(batch_spec, None, seq_axis)
 
     def local_fn(x_loc):
-        return _local_lcr(plans, plan.chunk, plan.halo, seq_axis, n_seq, x_loc)
+        return _local_lcr(plans, plan.chunk, plan.halo, seq_axis, n_seq, kern, x_loc)
 
     sharded = shard_map(local_fn, mesh, in_specs=(in_spec,), out_specs=out_spec)
     fn = jax.jit(sharded)
@@ -214,16 +248,17 @@ class ShardedUpmixer:
     sequence-parallel with halo exchange.
     """
 
-    def __init__(self, config: UpmixConfig, mesh: Mesh | None = None):
+    def __init__(self, config: UpmixConfig, mesh: Mesh | None = None, kernel: str = "auto"):
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.kernel = kernel
         self._cache = {}
 
     def _compiled(self, n_padded: int):
         key = n_padded
         if key not in self._cache:
             self._cache[key] = build_sharded_offline_fn(
-                self.config, n_padded, self.mesh
+                self.config, n_padded, self.mesh, kernel=self.kernel
             )
         return self._cache[key]
 
