@@ -174,7 +174,9 @@ def _bucket_fold_mm(plan: _BucketPlan, x_ext: jnp.ndarray, F: int):
         )  # [3, K, M, B], synthesis-windowed
     else:
         # Wide support: 2-stage real SoA matmul FFT in the permuted
-        # banded layout.
+        # banded layout.  (An N1=128 asymmetric split was measured and is
+        # NOT faster — these buckets are bound by the full-size
+        # elementwise/twiddle passes, not matmul FLOPs.)
         fplan = make_real_banded_plan(B, lo, hi)
         frw = fr * jnp.asarray(plan.analysis_window)
         sre, sim = rfft_real_banded(frw, fplan)  # [2, K, M, N1, C]

@@ -333,12 +333,24 @@ class RealBandedPlan:
 
 
 @lru_cache(maxsize=None)
-def make_real_banded_plan(n: int, lo_bin: int, hi_bin: int) -> RealBandedPlan:
+def make_real_banded_plan(
+    n: int, lo_bin: int, hi_bin: int, n1: int | None = None
+) -> RealBandedPlan:
     """Plan for real signals whose spectra are processed only on
-    half-spectrum bins [lo_bin, hi_bin] (0 <= lo <= hi <= n//2)."""
+    half-spectrum bins [lo_bin, hi_bin] (0 <= lo <= hi <= n//2).
+
+    n1 overrides the stage split: per transform point, stage 1 costs
+    ~N1 MACs while the banded stage 2 costs ~kept_bins/N1 * N2-contraction
+    (≈ independent of N1), so narrow supports favor N1 < sqrt(n) down to
+    the MXU-efficiency floor (~128)."""
     if n & (n - 1):
         raise ValueError(f"fftmm requires power-of-two size, got {n}")
-    n1, n2 = _split(n)
+    if n1 is None:
+        n1, n2 = _split(n)
+    else:
+        if n % n1:
+            raise ValueError(f"n1={n1} must divide n={n}")
+        n2 = n // n1
     lo_bin = max(0, int(lo_bin))
     hi_bin = min(n // 2, int(hi_bin))
     c0, c1 = lo_bin // n1, hi_bin // n1
