@@ -207,12 +207,21 @@ def test_chunked_matches_whole_file():
         assert snr_db(np.asarray(a), np.asarray(b)) > 100.0
 
 
-def test_chunk_smaller_than_halo_rejected():
+def test_tiny_chunk_rounded_up_to_block_lcm():
+    # chunk is rounded up to a multiple of every block size, which also
+    # guarantees chunk >= halo (max block > max block - hop).
+    import jax
+
     from upmix_tpu.models.offline import build_offline_chunked_fn
 
     cfg = UpmixConfig.make([0.0, 400.0], sr=8000.0, max_block_size=512)
-    with pytest.raises(ValueError):
-        build_offline_chunked_fn(cfg, 4096, chunk=128)
+    n = 4096
+    fn = jax.jit(build_offline_chunked_fn(cfg, n, kernel="mm", chunk=128))
+    L, R = make_stereo(n, cfg.sr, seed=7)
+    got = fn(jnp.asarray(L, jnp.float32), jnp.asarray(R, jnp.float32))
+    ref = oracle_multiband(L.astype(np.float32), R.astype(np.float32), cfg)
+    for r, g in zip(ref, got):
+        assert snr_db(r, np.asarray(g)) > 60.0
 
 
 def test_pallas_fused_bucket_matches_fold():
@@ -261,3 +270,22 @@ def test_chunked_with_pallas_parity_vs_oracle():
     for name, r, g in zip("C Ls Rs".split(), ref, got):
         s = snr_db(r, np.asarray(g))
         assert s > 60.0, f"{name}: {s:.1f} dB"
+
+
+def test_chunked_rounds_chunk_to_block_lcm():
+    # A chunk that is a multiple of every hop but not every block must be
+    # rounded up so grouped framing stays valid (e.g. 50% overlap, K=2).
+    import jax
+
+    from upmix_tpu.models.offline import build_offline_chunked_fn
+
+    cfg = UpmixConfig.make(
+        [0.0, 400.0], sr=8000.0, max_block_size=512, overlap=0.5
+    )
+    n = 6000
+    L, R = make_stereo(n, cfg.sr, seed=6)
+    fn = jax.jit(build_offline_chunked_fn(cfg, n, kernel="mm", chunk=768))
+    got = fn(jnp.asarray(L, jnp.float32), jnp.asarray(R, jnp.float32))
+    ref = oracle_multiband(L.astype(np.float32), R.astype(np.float32), cfg)
+    for r, g in zip(ref, got):
+        assert snr_db(r, np.asarray(g)) > 60.0

@@ -233,12 +233,15 @@ CHUNK_SAMPLES = 2**18
 _CHUNK_THRESHOLD = 2**18  # below this, one whole-file program is faster
 
 
-def _chain_hop_lcm(plans) -> int:
+def _chain_block_lcm(plans) -> int:
+    # Grouped framing needs per-chunk frame counts divisible by K =
+    # block/hop, i.e. the chunk must be a multiple of every BLOCK size
+    # (not just every hop).
     import math as _math
 
     unit = 1
     for p in plans:
-        unit = unit * p.hop_size // _math.gcd(unit, p.hop_size)
+        unit = unit * p.block_size // _math.gcd(unit, p.block_size)
     return unit
 
 
@@ -265,7 +268,7 @@ def build_offline_chunked_fn(
     from upmix_tpu.ops.pallas_upmix import fused_bucket_lcr, make_fused_plan
 
     plans = _plan_buckets(config, chunk)  # geometry is per-chunk
-    unit = _chain_hop_lcm(plans)
+    unit = _chain_block_lcm(plans)
     if chunk % unit:
         chunk = -(-chunk // unit) * unit
     halo = max(p.block_size - p.hop_size for p in plans)
