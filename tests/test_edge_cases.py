@@ -1,0 +1,85 @@
+"""Edge-case hardening across paths: non-default overlaps, the C++
+shipped 48 kHz config, the 8-band streaming clamp, and signal-class
+invariants on the streaming engine."""
+
+import numpy as np
+import pytest
+
+from upmix_tpu.config import MAX_BANDS_STREAM, UpmixConfig
+from upmix_tpu.models.offline import Upmixer, upmix_offline
+from upmix_tpu.models.streaming import StreamingUpmixer
+from upmix_tpu.oracle import oracle_multiband
+
+from helpers import make_stereo, snr_db
+
+
+@pytest.mark.parametrize("overlap", [0.5, 0.875])
+def test_offline_parity_other_overlaps(overlap):
+    cfg = UpmixConfig.make(
+        [0.0, 400.0, 1600.0], sr=8000.0, max_block_size=512, overlap=overlap
+    )
+    L, R = make_stereo(5000, cfg.sr, seed=0)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    for kernel in ("xla", "mm"):
+        got = upmix_offline(L32, R32, cfg, kernel=kernel)
+        for name, r, g in zip("C Ls Rs".split(), ref, got):
+            s = snr_db(r, g)
+            assert s > 60.0, f"{kernel}/{name} @ overlap={overlap}: {s:.1f} dB"
+
+
+def test_cpp_shipped_48k_config_offline():
+    # The C++ reference's shipped config (0/500/2000/8000 @ 48 kHz) through
+    # the offline path with streaming-style sizing.
+    cfg = UpmixConfig.streaming(
+        [0.0, 500.0, 2000.0, 8000.0], sr=48000.0, hw_block_size=2048
+    )
+    assert [b.block_size for b in cfg.bands] == [8192, 4096, 1024, 256]
+    L, R = make_stereo(16384, cfg.sr, seed=1)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    got = Upmixer(cfg).process_np(L32, R32)
+    for r, g in zip(ref, got):
+        assert snr_db(r, g) > 60.0
+
+
+def test_streaming_band_clamp():
+    # More than 8 bands requested -> clamped to 8 (bela/upmix.cpp:444-445).
+    edges = [0, 50, 100, 200, 400, 800, 1200, 1600, 2000, 2400, 2800]
+    cfg = UpmixConfig.streaming(edges, sr=8000.0, hw_block_size=256)
+    assert len(cfg.bands) == MAX_BANDS_STREAM
+
+
+def test_streaming_silence_and_mono():
+    cfg = UpmixConfig.streaming([0.0, 400.0, 1600.0], sr=8000.0, hw_block_size=256)
+    s = StreamingUpmixer(cfg, 256)
+    z = np.zeros(8 * 256, np.float32)
+    c, ls, rs = s.process_signal(z, z, mix="lcr")
+    assert np.abs(np.asarray(c)).max() == 0.0
+    assert np.abs(np.asarray(ls)).max() == 0.0
+
+    rng = np.random.default_rng(2)
+    m = rng.standard_normal(8 * 256).astype(np.float32)
+    s.reset()
+    c, ls, rs = s.process_signal(m, m, mix="lcr")
+    # Mono input: sides are numerically zero (mask sends everything to C).
+    assert np.abs(np.asarray(ls)).max() < 1e-4
+    assert np.abs(np.asarray(rs)).max() < 1e-4
+
+
+def test_native_create_destroy_loop():
+    native = pytest.importorskip("upmix_tpu.native")
+    if not native.is_available():
+        pytest.skip("native lib not built")
+    for _ in range(50):
+        eng = native.NativeStreamingUpmixer([0.0, 400.0], sr=8000.0, hw_block_size=256)
+        del eng
+
+
+def test_single_sample_and_empty_guarded():
+    cfg = UpmixConfig.make([0.0, 400.0], sr=8000.0, max_block_size=256)
+    up = Upmixer(cfg)
+    c, ls, rs = up.process_np(np.zeros(1, np.float32), np.zeros(1, np.float32))
+    assert c.shape == (1,)
+    with pytest.raises(Exception):
+        up.process_np(np.zeros(0, np.float32), np.zeros(0, np.float32))

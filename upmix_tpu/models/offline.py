@@ -400,6 +400,10 @@ class Upmixer:
     def process(self, L, R):
         """stereo in → (C, Ls, Rs) out, each a length-len(L) jax array."""
         n = len(L)
+        if n < 1:
+            raise ValueError("input must contain at least one sample")
+        if len(R) != n:
+            raise ValueError(f"channel length mismatch: {n} vs {len(R)}")
         g = self.pad_granularity
         n_padded = -(-n // g) * g
         L = jnp.asarray(L, dtype=jnp.float32)
