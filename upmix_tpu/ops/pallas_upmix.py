@@ -138,14 +138,17 @@ def _kernel(plan: FusedPlan):
         x_ref, x_next_ref, wfh_ref, wfl_ref, wih_ref, wil_ref, g_ref,
         out_ref, spill_ref, acc,
     ):
-        i = pl.program_id(0)
+        # Grid is (segments, tiles) — tiles iterate fastest; the OLA spill
+        # carry resets at each segment's first tile (segments are
+        # independent; their spills recombine outside the kernel).
+        i = pl.program_id(1)
 
         @pl.when(i == 0)
         def _():
             acc[...] = jnp.zeros_like(acc)
 
         # Tile-local signal: TF*H fresh samples + B-H lookahead.
-        xloc = jnp.concatenate([x_ref[...], x_next_ref[:, :spill]], axis=1)
+        xloc = jnp.concatenate([x_ref[0], x_next_ref[0, :, :spill]], axis=1)
 
         # Frames (natural order j = g + K*m within the tile): group g holds
         # frames starting at g*H, stride B — contiguous slices.
@@ -197,17 +200,17 @@ def _kernel(plan: FusedPlan):
         folded = jnp.concatenate(
             [folded[:, :spill] + acc[...], folded[:, spill:]], axis=1
         )
-        out_ref[...] = folded[:, :tile]
+        out_ref[0] = folded[:, :tile]
         acc[...] = folded[:, tile:]
 
         @pl.when(i == n_tiles - 1)
         def _():
-            spill_ref[...] = folded[:, tile:]
+            spill_ref[0] = folded[:, tile:]
 
     return kernel
 
 
-def _build_call(plan: FusedPlan, interpret: bool):
+def _build_call(plan: FusedPlan, n_seg: int, interpret: bool):
     B, H, TF = plan.block_size, plan.hop_size, plan.tile_frames
     tile = TF * H
     spill = B - H
@@ -215,46 +218,45 @@ def _build_call(plan: FusedPlan, interpret: bool):
 
     return pl.pallas_call(
         _kernel(plan),
-        grid=(plan.n_tiles,),
+        grid=(n_seg, plan.n_tiles),
         in_specs=[
-            pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tile), lambda i: (0, i + 1), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 2 * Kb), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 2 * Kb), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * Kb, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * Kb, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, Kb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tile), lambda s, i: (s, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tile), lambda s, i: (s, 0, i + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 2 * Kb), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 2 * Kb), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * Kb, B), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * Kb, B), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, Kb), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, spill), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile), lambda s, i: (s, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, spill), lambda s, i: (s, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((3, plan.chunk), jnp.float32),
-            jax.ShapeDtypeStruct((3, spill), jnp.float32),
+            jax.ShapeDtypeStruct((n_seg, 3, plan.chunk), jnp.float32),
+            jax.ShapeDtypeStruct((n_seg, 3, spill), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((3, spill), jnp.float32)],
         interpret=interpret,
     )
 
 
-def fused_bucket_lcr(
-    x: jnp.ndarray, plan: FusedPlan, interpret: bool = False
-):
-    """Run the fused engine over one chunk.
+def fused_bucket_lcr_batch(x: jnp.ndarray, plan: FusedPlan, interpret: bool = False):
+    """Run the fused engine over a batch of independent segments in ONE
+    kernel launch.
 
-    x: [2, chunk + B - H] float32 (fresh samples + right halo).
-    Returns (main [3, chunk], spill [3, B - H]) — main is the folded
-    output for [0, chunk); spill overlaps the NEXT chunk's head.
+    x: [S, 2, chunk + B - H] float32 (each segment: fresh samples + right
+    halo).  Returns (main [S, 3, chunk], spill [S, 3, B - H]) — spill[s]
+    overlaps segment s+1's head (combine outside).
     """
     B, H = plan.block_size, plan.hop_size
     tile = plan.tile_frames * H
     need = plan.chunk + tile  # lookahead view needs one extra tile
-    pad = need - x.shape[1]
+    pad = need - x.shape[-1]
     if pad < 0:
-        raise ValueError(f"x too long: {x.shape[1]} > {need}")
-    xp = jnp.pad(x, ((0, 0), (0, pad)))
-    call = _build_call(plan, interpret)
+        raise ValueError(f"x too long: {x.shape[-1]} > {need}")
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+    call = _build_call(plan, x.shape[0], interpret)
     return call(
         xp,
         xp,
@@ -264,3 +266,10 @@ def fused_bucket_lcr(
         jnp.asarray(plan.wi_lo),
         jnp.asarray(plan.gains),
     )
+
+
+def fused_bucket_lcr(x: jnp.ndarray, plan: FusedPlan, interpret: bool = False):
+    """Single-segment convenience wrapper: x [2, chunk + B - H] ->
+    (main [3, chunk], spill [3, B - H])."""
+    main, spill = fused_bucket_lcr_batch(x[None], plan, interpret=interpret)
+    return main[0], spill[0]
