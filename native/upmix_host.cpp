@@ -41,6 +41,7 @@ namespace {
 
 constexpr double kEps = 1e-12;  // mask/WOLA epsilon (reference EPS)
 constexpr int kWarmupBlocks = 4;
+constexpr int kMaxBands = 8;  // reference MAX_BANDS clamp (upmix.cpp:444-445)
 
 // ---------------------------------------------------------------------------
 // FFT: iterative radix-2 complex FFT for power-of-two sizes.
@@ -360,6 +361,9 @@ void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
   std::vector<double> e(edges, edges + n_edges);
   if (e.back() < sr / 2.0) e.push_back(sr / 2.0);
   if (e.size() < 2) return nullptr;
+  // Clamp to kMaxBands band pairs, matching the reference aggregator and
+  // UpmixConfig.streaming (drop the excess upper bands).
+  if ((int)e.size() > kMaxBands + 1) e.resize(kMaxBands + 1);
 
   Engine* eng = new (std::nothrow) Engine();
   if (!eng) return nullptr;

@@ -70,3 +70,11 @@ def test_batch_dp_sharded():
     for i, item in enumerate(items):
         ref = oracle_multiband(item[0], item[1], cfg)
         assert snr_db(ref[0], outs[i][0]) > 60.0
+
+
+def test_overlong_item_rejected():
+    cfg = _cfg()
+    bu = BatchUpmixer(cfg, n_samples=1024, batch_size=1)
+    L, R = make_stereo(2048, cfg.sr, seed=30)
+    with pytest.raises(ValueError):
+        bu.submit([np.stack([L, R]).astype(np.float32)])

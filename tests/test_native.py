@@ -154,3 +154,11 @@ def test_concurrent_engines_are_independent():
     for res in results:
         np.testing.assert_array_equal(res[0], seq[0])
         np.testing.assert_array_equal(res[1], seq[1])
+
+
+def test_native_band_clamp_matches_config():
+    # >8 band pairs are clamped to 8, like UpmixConfig.streaming and the
+    # reference aggregator.
+    edges = [0, 50, 100, 200, 400, 800, 1200, 1600, 2000, 2400, 2800]
+    eng = native.NativeStreamingUpmixer(edges, sr=8000.0, hw_block_size=256)
+    assert eng.num_bands == 8

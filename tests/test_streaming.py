@@ -191,3 +191,35 @@ def test_state_checkpoint_with_orbax(tmp_path):
         cb, _, _ = s2.push_block(L32[i : i + HW], R32[i : i + HW])
         out_b.append(np.asarray(cb))
     np.testing.assert_array_equal(np.concatenate(out_a), np.concatenate(out_b))
+
+
+def test_stream_parity_50pct_overlap():
+    # Non-75% overlaps generalize the shared-history design (K = block/hop
+    # warmup blocks); parity vs the streaming oracle must hold.
+    cfg = UpmixConfig.make(
+        [0.0, 400.0, 1600.0], sr=8000.0, max_block_size=512, overlap=0.5
+    )
+    hw = 256
+    L, R = make_stereo(16 * hw, cfg.sr, seed=11)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref_l, ref_r = oracle_stream_multiband(L32, R32, cfg, hw)
+    s = StreamingUpmixer(cfg, hw)
+    assert s.warmup_blocks == 2
+    got_l, got_r = s.process_signal(L32, R32, mix="stereo_sum")
+    assert snr_db(ref_l, np.asarray(got_l)) > 60.0
+    assert snr_db(ref_r, np.asarray(got_r)) > 60.0
+
+
+def test_stream_mixed_k_rejected():
+    # Bands with different block/hop ratios cannot share the history
+    # window — must be rejected, not silently wrong.
+    from upmix_tpu.config import BandSpec
+    from upmix_tpu.models.streaming import stream_warmup_blocks
+
+    b1 = BandSpec(f_low=0.0, f_high=400.0, sr=8000.0, block_size=512, overlap=0.75)
+    b2 = BandSpec(f_low=400.0, f_high=4000.0, sr=8000.0, block_size=256, overlap=0.5)
+    cfg = UpmixConfig(sr=8000.0, bands=(b1, b2))
+    with pytest.raises(ValueError):
+        stream_warmup_blocks(cfg, 256)
+    with pytest.raises(ValueError):
+        StreamingUpmixer(cfg, 256)

@@ -65,6 +65,12 @@ def band_info_str(config: UpmixConfig) -> str:
 class ExportResult:
     paths: list
     scale_factor: float
+    n_samples: int = 0
+    sr: int = 0
+
+    @property
+    def audio_seconds(self) -> float:
+        return self.n_samples / self.sr if self.sr else 0.0
 
 
 def export_lcr(
@@ -196,7 +202,7 @@ def run_streaming(
     log.info(
         "[Stream:%s] Wrote 2-ch => %s (Left = Ls+C/2, Right = Rs+C/2)", engine, path
     )
-    return ExportResult(paths=[path], scale_factor=1.0)
+    return ExportResult(paths=[path], scale_factor=1.0, n_samples=len(out_l), sr=sr)
 
 
 def run_offline(
@@ -210,6 +216,7 @@ def run_offline(
     max_block_size: int = 2**16,
     threshold_factor: float = 32.0,
     synthesis: str = "wola",
+    bin_rounding: str = "python",
     subtype: str = "FLOAT",
     upmixer: Upmixer | None = None,
     upmixer_cache: dict | None = None,
@@ -240,6 +247,7 @@ def run_offline(
             max_block_size=max_block_size,
             threshold_factor=threshold_factor,
             synthesis=synthesis,
+            bin_rounding=bin_rounding,
             verbose=verbose,
         )
         upmixer = Upmixer(config, pad_granularity=pad_granularity, kernel=kernel)
@@ -253,4 +261,6 @@ def run_offline(
     base = os.path.splitext(os.path.basename(str(in_path)))[0]
     result = export_lcr(out_dir, base, export_mode, C, Ls, Rs, L, R, sr, config, subtype)
     result.scale_factor = scale
+    result.n_samples = len(L)
+    result.sr = sr
     return result

@@ -65,10 +65,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--synthesis",
-        default="wola",
+        default=None,
         choices=["wola", "analysis"],
         help="synthesis window: WOLA-designed (Python parity) or plain "
-        "analysis window (C++ parity)",
+        "analysis window (C++ parity); default wola offline, analysis "
+        "streaming (matching each reference implementation)",
+    )
+    p.add_argument(
+        "--bin-rounding",
+        default=None,
+        choices=["python", "cpp"],
+        help="freq->bin rounding semantics; default python offline, cpp "
+        "streaming (matching each reference implementation)",
     )
     p.add_argument(
         "--subtype",
@@ -150,11 +158,13 @@ def main(argv=None) -> int:
                 window=args.window,
                 xover_mode=args.xover_mode,
                 threshold_factor=args.threshold_factor,
+                synthesis=args.synthesis or "analysis",
+                bin_rounding=args.bin_rounding or "cpp",
                 engine=args.engine,
                 subtype=args.subtype,
                 verbose=args.verbose,
             )
-            _report(args, path, t0)
+            _report(args, result, path, t0)
             for out in result.paths:
                 print(out)
         return 0
@@ -174,30 +184,31 @@ def main(argv=None) -> int:
             xover_mode=args.xover_mode,
             max_block_size=args.max_block_size,
             threshold_factor=args.threshold_factor,
-            synthesis=args.synthesis,
+            synthesis=args.synthesis or "wola",
+            bin_rounding=args.bin_rounding or "python",
             subtype=args.subtype,
             kernel=args.kernel,
             pad_granularity=args.pad_granularity,
             upmixer_cache=upmixer_cache,
             verbose=args.verbose,
         )
-        _report(args, path, t0)
+        _report(args, result, path, t0)
         for out in result.paths:
             print(out)
     return 0
 
 
-def _report(args, path, t0) -> None:
+def _report(args, result, path, t0) -> None:
+    """Print the realtime factor (stdout — user-facing CLI output, not a
+    log record, and the duration comes from the result, not a re-decode)."""
     if not args.meter:
         return
     import time
 
-    from upmix_tpu.io import read_wav
-
-    wave, sr = read_wav(path)
     wall = time.perf_counter() - t0
-    audio = len(wave) / sr
-    log.info("[%s] %.2f audio-sec in %.2f s -> %.1fx realtime", path, audio, wall, audio / wall)
+    audio = result.audio_seconds
+    if wall > 0 and audio > 0:
+        print(f"[{path}] {audio:.2f} audio-sec in {wall:.2f} s -> {audio / wall:.1f}x realtime")
 
 
 if __name__ == "__main__":

@@ -67,9 +67,14 @@ class BatchUpmixer:
         for i, a in enumerate(arrays):
             if i >= self.batch_size:
                 raise ValueError(f"got more than batch_size={self.batch_size} items")
-            n = min(a.shape[-1], self.n_samples)
-            x[i, :, :n] = a[:, :n]
-            lengths.append(a.shape[-1])
+            n = a.shape[-1]
+            if n > self.n_samples:
+                raise ValueError(
+                    f"item {i} has {n} samples > n_samples={self.n_samples}; "
+                    f"split long inputs or build a larger-geometry engine"
+                )
+            x[i, :, :n] = a
+            lengths.append(n)
         return x, lengths
 
     def submit(self, arrays):

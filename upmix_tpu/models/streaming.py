@@ -46,7 +46,10 @@ from upmix_tpu.ops.gains import band_gain_curve
 from upmix_tpu.ops.mask import center_mask
 from upmix_tpu.ops.windows import design_wola_synthesis_window, make_window
 
-WARMUP_BLOCKS = 4  # uniform readiness latency, bela/upmix.cpp:232-237 [verified]
+# Readiness latency at the reference's fixed 75% overlap (K = block/hop
+# = 4; bela/upmix.cpp:232-237 [verified]).  Other overlaps generalize to
+# K blocks — see stream_warmup_blocks.
+WARMUP_BLOCKS = 4
 
 
 @dataclass(frozen=True)
@@ -59,7 +62,32 @@ class _StreamBucketPlan:
     gains: np.ndarray  # [n_bands_in_bucket, n_bins]
 
 
+def stream_warmup_blocks(config: UpmixConfig, hw_block_size: int) -> int:
+    """Uniform readiness latency in hardware blocks: K = block/hop.
+
+    Every band's readiness threshold is block*passes = K*hw samples, so
+    all bands come online together at the K-th block — but ONLY when K is
+    the same for every band (a single overlap value; K=4 at the
+    reference's fixed 75%).  Mixed K would break the shared-history
+    design, so it is rejected.
+    """
+    ks = set()
+    for b in config.bands:
+        if b.block_size % b.hop_size:
+            raise ValueError(
+                f"streaming requires hop | block (band block {b.block_size}, "
+                f"hop {b.hop_size})"
+            )
+        ks.add(b.block_size // b.hop_size)
+    if len(ks) != 1:
+        raise ValueError(
+            f"streaming requires a uniform block/hop ratio across bands, got {sorted(ks)}"
+        )
+    return ks.pop()
+
+
 def _plan_stream_buckets(config: UpmixConfig, hw_block_size: int):
+    warmup = stream_warmup_blocks(config, hw_block_size)
     plans = []
     for block_size, bands in bucket_bands(config.bands).items():
         hop = bands[0].hop_size
@@ -68,14 +96,15 @@ def _plan_stream_buckets(config: UpmixConfig, hw_block_size: int):
                 f"hw block size {hw_block_size} must be a multiple of every "
                 f"band hop (violated by block {block_size}, hop {hop})"
             )
-        if block_size > WARMUP_BLOCKS * hw_block_size:
-            # The C++ engine caps block sizes at hw_block*4
-            # (bela/upmix.cpp:498-506); larger blocks would break the shared
-            # history-window invariant.
+        # Reads must stay inside the K*hw shared history: the last pass
+        # reads [hw - hop, hw - hop + block) (the C++ engine's cap is
+        # block <= hw*4 at 75% — bela/upmix.cpp:498-506).
+        if hw_block_size - hop + block_size > warmup * hw_block_size:
             raise ValueError(
-                f"band block size {block_size} exceeds hw_block*4 = "
-                f"{WARMUP_BLOCKS * hw_block_size}; build the config with "
-                f"UpmixConfig.streaming (max_block_size = hw_block*4)"
+                f"band block size {block_size} exceeds the shared-history "
+                f"window ({warmup}x hw_block = {warmup * hw_block_size}); "
+                f"build the config with UpmixConfig.streaming "
+                f"(max_block_size = hw_block*4)"
             )
         aw = make_window(config.window, block_size)
         if config.synthesis == "wola":
@@ -109,8 +138,9 @@ def init_stream_state(config: UpmixConfig, hw_block_size: int):
     (upmix.cpp:121-127, 164).
     """
     plans = _plan_stream_buckets(config, hw_block_size)
+    warmup = stream_warmup_blocks(config, hw_block_size)
     return {
-        "history": jnp.zeros((2, WARMUP_BLOCKS * hw_block_size), dtype=jnp.float32),
+        "history": jnp.zeros((2, warmup * hw_block_size), dtype=jnp.float32),
         "t": jnp.zeros((), dtype=jnp.int32),
         # String keys: checkpoint formats (orbax) stringify dict keys on
         # restore, so use strings from the start.
@@ -162,6 +192,7 @@ def build_stream_step(config: UpmixConfig, hw_block_size: int):
     2-channel output.  Jit-compatible; scan-compatible.
     """
     plans = _plan_stream_buckets(config, hw_block_size)
+    warmup = stream_warmup_blocks(config, hw_block_size)
     hw = hw_block_size
 
     def step(state, x_block):
@@ -183,7 +214,7 @@ def build_stream_step(config: UpmixConfig, hw_block_size: int):
             # untouched (upmix.cpp:485-491).
             return jnp.zeros((3, hw), jnp.float32), olas
 
-        out, new_olas = jax.lax.cond(t >= WARMUP_BLOCKS, go, silent, state["ola"])
+        out, new_olas = jax.lax.cond(t >= warmup, go, silent, state["ola"])
         return {"history": history, "t": t, "ola": new_olas}, out
 
     return step
@@ -208,6 +239,7 @@ class StreamingUpmixer:
     def __init__(self, config: UpmixConfig, hw_block_size: int):
         self.config = config
         self.hw_block_size = int(hw_block_size)
+        self.warmup_blocks = stream_warmup_blocks(config, self.hw_block_size)
         self._step = jax.jit(build_stream_step(config, self.hw_block_size))
         self.state = init_stream_state(config, self.hw_block_size)
         self._scan_cache = {}

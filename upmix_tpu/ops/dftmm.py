@@ -46,10 +46,6 @@ class DirectPlan:
         return self.hi_bin - self.lo_bin + 1
 
 
-def _windows_key(aw: np.ndarray, sw: np.ndarray):
-    return (aw.tobytes(), sw.tobytes())
-
-
 @lru_cache(maxsize=None)
 def _make_direct_plan_cached(n, lo_bin, hi_bin, aw_bytes, sw_bytes):
     aw = np.frombuffer(aw_bytes, dtype=np.float32)

@@ -21,7 +21,8 @@ Structure (TPU pallas semantics):
     block writes) plus the final tile's spill [3, B-H].
 
 Used for buckets whose DFT weight slices fit comfortably in VMEM
-(B*2K*4 bytes per direction; models/offline.py gates on ~3 MB).
+(B*2K*4 bytes per direction; models/offline.py gates on
+_PALLAS_WEIGHT_BYTES = 7 MB per direction).
 """
 
 from __future__ import annotations
