@@ -83,3 +83,29 @@ def test_single_sample_and_empty_guarded():
     assert c.shape == (1,)
     with pytest.raises(Exception):
         up.process_np(np.zeros(0, np.float32), np.zeros(0, np.float32))
+
+
+@pytest.mark.parametrize("sr", [22050.0, 96000.0])
+def test_multi_sample_rate_parity(sr):
+    cfg = UpmixConfig.make([0.0, sr / 20, sr / 5], sr=sr, max_block_size=512)
+    L, R = make_stereo(5000, sr, seed=3)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    got = upmix_offline(L32, R32, cfg, kernel="mm")
+    for r, g in zip(ref, got):
+        assert snr_db(r, g) > 60.0
+
+
+@pytest.mark.parametrize(
+    "window", ["blackman_harris", "sqrt_hann", "hann", "blackman", "hamming", "rect"]
+)
+def test_all_windows_parity(window):
+    cfg = UpmixConfig.make(
+        [0.0, 400.0], sr=8000.0, max_block_size=256, window=window
+    )
+    L, R = make_stereo(3000, cfg.sr, seed=4)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    got = upmix_offline(L32, R32, cfg, kernel="mm")
+    for r, g in zip(ref, got):
+        assert snr_db(r, g) > 60.0

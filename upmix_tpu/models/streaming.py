@@ -234,13 +234,22 @@ class StreamingUpmixer:
     `push_block` is the real-time call (one jitted step per hardware
     block); `process_signal` scans all blocks inside one compiled program
     for offline use and parity testing.
+
+    Note: the state buffers are DONATED to each step (updated in place for
+    latency).  To checkpoint, snapshot with
+    ``jax.tree.map(np.asarray, engine.state)`` BEFORE the next push — a
+    raw reference to ``engine.state`` is invalidated by the next call.
     """
 
     def __init__(self, config: UpmixConfig, hw_block_size: int):
         self.config = config
         self.hw_block_size = int(hw_block_size)
         self.warmup_blocks = stream_warmup_blocks(config, self.hw_block_size)
-        self._step = jax.jit(build_stream_step(config, self.hw_block_size))
+        # Donate the state: the engine replaces it every call, so the
+        # runtime can update buffers in place (lower per-block latency).
+        self._step = jax.jit(
+            build_stream_step(config, self.hw_block_size), donate_argnums=(0,)
+        )
         self.state = init_stream_state(config, self.hw_block_size)
         self._scan_cache = {}
 
