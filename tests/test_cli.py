@@ -80,3 +80,17 @@ def test_cli_bad_mode_rejected(tmp_path):
 def test_cli_missing_file(tmp_path):
     with pytest.raises(FileNotFoundError):
         main([str(tmp_path / "nope.wav"), "--out-dir", str(tmp_path)])
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    from upmix_tpu.utils.cache import enable_compilation_cache
+
+    # explicit dir wins and is created
+    d = enable_compilation_cache(str(tmp_path / "jc"))
+    assert d == str(tmp_path / "jc")
+    import os
+
+    assert os.path.isdir(d)
+    # env var is respected when no explicit dir
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/envcache")
+    assert enable_compilation_cache() == "/tmp/envcache"

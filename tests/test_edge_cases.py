@@ -109,3 +109,36 @@ def test_all_windows_parity(window):
     got = upmix_offline(L32, R32, cfg, kernel="mm")
     for r, g in zip(ref, got):
         assert snr_db(r, g) > 60.0
+
+
+def test_random_config_fuzz_parity():
+    # Deterministic bounded fuzz: random band edges / overlaps / sizing
+    # caps, every draw must hold >60 dB parity vs the oracle on both
+    # kernels.
+    rng = np.random.default_rng(1234)
+    for trial in range(6):
+        sr = float(rng.choice([8000, 16000, 44100]))
+        n_edges = int(rng.integers(1, 5))
+        edges = [0.0] + sorted(
+            float(f) for f in rng.uniform(sr * 0.01, sr * 0.45, size=n_edges)
+        )
+        overlap = float(rng.choice([0.5, 0.75]))
+        max_block = int(rng.choice([256, 512, 1024]))
+        xover = str(rng.choice(["raised_cosine", "hard_zero"]))
+        cfg = UpmixConfig.make(
+            edges, sr=sr, overlap=overlap, max_block_size=max_block, xover_mode=xover
+        )
+        n = int(rng.integers(2000, 7000))
+        L, R = make_stereo(n, sr, seed=trial)
+        L32, R32 = L.astype(np.float32), R.astype(np.float32)
+        ref = oracle_multiband(L32, R32, cfg)
+        for kernel in ("xla", "mm"):
+            got = upmix_offline(L32, R32, cfg, kernel=kernel)
+            for name, r, g in zip("C Ls Rs".split(), ref, got):
+                if np.max(np.abs(r)) < 1e-7:
+                    continue
+                s = snr_db(r, g)
+                assert s > 60.0, (
+                    f"trial {trial} {kernel}/{name}: {s:.1f} dB "
+                    f"(edges={edges}, ov={overlap}, mb={max_block}, {xover})"
+                )

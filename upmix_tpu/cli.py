@@ -123,6 +123,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="print the realtime factor (audio-sec per wall-sec) after each file",
     )
+    p.add_argument(
+        "--no-compile-cache",
+        action="store_true",
+        help="disable the persistent JAX compilation cache (enabled by "
+        "default at ~/.cache/upmix_tpu/jax; ~3.5x faster warm starts)",
+    )
     p.add_argument("--verbose", action="store_true", help="print per-band config table")
     return p
 
@@ -142,6 +148,11 @@ def parse_edges(text: str):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     edges = parse_edges(args.band_edges)
+
+    if not args.no_compile_cache:
+        from upmix_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
 
     import time
 
