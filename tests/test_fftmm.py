@@ -289,3 +289,45 @@ def test_chunked_rounds_chunk_to_block_lcm():
     ref = oracle_multiband(L.astype(np.float32), R.astype(np.float32), cfg)
     for r, g in zip(ref, got):
         assert snr_db(r, np.asarray(g)) > 60.0
+
+
+def test_chunked_with_omnibus_parity_vs_oracle():
+    import jax
+
+    from upmix_tpu.models.offline import build_offline_chunked_fn
+
+    cfg = UpmixConfig.make([0.0, 100.0, 400.0, 1600.0], sr=8000.0, max_block_size=512)
+    n = 9000
+    L, R = make_stereo(n, cfg.sr, seed=8)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    fn = jax.jit(
+        build_offline_chunked_fn(
+            cfg, n, kernel="mm", chunk=2048, use_pallas=True, use_omnibus=True
+        )
+    )
+    got = fn(jnp.asarray(L32), jnp.asarray(R32))
+    for name, r, g in zip("C Ls Rs".split(), ref, got):
+        s = snr_db(r, np.asarray(g))
+        assert s > 60.0, f"{name}: {s:.1f} dB"
+
+
+def test_omnibus_plan_classification():
+    from upmix_tpu.models.offline import _plan_buckets
+    from upmix_tpu.ops.pallas_omnibus import (
+        _DirectSub,
+        _TwoStageSub,
+        make_omnibus_plan,
+    )
+
+    cfg = UpmixConfig.make([0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0], sr=44100.0)
+    plans = _plan_buckets(cfg, 2**17)
+    op, leftover = make_omnibus_plan(plans, 2**17)
+    kinds = {s.B: type(s).__name__ for s in op.subs}
+    # 65536 exceeds the tile cap (VMEM blocks); 4096's direct weights are
+    # VMEM-hungry — both stay outside the omnibus.
+    assert kinds[16384] == "_TwoStageSub"
+    assert kinds[1024] == "_DirectSub"
+    assert kinds[256] == "_DirectSub"
+    assert sorted(p.block_size for p in leftover) == [4096, 65536]
+    assert op.tile == 16384 and op.halo == 12288

@@ -257,14 +257,19 @@ def build_offline_chunked_fn(
     kernel: str = "auto",
     chunk: int = CHUNK_SAMPLES,
     use_pallas: bool | None = None,
+    use_omnibus: bool | None = None,
 ):
     """Chunked-scan variant of build_offline_fn (kernel 'mm' only).
 
     Returns fn(L, R) -> (C, Ls, Rs) each [n_samples].  One compiled chunk
-    body is reused across ceil(n/chunk) scan steps.  Small-block buckets
-    run the fused pallas engine (ops/pallas_upmix.py) when `use_pallas`
-    (default: on accelerators; interpret-mode on CPU when forced True).
+    body is reused across ceil(n/chunk) scan steps.  With `use_pallas`
+    (default: on accelerators; interpret-mode on CPU when forced True),
+    buckets run in pallas: most of them grouped into ONE omnibus launch
+    per tile (ops/pallas_omnibus.py, unless `use_omnibus` is False), the
+    VMEM-hungry middle bucket in its own fused kernel
+    (ops/pallas_upmix.py).
     """
+    from upmix_tpu.ops.pallas_omnibus import make_omnibus_plan, omnibus_lcr
     from upmix_tpu.ops.pallas_upmix import fused_bucket_lcr, make_fused_plan
 
     plans = _plan_buckets(config, chunk)  # geometry is per-chunk
@@ -280,10 +285,16 @@ def build_offline_chunked_fn(
     on_cpu = jax.default_backend() == "cpu"
     if use_pallas is None:
         use_pallas = not on_cpu
+    if use_omnibus is None:
+        use_omnibus = use_pallas
 
+    omni_plan = None
+    xla_plans = list(plans)
     fused_plans = {}
     if use_pallas:
-        for p in plans:
+        if use_omnibus:
+            omni_plan, xla_plans = make_omnibus_plan(plans, chunk)
+        for p in list(xla_plans):
             nz = np.nonzero(p.gains.max(axis=0))[0]
             if not len(nz):
                 continue
@@ -315,7 +326,15 @@ def build_offline_chunked_fn(
 
         def body(carry, seg):  # carry: spill tail [3, halo]
             y = None
-            for p in plans:
+            if omni_plan is not None:
+                main, sp = omnibus_lcr(
+                    seg[:, : chunk + omni_plan.halo], omni_plan, interpret=on_cpu
+                )
+                pad = halo - omni_plan.halo
+                if pad:
+                    sp = jnp.pad(sp, ((0, 0), (0, pad)))
+                y = jnp.concatenate([main, sp], axis=1)  # [3, chunk + halo]
+            for p in xla_plans:
                 B, H = p.block_size, p.hop_size
                 K = B // H
                 F = chunk // H  # frames whose output starts in this chunk
