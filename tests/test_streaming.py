@@ -220,6 +220,6 @@ def test_stream_mixed_k_rejected():
     b2 = BandSpec(f_low=400.0, f_high=4000.0, sr=8000.0, block_size=256, overlap=0.5)
     cfg = UpmixConfig(sr=8000.0, bands=(b1, b2))
     with pytest.raises(ValueError):
-        stream_warmup_blocks(cfg, 256)
+        stream_warmup_blocks(cfg)
     with pytest.raises(ValueError):
         StreamingUpmixer(cfg, 256)

@@ -62,7 +62,7 @@ class _StreamBucketPlan:
     gains: np.ndarray  # [n_bands_in_bucket, n_bins]
 
 
-def stream_warmup_blocks(config: UpmixConfig, hw_block_size: int) -> int:
+def stream_warmup_blocks(config: UpmixConfig) -> int:
     """Uniform readiness latency in hardware blocks: K = block/hop.
 
     Every band's readiness threshold is block*passes = K*hw samples, so
@@ -87,7 +87,7 @@ def stream_warmup_blocks(config: UpmixConfig, hw_block_size: int) -> int:
 
 
 def _plan_stream_buckets(config: UpmixConfig, hw_block_size: int):
-    warmup = stream_warmup_blocks(config, hw_block_size)
+    warmup = stream_warmup_blocks(config)
     plans = []
     for block_size, bands in bucket_bands(config.bands).items():
         hop = bands[0].hop_size
@@ -138,7 +138,7 @@ def init_stream_state(config: UpmixConfig, hw_block_size: int):
     (upmix.cpp:121-127, 164).
     """
     plans = _plan_stream_buckets(config, hw_block_size)
-    warmup = stream_warmup_blocks(config, hw_block_size)
+    warmup = stream_warmup_blocks(config)
     return {
         "history": jnp.zeros((2, warmup * hw_block_size), dtype=jnp.float32),
         "t": jnp.zeros((), dtype=jnp.int32),
@@ -192,7 +192,7 @@ def build_stream_step(config: UpmixConfig, hw_block_size: int):
     2-channel output.  Jit-compatible; scan-compatible.
     """
     plans = _plan_stream_buckets(config, hw_block_size)
-    warmup = stream_warmup_blocks(config, hw_block_size)
+    warmup = stream_warmup_blocks(config)
     hw = hw_block_size
 
     def step(state, x_block):
@@ -244,7 +244,7 @@ class StreamingUpmixer:
     def __init__(self, config: UpmixConfig, hw_block_size: int):
         self.config = config
         self.hw_block_size = int(hw_block_size)
-        self.warmup_blocks = stream_warmup_blocks(config, self.hw_block_size)
+        self.warmup_blocks = stream_warmup_blocks(config)
         # Donate the state: the engine replaces it every call, so the
         # runtime can update buffers in place (lower per-block latency).
         self._step = jax.jit(
@@ -256,12 +256,27 @@ class StreamingUpmixer:
     def reset(self):
         self.state = init_stream_state(self.config, self.hw_block_size)
 
+    def snapshot(self):
+        """Host-side copy of the current state, safe to keep across pushes
+        (the live state buffers are donated and invalidated by the next
+        push_block — checkpoint from this, not from .state directly)."""
+        import numpy as _np
+
+        return jax.tree.map(_np.asarray, self.state)
+
     def push_block(self, in_l, in_r):
         """Feed one hardware block; returns (C, Ls, Rs) each [hw]."""
         x = jnp.stack(
             [jnp.asarray(in_l, jnp.float32), jnp.asarray(in_r, jnp.float32)]
         )
-        self.state, out = self._step(self.state, x)
+        try:
+            self.state, out = self._step(self.state, x)
+        except Exception:
+            # The step donated the state buffers; after a failure mid-call
+            # they may be unusable, so restart the stream rather than
+            # leave the engine permanently broken.
+            self.reset()
+            raise
         return out[0], out[1], out[2]
 
     def _scan_fn(self, n_blocks: int):

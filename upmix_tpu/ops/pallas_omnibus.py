@@ -30,14 +30,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from upmix_tpu.config import EPS
-from upmix_tpu.ops.fftmm import _split, make_real_banded_plan, permute_half_bins
-
-
-def _bf16_pair(w):
-    hi = np.asarray(w, np.float32).astype(jnp.bfloat16)
-    lo = (np.asarray(w, np.float32) - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
-    return np.asarray(hi), np.asarray(lo)
+from upmix_tpu.ops.fftmm import make_real_banded_plan, permute_half_bins
+from upmix_tpu.ops.pallas_upmix import _dot_f32 as _dot3
+from upmix_tpu.ops.pallas_upmix import _mask_sum
+from upmix_tpu.ops.pallas_upmix import _split_bf16 as _bf16_pair
 
 
 @dataclass(frozen=True)
@@ -121,13 +117,14 @@ def make_omnibus_plan(
     leftover = []
     for p in bucket_plans:
         B, H = p.block_size, p.hop_size
-        if B > tile_cap:
+        nz = np.nonzero(p.gains.max(axis=0))[0]
+        if B > tile_cap or not len(nz):
+            # Too big for tile-sized VMEM blocks, or all-zero gains (a
+            # dead bucket would still inflate the tile LCM and halo).
             leftover.append(p)
             continue
-        nz = np.nonzero(p.gains.max(axis=0))[0]
-        lo, hi = (int(nz[0]), int(nz[-1])) if len(nz) else (0, 0)
+        lo, hi = int(nz[0]), int(nz[-1])
         kept = hi - lo + 1
-        n1, n2 = _split(B)
         direct_bytes = B * 2 * kept * 4
         if direct_bytes <= direct_weight_limit:
             dp = make_direct_plan(B, lo, hi, p.analysis_window, p.synthesis_window)
@@ -145,31 +142,7 @@ def make_omnibus_plan(
             # here, small enough for the standalone fused kernel.
             leftover.append(p)
         else:
-            rp = make_real_banded_plan(B, lo, hi)
-            d1s = np.concatenate([rp.d1r, rp.d1i], axis=0)  # [2N1, N1]
-            d2 = np.concatenate([rp.d2r, rp.d2i], axis=1)  # [N2, 2C]
-            e2 = np.concatenate([rp.e2r, rp.e2i], axis=1)  # [C, 2N2]
-            b1 = np.concatenate([rp.d1r, rp.d1i], axis=1)  # [N1, 2N1]
-            d1s_hi, d1s_lo = _bf16_pair(d1s)
-            d2_hi, d2_lo = _bf16_pair(d2)
-            e2_hi, e2_lo = _bf16_pair(e2)
-            b1_hi, b1_lo = _bf16_pair(b1)
-            gains = np.stack([permute_half_bins(rp, g) for g in p.gains]).astype(
-                np.float32
-            )
-            subs.append(
-                _TwoStageSub(
-                    B=B, H=H, n1=rp.n1, n2=rp.n2,
-                    aw=np.asarray(p.analysis_window, np.float32).reshape(rp.n1, rp.n2),
-                    swv=np.asarray(p.synthesis_window, np.float32).reshape(rp.n1, rp.n2),
-                    d1s_hi=d1s_hi, d1s_lo=d1s_lo,
-                    twr=rp.twr, twi=rp.twi,
-                    d2_hi=d2_hi, d2_lo=d2_lo,
-                    e2_hi=e2_hi, e2_lo=e2_lo,
-                    b1_hi=b1_hi, b1_lo=b1_lo,
-                    gains=gains, winv=rp.winv,
-                )
-            )
+            subs.append(make_twostage_sub(p))
     if not subs:
         return None, leftover
     tile = 1
@@ -188,34 +161,67 @@ def make_omnibus_plan(
     )
 
 
-def _dot3(a, b_hi, b_lo):
-    a_hi = a.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    d = lambda x, y: jax.lax.dot(x, y, preferred_element_type=jnp.float32)
-    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+def make_twostage_sub(p) -> _TwoStageSub:
+    """Pack one offline _BucketPlan's 2-stage weights for in-kernel use
+    (shared by the omnibus and big-block kernels)."""
+    B = p.block_size
+    nz = np.nonzero(p.gains.max(axis=0))[0]
+    lo, hi = (int(nz[0]), int(nz[-1])) if len(nz) else (0, 0)
+    rp = make_real_banded_plan(B, lo, hi)
+    d1s = np.concatenate([rp.d1r, rp.d1i], axis=0)  # [2N1, N1]
+    d2 = np.concatenate([rp.d2r, rp.d2i], axis=1)  # [N2, 2C]
+    e2 = np.concatenate([rp.e2r, rp.e2i], axis=1)  # [C, 2N2]
+    b1 = np.concatenate([rp.d1r, rp.d1i], axis=1)  # [N1, 2N1]
+    d1s_hi, d1s_lo = _bf16_pair(d1s)
+    d2_hi, d2_lo = _bf16_pair(d2)
+    e2_hi, e2_lo = _bf16_pair(e2)
+    b1_hi, b1_lo = _bf16_pair(b1)
+    gains = np.stack([permute_half_bins(rp, g) for g in p.gains]).astype(np.float32)
+    return _TwoStageSub(
+        B=B, H=p.hop_size, n1=rp.n1, n2=rp.n2,
+        aw=np.asarray(p.analysis_window, np.float32).reshape(rp.n1, rp.n2),
+        swv=np.asarray(p.synthesis_window, np.float32).reshape(rp.n1, rp.n2),
+        d1s_hi=d1s_hi, d1s_lo=d1s_lo,
+        twr=rp.twr, twi=rp.twi,
+        d2_hi=d2_hi, d2_lo=d2_lo,
+        e2_hi=e2_hi, e2_lo=e2_lo,
+        b1_hi=b1_hi, b1_lo=b1_lo,
+        gains=gains, winv=rp.winv,
+    )
 
 
-def _mask_sum(slre, slim, srre, srim, gains_list):
-    """gain + mask + band sum on SoA spectra; gains_list: per-band arrays."""
-    c_re = c_im = l_re = l_im = r_re = r_im = 0.0
-    for g in gains_list:
-        glre, glim = slre * g, slim * g
-        grre, grim = srre * g, srim * g
-        magl = jnp.sqrt(glre * glre + glim * glim)
-        magr = jnp.sqrt(grre * grre + grim * grim)
-        cross = magl * magr
-        coh = cross / (cross + EPS)
-        bal = (magl - magr) / (magl + magr + EPS)
-        f = 0.5 * coh * (1.0 - jnp.abs(bal))
-        cre = f * (glre + grre)
-        cim = f * (glim + grim)
-        c_re = c_re + cre
-        c_im = c_im + cim
-        l_re = l_re + (glre - cre)
-        l_im = l_im + (glim - cim)
-        r_re = r_re + (grre - cre)
-        r_im = r_im + (grim - cim)
-    return c_re, c_im, l_re, l_im, r_re, r_im
+def twostage_forward_frame(xm, refs):
+    """Forward 2-stage chain for one windowed frame xm [N1, N2] ->
+    (re, im) [N1, C].  refs: the _TwoStageSub ref tuple."""
+    (_aw, _swv, d1s_hi, d1s_lo, twr, twi, d2_hi, d2_lo, *_rest) = refs
+    N1 = xm.shape[0]
+    C = d2_hi.shape[1] // 2
+    A = _dot3(xm.T, d1s_hi[...].T, d1s_lo[...].T)  # [N2, 2N1] = (D1 @ xm)^T
+    a_re = A[:, :N1].T
+    a_im = A[:, N1:].T
+    b_re = a_re * twr[...] - a_im * twi[...]
+    b_im = a_re * twi[...] + a_im * twr[...]
+    p1 = _dot3(b_re, d2_hi[...], d2_lo[...])  # [N1, 2C]
+    p2 = _dot3(b_im, d2_hi[...], d2_lo[...])
+    return p1[:, :C] - p2[:, C:], p1[:, C:] + p2[:, :C]
+
+
+def twostage_inverse_frame(sre, sim, refs):
+    """Inverse 2-stage chain for one spectrum [N1, C] -> y [N1, N2]
+    (synthesis weights winv applied, synthesis window NOT)."""
+    (_aw, _swv, d1s_hi, d1s_lo, twr, twi, _d2h, _d2l, e2_hi, e2_lo,
+     b1_hi, b1_lo, _g, winv) = refs
+    N2 = twr.shape[1]
+    sre = sre * winv[...]
+    sim = sim * winv[...]
+    q1 = _dot3(sre, e2_hi[...], e2_lo[...])  # [N1, 2N2]
+    q2 = _dot3(sim, e2_hi[...], e2_lo[...])
+    t_re = q1[:, :N2] - q2[:, N2:]
+    t_im = q1[:, N2:] + q2[:, :N2]
+    u_re = t_re * twr[...] + t_im * twi[...]
+    u_im = t_im * twr[...] - t_re * twi[...]
+    u = jnp.concatenate([u_re, u_im], axis=0)  # [2N1, N2]
+    return _dot3(u.T, b1_hi[...].T, b1_lo[...].T).T  # [N1, N2]
 
 
 def _frames_of(xloc, B, H, tile):
@@ -262,14 +268,11 @@ def _direct_tile(sub: _DirectSub, xloc, refs, tile, width):
 
 
 def _twostage_tile(sub: _TwoStageSub, xloc, refs, tile, width):
-    (aw, swv, d1s_hi, d1s_lo, twr, twi, d2_hi, d2_lo, e2_hi, e2_lo,
-     b1_hi, b1_lo, g_ref, winv) = refs
+    aw, swv = refs[0], refs[1]
+    g_ref = refs[12]
     B, H, N1, N2 = sub.B, sub.H, sub.n1, sub.n2
-    C = sub.winv.shape[1]
     K = B // H
     M = (tile // H) // K
-    twr_v = twr[...]
-    twi_v = twi[...]
     gains_list = [g_ref[b] for b in range(sub.gains.shape[0])]
 
     # Frames are sliced straight off the VMEM timeline and reshaped per
@@ -286,30 +289,14 @@ def _twostage_tile(sub: _TwoStageSub, xloc, refs, tile, width):
             spec = []
             for ch in range(2):
                 xm = xloc[ch, start : start + B].reshape(N1, N2) * aw[...]
-                A = _dot3(xm.T, d1s_hi[...].T, d1s_lo[...].T)  # [N2, 2N1]
-                a_re = A[:, :N1].T  # [N1, N2]
-                a_im = A[:, N1:].T
-                b_re = a_re * twr_v - a_im * twi_v
-                b_im = a_re * twi_v + a_im * twr_v
-                p1 = _dot3(b_re, d2_hi[...], d2_lo[...])  # [N1, 2C]
-                p2 = _dot3(b_im, d2_hi[...], d2_lo[...])
-                spec.append((p1[:, :C] - p2[:, C:], p1[:, C:] + p2[:, :C]))
+                spec.append(twostage_forward_frame(xm, refs))
             c_re, c_im, l_re, l_im, r_re, r_im = _mask_sum(
                 spec[0][0], spec[0][1], spec[1][0], spec[1][1], gains_list
             )
             for idx, (sre, sim) in enumerate(
                 ((c_re, c_im), (l_re, l_im), (r_re, r_im))
             ):
-                sre = sre * winv[...]
-                sim = sim * winv[...]
-                q1 = _dot3(sre, e2_hi[...], e2_lo[...])  # [N1, 2N2]
-                q2 = _dot3(sim, e2_hi[...], e2_lo[...])
-                t_re = q1[:, :N2] - q2[:, N2:]
-                t_im = q1[:, N2:] + q2[:, :N2]
-                u_re = t_re * twr_v + t_im * twi_v
-                u_im = t_im * twr_v - t_re * twi_v
-                u = jnp.concatenate([u_re, u_im], axis=0)  # [2N1, N2]
-                y = _dot3(u.T, b1_hi[...].T, b1_lo[...].T).T  # [N1, N2]
+                y = twostage_inverse_frame(sre, sim, refs)
                 flats[idx].append((y * swv[...]).reshape(1, B))
         flat_g = jnp.stack(
             [jnp.concatenate(f, axis=1)[0] for f in flats]

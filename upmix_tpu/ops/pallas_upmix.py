@@ -126,6 +126,23 @@ def _mask_soa(slre, slim, srre, srim):
     return cre, cim
 
 
+def _mask_sum(slre, slim, srre, srim, gains_list):
+    """Per-band gain + mask + band sum on SoA spectra (shared by every
+    pallas kernel — keep the precision-critical math in ONE place)."""
+    c_re = c_im = l_re = l_im = r_re = r_im = 0.0
+    for g in gains_list:
+        glre, glim = slre * g, slim * g
+        grre, grim = srre * g, srim * g
+        cre, cim = _mask_soa(glre, glim, grre, grim)
+        c_re = c_re + cre
+        c_im = c_im + cim
+        l_re = l_re + (glre - cre)
+        l_im = l_im + (glim - cim)
+        r_re = r_re + (grre - cre)
+        r_im = r_im + (grim - cim)
+    return c_re, c_im, l_re, l_im, r_re, r_im
+
+
 def _kernel(plan: FusedPlan):
     B, H, TF = plan.block_size, plan.hop_size, plan.tile_frames
     K = B // H
@@ -165,23 +182,9 @@ def _kernel(plan: FusedPlan):
         srre, srim = sr[:, :Kb], sr[:, Kb:]
 
         # Per-band gain + mask, band-summed (static unroll over bands).
-        c_re = jnp.zeros_like(slre)
-        c_im = jnp.zeros_like(slre)
-        l_re = jnp.zeros_like(slre)
-        l_im = jnp.zeros_like(slre)
-        r_re = jnp.zeros_like(slre)
-        r_im = jnp.zeros_like(slre)
-        for b in range(nb):
-            g = g_ref[b, :]
-            glre, glim = slre * g, slim * g
-            grre, grim = srre * g, srim * g
-            cre, cim = _mask_soa(glre, glim, grre, grim)
-            c_re += cre
-            c_im += cim
-            l_re += glre - cre
-            l_im += glim - cim
-            r_re += grre - cre
-            r_im += grim - cim
+        c_re, c_im, l_re, l_im, r_re, r_im = _mask_sum(
+            slre, slim, srre, srim, [g_ref[b, :] for b in range(nb)]
+        )
 
         recs = []
         for sre, sim in ((c_re, c_im), (l_re, l_im), (r_re, r_im)):

@@ -13,19 +13,21 @@ import os
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     """Point JAX at a persistent on-disk compilation cache.
 
-    Precedence: explicit arg > JAX_COMPILATION_CACHE_DIR env (left alone)
-    > ~/.cache/upmix_tpu/jax.  Returns the directory in effect.
+    Precedence: explicit arg > JAX_COMPILATION_CACHE_DIR env >
+    ~/.cache/upmix_tpu/jax.  Returns the directory in effect, or "" when
+    the directory cannot be created (cache silently disabled — e.g.
+    read-only HOME in containers).
     """
     import jax
 
-    env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if cache_dir is None:
-        if env:
-            return env
-        cache_dir = os.path.join(
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
             os.path.expanduser("~"), ".cache", "upmix_tpu", "jax"
         )
-    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        return ""
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return cache_dir
