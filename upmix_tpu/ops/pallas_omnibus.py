@@ -139,7 +139,9 @@ def make_omnibus_plan(
             )
         elif direct_bytes <= (8 << 20):
             # Medium weights (the 4096 bucket): too hungry to share VMEM
-            # here, small enough for the standalone fused kernel.
+            # here, small enough for the standalone fused kernel.  (Its
+            # 2-stage form cannot ride the omnibus either: N2 = 64 is
+            # below the 128-lane width and Mosaic rejects the reshape.)
             leftover.append(p)
         else:
             subs.append(make_twostage_sub(p))
