@@ -10,7 +10,7 @@ compile-time constants.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Iterable, Sequence
 
 EPS = 1e-12

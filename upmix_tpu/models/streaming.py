@@ -33,7 +33,6 @@ discrete channels for parity with the offline path.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
