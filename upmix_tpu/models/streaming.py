@@ -59,6 +59,7 @@ class _StreamBucketPlan:
     analysis_window: np.ndarray  # [block]
     synthesis_window: np.ndarray  # [block]
     gains: np.ndarray  # [n_bands_in_bucket, n_bins]
+    direct: object = None  # (DirectPlan, lo, hi) matmul-DFT fast path, or None
 
 
 def stream_warmup_blocks(config: UpmixConfig) -> int:
@@ -115,6 +116,19 @@ def _plan_stream_buckets(config: UpmixConfig, hw_block_size: int):
         else:
             raise ValueError(f"unknown synthesis mode {config.synthesis!r}")
         gains = np.stack([band_gain_curve(b, dtype=np.float32) for b in bands])
+        # Matmul-DFT fast path (accelerators): the same direct banded
+        # transform as the offline kernels, windows folded into the weight
+        # slices; falls back to jnp.fft when the support is too wide to
+        # bake (same bound as offline) or on CPU (where XLA's FFT wins).
+        direct = None
+        if jax.default_backend() != "cpu":
+            from upmix_tpu.ops.dftmm import make_direct_plan
+
+            nz = np.nonzero(gains.max(axis=0))[0]
+            if len(nz):
+                lo, hi = int(nz[0]), int(nz[-1])
+                if block_size * 2 * (hi - lo + 1) * 4 <= (8 << 20):
+                    direct = (make_direct_plan(block_size, lo, hi, aw, sw), lo, hi)
         plans.append(
             _StreamBucketPlan(
                 block_size=block_size,
@@ -123,6 +137,7 @@ def _plan_stream_buckets(config: UpmixConfig, hw_block_size: int):
                 analysis_window=aw,
                 synthesis_window=sw,
                 gains=gains,
+                direct=direct,
             )
         )
     return plans
@@ -160,16 +175,29 @@ def _bucket_pass_block(plan: _StreamBucketPlan, history: jnp.ndarray, ola: jnp.n
     # Pass p reads history[p*H : p*H + B]; trailing length (P-1)*H + B.
     needed = (P - 1) * H + B
     frames = frame_signal(history[:, :needed], B, H, P)  # [2, P, B]
-    frames = frames * jnp.asarray(plan.analysis_window)
-    spec = jnp.fft.rfft(frames)  # [2, P, n_bins]
-    gains = jnp.asarray(plan.gains)[:, None, :]  # [nb, 1, n_bins]
-    spec_l = spec[0][None] * gains
-    spec_r = spec[1][None] * gains
-    spec_c, spec_ls, spec_rs = center_mask(spec_l, spec_r)
-    summed = jnp.stack(
-        [spec_c.sum(axis=0), spec_ls.sum(axis=0), spec_rs.sum(axis=0)]
-    )  # [3, P, n_bins]
-    rec = jnp.fft.irfft(summed, n=B) * jnp.asarray(plan.synthesis_window)  # [3, P, B]
+    if plan.direct is not None:
+        from upmix_tpu.ops.dftmm import irdft_direct, rdft_direct
+
+        dplan, lo, hi = plan.direct
+        sre, sim = rdft_direct(frames, dplan)  # windows folded; [2, P, kept]
+        g = jnp.asarray(plan.gains[:, lo : hi + 1])[None, :, None, :]
+        spec = jax.lax.complex(sre[:, None] * g, sim[:, None] * g)
+        spec_c, spec_ls, spec_rs = center_mask(spec[0], spec[1])
+        summed = jnp.stack(
+            [spec_c.sum(axis=0), spec_ls.sum(axis=0), spec_rs.sum(axis=0)]
+        )  # [3, P, kept]
+        rec = irdft_direct(jnp.real(summed), jnp.imag(summed), dplan)  # sw folded
+    else:
+        framesw = frames * jnp.asarray(plan.analysis_window)
+        spec = jnp.fft.rfft(framesw)  # [2, P, n_bins]
+        gains = jnp.asarray(plan.gains)[:, None, :]  # [nb, 1, n_bins]
+        spec_l = spec[0][None] * gains
+        spec_r = spec[1][None] * gains
+        spec_c, spec_ls, spec_rs = center_mask(spec_l, spec_r)
+        summed = jnp.stack(
+            [spec_c.sum(axis=0), spec_ls.sum(axis=0), spec_rs.sum(axis=0)]
+        )  # [3, P, n_bins]
+        rec = jnp.fft.irfft(summed, n=B) * jnp.asarray(plan.synthesis_window)
 
     # Sequential OLA over the passes (carried accumulator, as in
     # upmix.cpp:145-162 / center_extraction.py:391-407).
