@@ -223,3 +223,31 @@ def test_stream_mixed_k_rejected():
         stream_warmup_blocks(cfg)
     with pytest.raises(ValueError):
         StreamingUpmixer(cfg, 256)
+
+
+def test_streaming_random_config_fuzz():
+    # Deterministic bounded fuzz over streaming configs: random edges,
+    # overlap in {0.5, 0.75}, hw block sizes — engine must hold >60 dB
+    # against the streaming oracle every draw.
+    rng = np.random.default_rng(4321)
+    for trial in range(4):
+        sr = float(rng.choice([8000, 16000]))
+        n_edges = int(rng.integers(1, 4))
+        edges = [0.0] + sorted(
+            float(f) for f in rng.uniform(sr * 0.02, sr * 0.4, size=n_edges)
+        )
+        overlap = float(rng.choice([0.5, 0.75]))
+        hw = int(rng.choice([128, 256]))
+        cfg = UpmixConfig.make(
+            edges, sr=sr, overlap=overlap, max_block_size=hw * 2,
+            synthesis="analysis", bin_rounding="cpp",
+        )
+        L, R = make_stereo(14 * hw, sr, seed=100 + trial)
+        L32, R32 = L.astype(np.float32), R.astype(np.float32)
+        ref_l, ref_r = oracle_stream_multiband(L32, R32, cfg, hw)
+        s = StreamingUpmixer(cfg, hw)
+        got_l, got_r = s.process_signal(L32, R32, mix="stereo_sum")
+        sl = snr_db(ref_l, np.asarray(got_l))
+        assert sl > 60.0, (
+            f"trial {trial}: {sl:.1f} dB (edges={edges}, ov={overlap}, hw={hw})"
+        )
