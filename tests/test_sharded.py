@@ -148,3 +148,18 @@ def test_dp_sp_mm_kernel_batch():
     assert y.shape == (2, 3, 4000)
     ref = oracle_multiband(L0.astype(np.float32), R0.astype(np.float32), cfg)
     assert snr_db(ref[0], np.asarray(y[0, 0])) > 60.0
+
+
+def test_seq_sharded_mm_with_pallas_parity():
+    # Fused pallas kernels inside shard_map (interpret mode on the CPU
+    # mesh): the local batch rides the kernel's segment axis.
+    cfg = _cfg()
+    mesh = make_mesh({"data": 2, "seq": 4})
+    su = ShardedUpmixer(cfg, mesh, kernel="mm", use_pallas=True)
+    L, R = make_stereo(5000, cfg.sr, seed=8)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    x = np.stack([np.stack([L32, R32]), np.stack([R32, L32])])
+    y = su.process_batch(x)
+    for c in range(3):
+        assert snr_db(ref[c], np.asarray(y[0, c])) > 60.0

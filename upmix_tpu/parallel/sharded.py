@@ -28,15 +28,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # JAX >= 0.4.35 exposes shard_map at top level
     from jax import shard_map as _shard_map
-
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-
 except ImportError:  # pragma: no cover - older JAX
-    from jax.experimental.shard_map import shard_map as _shard_map_legacy
+    from jax.experimental.shard_map import shard_map as _shard_map
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+def shard_map(f, mesh, in_specs, out_specs):
+    # check_vma (varying-mesh-axes checking) rejects pallas_call outputs,
+    # which carry no vma annotation; disable it (check_rep on older JAX).
+    try:
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+    except TypeError:  # pragma: no cover - older JAX spells it check_rep
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+        )
 
 from upmix_tpu.config import UpmixConfig, bucket_bands
 from upmix_tpu.models.offline import _bucket_fold_mm, _plan_buckets, resolve_kernel
@@ -136,14 +142,18 @@ def _local_lcr(
     seq_axis: str,
     axis_size: int,
     kern: str,
+    fused_plans: dict,
+    on_cpu: bool,
     x_loc: jnp.ndarray,
 ):
     """Per-device body: x_loc [..., 2, chunk] -> y_loc [..., 3, chunk].
 
     Two nearest-neighbor `ppermute`s realize the input and output halos.
-    kern="mm" routes each bucket through the matmul-transform kernel
-    (offline._bucket_fold_mm — same code as the single-chip chunked scan);
-    kern="xla" keeps the jnp.fft path (the CPU/virtual-mesh default).
+    kern="mm" routes each bucket through the matmul-transform kernels
+    (same code as the single-chip chunked scan, including the fused pallas
+    engine for eligible buckets — the local batch rides the kernel's
+    segment axis); kern="xla" keeps the jnp.fft path (the CPU/virtual-mesh
+    default).
     """
     # Input halo: receive the first `halo` samples of the right neighbor.
     # (Each device sends its head to its left neighbor; the last device
@@ -154,25 +164,32 @@ def _local_lcr(
     x_ext = jnp.concatenate([x_loc, halo_in], axis=-1)  # [..., 2, chunk+halo]
 
     if kern == "mm":
+        from upmix_tpu.ops.pallas_upmix import fused_bucket_lcr_batch
 
-        def single(xe):  # [2, chunk + halo]
-            y = None
-            for plan in plans:
-                B, H = plan.block_size, plan.hop_size
-                K = B // H
-                F = chunk // H
-                T = (F + K - 1) * H  # = chunk + B - H <= chunk + halo
-                contrib = _bucket_fold_mm(plan, xe[:, :T], F)  # [3, T]
-                pad = chunk + halo - T
-                if pad:
-                    contrib = jnp.pad(contrib, ((0, 0), (0, pad)))
-                y = contrib if y is None else y + contrib
-            return y
+        lead = x_ext.shape[:-2]
+        xb = x_ext.reshape((-1,) + x_ext.shape[-2:])  # [S, 2, chunk+halo]
 
-        fn = single
-        for _ in range(x_loc.ndim - 2):
-            fn = jax.vmap(fn)
-        y_total = fn(x_ext)
+        y_total = None
+        for plan in plans:
+            B, H = plan.block_size, plan.hop_size
+            K = B // H
+            F = chunk // H
+            T = (F + K - 1) * H  # = chunk + B - H <= chunk + halo
+            fp = fused_plans.get(plan.block_size)
+            if fp is not None:
+                main, sp = fused_bucket_lcr_batch(
+                    xb[:, :, :T], fp, interpret=on_cpu
+                )
+                contrib = jnp.concatenate([main, sp], axis=-1)  # [S, 3, T]
+            else:
+                contrib = jax.vmap(
+                    lambda xe, plan=plan, F=F, T=T: _bucket_fold_mm(plan, xe[:, :T], F)
+                )(xb)
+            pad = chunk + halo - T
+            if pad:
+                contrib = jnp.pad(contrib, ((0, 0), (0, 0), (0, pad)))
+            y_total = contrib if y_total is None else y_total + contrib
+        y_total = y_total.reshape(lead + (3, chunk + halo))
     else:
         y_total = jnp.zeros((*x_loc.shape[:-2], 3, chunk + halo), jnp.float32)
         for plan in plans:
@@ -215,6 +232,7 @@ def build_sharded_offline_fn(
     data_axis: str | None = "data",
     seq_axis: str = "seq",
     kernel: str = "auto",
+    use_pallas: bool | None = None,
 ):
     """Build the jitted sharded pipeline.
 
@@ -226,6 +244,30 @@ def build_sharded_offline_fn(
     plan = sequence_plan(config, n_samples, n_seq)
     plans = _plan_buckets(config, plan.chunk)
     kern = resolve_kernel(kernel)
+    on_cpu = jax.default_backend() == "cpu"
+
+    # Fused pallas engine for eligible buckets (same gate as the chunked
+    # scan; interpret-mode when forced on CPU).
+    fused_plans = {}
+    if kern == "mm" and (use_pallas if use_pallas is not None else not on_cpu):
+        from upmix_tpu.models.offline import _PALLAS_WEIGHT_BYTES
+        from upmix_tpu.ops.dftmm import make_direct_plan
+        from upmix_tpu.ops.pallas_upmix import make_fused_plan
+
+        for p in plans:
+            nz = np.nonzero(p.gains.max(axis=0))[0]
+            if not len(nz):
+                continue
+            lo, hi = int(nz[0]), int(nz[-1])
+            if p.block_size * 2 * (hi - lo + 1) * 4 > _PALLAS_WEIGHT_BYTES:
+                continue
+            dp = make_direct_plan(
+                p.block_size, lo, hi, p.analysis_window, p.synthesis_window
+            )
+            fused_plans[p.block_size] = make_fused_plan(
+                p.block_size, p.hop_size, plan.chunk, dp.w_fwd, dp.w_inv,
+                p.gains[:, lo : hi + 1],
+            )
 
     use_data = data_axis is not None and data_axis in mesh.shape
     batch_spec = data_axis if use_data else None
@@ -233,7 +275,10 @@ def build_sharded_offline_fn(
     out_spec = P(batch_spec, None, seq_axis)
 
     def local_fn(x_loc):
-        return _local_lcr(plans, plan.chunk, plan.halo, seq_axis, n_seq, kern, x_loc)
+        return _local_lcr(
+            plans, plan.chunk, plan.halo, seq_axis, n_seq, kern,
+            fused_plans, on_cpu, x_loc,
+        )
 
     sharded = shard_map(local_fn, mesh, in_specs=(in_spec,), out_specs=out_spec)
     fn = jax.jit(sharded)
@@ -248,17 +293,25 @@ class ShardedUpmixer:
     sequence-parallel with halo exchange.
     """
 
-    def __init__(self, config: UpmixConfig, mesh: Mesh | None = None, kernel: str = "auto"):
+    def __init__(
+        self,
+        config: UpmixConfig,
+        mesh: Mesh | None = None,
+        kernel: str = "auto",
+        use_pallas: bool | None = None,
+    ):
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh()
         self.kernel = kernel
+        self.use_pallas = use_pallas
         self._cache = {}
 
     def _compiled(self, n_padded: int):
         key = n_padded
         if key not in self._cache:
             self._cache[key] = build_sharded_offline_fn(
-                self.config, n_padded, self.mesh, kernel=self.kernel
+                self.config, n_padded, self.mesh, kernel=self.kernel,
+                use_pallas=self.use_pallas,
             )
         return self._cache[key]
 
