@@ -35,6 +35,9 @@ def main():
 
     from upmix_tpu.config import UpmixConfig
     from upmix_tpu.models.offline import build_offline_fn
+    from upmix_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # fresh processes reuse compiled programs
 
     config = UpmixConfig.make(list(BAND_EDGES), sr=SR)
     base_fn = build_offline_fn(config, N_SAMPLES)
