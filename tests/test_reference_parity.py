@@ -140,3 +140,51 @@ def test_jax_pipeline_matches_reference_end_to_end(ce):
     for name, r, g in zip("C Ls Rs".split(), ref, got):
         s = snr_db(np.asarray(r), np.asarray(g))
         assert s > 60.0, f"JAX vs REAL reference, {name}: {s:.1f} dB"
+
+
+def test_oracle_matches_reference_default_44k_config(ce):
+    # The headline configuration (main.py:62-73 defaults) end-to-end.
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.oracle import oracle_multiband
+
+    sr = 44100.0
+    edges = [0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0]
+    L, R = make_stereo(2**17, sr, seed=2)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+
+    extractors = ce.chain_bands(
+        band_edges=list(edges),
+        overlap=0.75,
+        window_func=ce.make_blackman_harris,
+        sr=sr,
+        xover_mode="raised_cosine",
+    )
+    ref = ce.extract_center_left_right_multi_band_in_memory(L32, R32, sr, extractors)
+    got = oracle_multiband(L32, R32, UpmixConfig.make(edges, sr=sr))
+    for name, r, g in zip("C Ls Rs".split(), ref, got):
+        s = snr_db(np.asarray(r), np.asarray(g))
+        assert s > 100.0, f"default config {name}: {s:.1f} dB"
+
+
+def test_oracle_matches_reference_hard_zero(ce):
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.oracle import oracle_multiband
+
+    sr = 8000.0
+    edges = [0.0, 400.0, 1600.0]
+    L, R = make_stereo(5000, sr, seed=3)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    extractors = ce.chain_bands(
+        band_edges=list(edges),
+        overlap=0.75,
+        window_func=ce.make_blackman_harris,
+        sr=sr,
+        xover_mode="hard_zero",
+    )
+    ref = ce.extract_center_left_right_multi_band_in_memory(L32, R32, sr, extractors)
+    got = oracle_multiband(
+        L32, R32, UpmixConfig.make(edges, sr=sr, xover_mode="hard_zero")
+    )
+    for name, r, g in zip("C Ls Rs".split(), ref, got):
+        s = snr_db(np.asarray(r), np.asarray(g))
+        assert s > 100.0, f"hard_zero {name}: {s:.1f} dB"
