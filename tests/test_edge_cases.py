@@ -13,7 +13,10 @@ from upmix_tpu.oracle import oracle_multiband
 from helpers import make_stereo, snr_db
 
 
-@pytest.mark.parametrize("overlap", [0.5, 0.875])
+# 0.6 / 0.65 / 0.9 give hop ∤ block — the gather-framing mm path
+# (regression for the round-1 reshape TypeError; reference accepts any
+# overlap with hop >= 1, center_extraction.py:250-254).
+@pytest.mark.parametrize("overlap", [0.5, 0.6, 0.65, 0.875, 0.9])
 def test_offline_parity_other_overlaps(overlap):
     cfg = UpmixConfig.make(
         [0.0, 400.0, 1600.0], sr=8000.0, max_block_size=512, overlap=overlap
@@ -26,6 +29,22 @@ def test_offline_parity_other_overlaps(overlap):
         for name, r, g in zip("C Ls Rs".split(), ref, got):
             s = snr_db(r, g)
             assert s > 60.0, f"{kernel}/{name} @ overlap={overlap}: {s:.1f} dB"
+
+
+def test_nondivisible_overlap_long_input_routes_to_whole_file():
+    # Above the chunk threshold the mm kernel normally runs the chunked
+    # scan; non-divisible overlaps must transparently fall back to the
+    # whole-file gather program instead of crashing.
+    from upmix_tpu.models.offline import build_offline_chunked_fn, build_offline_fn
+
+    cfg = UpmixConfig.make([0.0, 400.0], sr=8000.0, max_block_size=256, overlap=0.6)
+    n = 2**18 + 123
+    fn = build_offline_fn(cfg, n, kernel="mm")
+    L, R = make_stereo(n, cfg.sr, seed=7)
+    c, ls, rs = fn(L.astype(np.float32), R.astype(np.float32))
+    assert c.shape == (n,)
+    with pytest.raises(ValueError, match="hop"):
+        build_offline_chunked_fn(cfg, n)
 
 
 def test_cpp_shipped_48k_config_offline():
@@ -116,13 +135,15 @@ def test_random_config_fuzz_parity():
     # caps, every draw must hold >60 dB parity vs the oracle on both
     # kernels.
     rng = np.random.default_rng(1234)
-    for trial in range(6):
-        sr = float(rng.choice([8000, 16000, 44100]))
+    for trial in range(8):
+        sr = float(rng.choice([8000, 16000, 22050, 44100, 96000]))
         n_edges = int(rng.integers(1, 5))
         edges = [0.0] + sorted(
             float(f) for f in rng.uniform(sr * 0.01, sr * 0.45, size=n_edges)
         )
-        overlap = float(rng.choice([0.5, 0.75]))
+        # Includes non-divisible hops (0.6, 0.9) so the gather-framing mm
+        # path stays covered.
+        overlap = float(rng.choice([0.5, 0.6, 0.75, 0.9]))
         max_block = int(rng.choice([256, 512, 1024]))
         xover = str(rng.choice(["raised_cosine", "hard_zero"]))
         cfg = UpmixConfig.make(

@@ -120,26 +120,17 @@ def _bucket_lcr(plan: _BucketPlan, L: jnp.ndarray, R: jnp.ndarray, n_samples: in
     return folded[:, :n_samples]
 
 
-def _bucket_fold_mm(plan: _BucketPlan, x_ext: jnp.ndarray, F: int):
-    """One bucket's folded (C, Ls, Rs) over F frames via grouped framing +
-    matmul transforms.
+def _spectral_lcr_mm(plan: _BucketPlan, fr: jnp.ndarray) -> jnp.ndarray:
+    """Spectral core shared by the grouped and gather framing paths.
 
-    x_ext: [2, T] with T = (F + K - 1) * H, F a multiple of K = block/hop.
-    Frames start at 0, H, ..., (F-1)*H.  Returns [3, T].
-
-    Requires hop | block (true for every power-of-two overlap).  Frames
-    with index ≡ g (mod K) start at g*hop and are exactly one block apart
-    — non-overlapping and contiguous, so framing is K reshapes of slices
-    and the OLA fold is K shifted adds.
+    fr: [2, *lead, B] un-windowed frames -> [3, *lead, B] band-summed,
+    synthesis-windowed LCR frames, via the matmul transforms (direct
+    banded DFT when the kept-bin weight slices fit, 2-stage real SoA
+    matmul FFT otherwise).
     """
-    B, H = plan.block_size, plan.hop_size
-    K = B // H
-    if F % K:
-        raise ValueError(f"frame count {F} must be a multiple of K={K}")
-    M = F // K  # frames per group
-    T = (F + K - 1) * H
-    if x_ext.shape != (2, T):
-        raise ValueError(f"expected x_ext [2, {T}], got {x_ext.shape}")
+    B = plan.block_size
+    n_lead = fr.ndim - 2  # batch dims between channel axis and samples
+    n_bands = plan.gains.shape[0]
 
     # Support restriction: outside the bands' passbands+fades every
     # spectral value is zeroed by the gains, so the transforms only
@@ -149,9 +140,6 @@ def _bucket_fold_mm(plan: _BucketPlan, x_ext: jnp.ndarray, F: int):
     lo, hi = (int(nz[0]), int(nz[-1])) if len(nz) else (0, 0)
     kept = hi - lo + 1
     n1, n2 = _split(B)
-
-    groups = [x_ext[:, g * H : g * H + M * B].reshape(2, M, B) for g in range(K)]
-    fr = jnp.stack(groups, axis=1)  # [2, K, M, B] (un-windowed)
 
     # Direct-DFT weight slices are [B, 2*kept] program constants; bound
     # their size so compiled programs stay small (large blocks use the
@@ -164,14 +152,16 @@ def _bucket_fold_mm(plan: _BucketPlan, x_ext: jnp.ndarray, F: int):
         dplan = make_direct_plan(
             B, lo, hi, plan.analysis_window, plan.synthesis_window
         )
-        sre, sim = rdft_direct(fr, dplan)  # [2, K, M, kept]
-        g = jnp.asarray(plan.gains[:, lo : hi + 1])[None, :, None, None, :]
+        sre, sim = rdft_direct(fr, dplan)  # [2, *lead, kept]
+        g = jnp.asarray(plan.gains[:, lo : hi + 1]).reshape(
+            (1, n_bands) + (1,) * n_lead + (kept,)
+        )
         spec = jax.lax.complex(sre[:, None] * g, sim[:, None] * g)
         sc, sls, srs = center_mask(spec[0], spec[1])
-        summed = jnp.stack([sc, sls, srs]).sum(axis=1)  # [3, K, M, kept]
+        summed = jnp.stack([sc, sls, srs]).sum(axis=1)  # [3, *lead, kept]
         rec = irdft_direct(
             jnp.real(summed), jnp.imag(summed), dplan
-        )  # [3, K, M, B], synthesis-windowed
+        )  # [3, *lead, B], synthesis-windowed
     else:
         # Wide support: 2-stage real SoA matmul FFT in the permuted
         # banded layout.  (An N1=128 asymmetric split was measured and is
@@ -179,14 +169,49 @@ def _bucket_fold_mm(plan: _BucketPlan, x_ext: jnp.ndarray, F: int):
         # elementwise/twiddle passes, not matmul FLOPs.)
         fplan = make_real_banded_plan(B, lo, hi)
         frw = fr * jnp.asarray(plan.analysis_window)
-        sre, sim = rfft_real_banded(frw, fplan)  # [2, K, M, N1, C]
+        sre, sim = rfft_real_banded(frw, fplan)  # [2, *lead, N1, C]
         gains_perm = np.stack([permute_half_bins(fplan, g) for g in plan.gains])
-        g = jnp.asarray(gains_perm)[None, :, None, None, :, :]
+        g = jnp.asarray(gains_perm).reshape(
+            (1, n_bands) + (1,) * n_lead + gains_perm.shape[1:]
+        )
         spec = jax.lax.complex(sre[:, None] * g, sim[:, None] * g)
         sc, sls, srs = center_mask(spec[0], spec[1])
-        summed = jnp.stack([sc, sls, srs]).sum(axis=1)  # [3, K, M, N1, C]
+        summed = jnp.stack([sc, sls, srs]).sum(axis=1)  # [3, *lead, N1, C]
         rec = irfft_real_banded(jnp.real(summed), jnp.imag(summed), fplan)
         rec = rec * jnp.asarray(plan.synthesis_window)
+    return rec
+
+
+def _bucket_fold_mm(plan: _BucketPlan, x_ext: jnp.ndarray, F: int):
+    """One bucket's folded (C, Ls, Rs) over F frames via grouped framing +
+    matmul transforms.
+
+    x_ext: [2, T] with T = (F + K - 1) * H, F a multiple of K = block/hop.
+    Frames start at 0, H, ..., (F-1)*H.  Returns [3, T].
+
+    Requires hop | block (true for every power-of-two overlap).  Frames
+    with index ≡ g (mod K) start at g*hop and are exactly one block apart
+    — non-overlapping and contiguous, so framing is K reshapes of slices
+    and the OLA fold is K shifted adds.  Non-divisible overlaps go
+    through _bucket_lcr_mm_gather instead.
+    """
+    B, H = plan.block_size, plan.hop_size
+    if B % H:
+        raise ValueError(
+            f"grouped framing requires hop | block (block={B}, hop={H}); "
+            "use the gather path for non-divisible overlaps"
+        )
+    K = B // H
+    if F % K:
+        raise ValueError(f"frame count {F} must be a multiple of K={K}")
+    M = F // K  # frames per group
+    T = (F + K - 1) * H
+    if x_ext.shape != (2, T):
+        raise ValueError(f"expected x_ext [2, {T}], got {x_ext.shape}")
+
+    groups = [x_ext[:, g * H : g * H + M * B].reshape(2, M, B) for g in range(K)]
+    fr = jnp.stack(groups, axis=1)  # [2, K, M, B] (un-windowed)
+    rec = _spectral_lcr_mm(plan, fr)  # [3, K, M, B]
 
     # Fold: groups are internally non-overlapping -> flat reshape, then K
     # statically-shifted adds.
@@ -200,14 +225,37 @@ def _bucket_fold_mm(plan: _BucketPlan, x_ext: jnp.ndarray, F: int):
 
 def _bucket_lcr_mm(plan: _BucketPlan, L: jnp.ndarray, R: jnp.ndarray, n_samples: int):
     """Whole-signal wrapper over _bucket_fold_mm (grouped framing + matmul
-    transforms): pads to the grouped geometry and trims to n_samples."""
+    transforms): pads to the grouped geometry and trims to n_samples.
+    Dispatches to the gather path when hop does not divide the block
+    (arbitrary overlaps — reference: center_extraction.py:250-254 accepts
+    any overlap with hop >= 1)."""
     B, H = plan.block_size, plan.hop_size
+    if B % H:
+        return _bucket_lcr_mm_gather(plan, L, R, n_samples)
     K = B // H
     Fp = -(-plan.num_frames // K) * K
     T = (Fp + K - 1) * H
     x = jnp.stack([L, R])
     x = jnp.pad(x, ((0, 0), (0, T - n_samples)))
     return _bucket_fold_mm(plan, x, Fp)[:, :n_samples]
+
+
+def _bucket_lcr_mm_gather(
+    plan: _BucketPlan, L: jnp.ndarray, R: jnp.ndarray, n_samples: int
+):
+    """Matmul-transform bucket for arbitrary overlaps (hop ∤ block).
+
+    Framing is a strided gather and the fold a scatter-add instead of the
+    zero-copy reshapes — only the layout trick is lost; the transforms,
+    gains, and mask are identical to the grouped path.
+    """
+    pad = plan.total_padded - n_samples
+    x = jnp.stack([L, R])
+    x = jnp.pad(x, ((0, 0), (0, pad)))
+    fr = frame_signal(x, plan.block_size, plan.hop_size, plan.num_frames)
+    rec = _spectral_lcr_mm(plan, fr)  # [3, F, B]
+    folded = overlap_add(rec, plan.hop_size)  # [3, total_padded]
+    return folded[:, :n_samples]
 
 
 _KERNELS = ("auto", "mm", "xla")
@@ -274,6 +322,14 @@ def build_offline_chunked_fn(
     from upmix_tpu.ops.pallas_omnibus import make_omnibus_plan, omnibus_lcr
     from upmix_tpu.ops.pallas_upmix import fused_bucket_lcr, make_fused_plan
 
+    bad = [b for b in config.bands if b.block_size % b.hop_size]
+    if bad:
+        raise ValueError(
+            "the chunked scan requires hop | block for every band "
+            f"(got block={bad[0].block_size}, hop={bad[0].hop_size} at "
+            f"overlap={bad[0].overlap}); non-divisible overlaps run as a "
+            "whole-file program (build_offline_fn routes them automatically)"
+        )
     plans = _plan_buckets(config, chunk)  # geometry is per-chunk
     unit = _chain_block_lcm(plans)
     if chunk % unit:
@@ -389,7 +445,8 @@ def build_offline_fn(
     program, or a positive chunk size to override the default.
     """
     kern = resolve_kernel(kernel)
-    if kern == "mm" and chunk != 0:
+    divisible = all(b.block_size % b.hop_size == 0 for b in config.bands)
+    if kern == "mm" and chunk != 0 and divisible:
         chunk_size = chunk if chunk else CHUNK_SAMPLES
         if n_samples > (_CHUNK_THRESHOLD if chunk is None else 0):
             return build_offline_chunked_fn(
