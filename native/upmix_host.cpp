@@ -157,6 +157,38 @@ std::vector<float> make_blackman_harris(int n) {
   return w;
 }
 
+// Window kinds mirror upmix_tpu/ops/windows.py (same formulas as the
+// NumPy generators, double math cast to float32):
+//   0 = blackman_harris, 1 = sqrt_hann, 2 = hann, 3 = blackman,
+//   4 = hamming, 5 = rect
+std::vector<float> make_window(int kind, int n) {
+  if (kind == 0) return make_blackman_harris(n);
+  std::vector<float> w(n, 1.0f);
+  if (kind == 5 || n < 2) return w;  // rect; degenerate n matches numpy's [1.]
+  for (int i = 0; i < n; ++i) {
+    double x = 2.0 * M_PI * i / (n - 1);
+    double v;
+    switch (kind) {
+      case 1:  // sqrt(hann)
+        v = std::sqrt(0.5 - 0.5 * std::cos(x));
+        break;
+      case 2:  // hann
+        v = 0.5 - 0.5 * std::cos(x);
+        break;
+      case 3:  // blackman
+        v = 0.42 - 0.5 * std::cos(x) + 0.08 * std::cos(2 * x);
+        break;
+      case 4:  // hamming
+        v = 0.54 - 0.46 * std::cos(x);
+        break;
+      default:
+        v = 1.0;
+    }
+    w[i] = (float)v;
+  }
+  return w;
+}
+
 std::vector<float> design_wola_synthesis(const std::vector<float>& aw, int hop) {
   int L = (int)aw.size();
   int K = L / hop;  // frames overlapping each sample at this hop
@@ -354,9 +386,12 @@ extern "C" {
 // xover_mode: 0 = raised_cosine (live-fade), 1 = hard_zero
 // synthesis:  0 = wola, 1 = analysis (C++-reference parity)
 // rounding:   0 = python, 1 = cpp
+// window:     0 = blackman_harris, 1 = sqrt_hann, 2 = hann, 3 = blackman,
+//             4 = hamming, 5 = rect (see make_window)
 void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
                    int xover_mode, int synthesis, int rounding,
-                   double threshold_multi, double xo_fraction) {
+                   double threshold_multi, double xo_fraction, int window) {
+  if (window < 0 || window > 5) return nullptr;
   if (sr <= 0 || hw_block < 4 || n_edges < 1) return nullptr;
   std::vector<double> e(edges, edges + n_edges);
   if (e.back() < sr / 2.0) e.push_back(sr / 2.0);
@@ -382,7 +417,7 @@ void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
     b.hop = b.block / 4;  // fixed 75% overlap in the streaming engine
     if (b.hop < 1 || hw_block % b.hop != 0) { delete eng; return nullptr; }
     b.passes = hw_block / b.hop;
-    b.aw = make_blackman_harris(b.block);
+    b.aw = make_window(window, b.block);
     b.sw = synthesis == 0 ? design_wola_synthesis(b.aw, b.hop) : b.aw;
     double w_hi = e[i + 1] * xo_fraction;
     b.gain = band_gain_curve(e[i], e[i + 1], sr, b.block, xover_mode,

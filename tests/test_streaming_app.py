@@ -57,6 +57,40 @@ def test_run_streaming_native_matches_jax(wav_path, tmp_path):
     assert err < 1e-3, f"jax/native mismatch {err}"
 
 
+def test_run_streaming_split_export(wav_path, tmp_path):
+    # export_mode="split": the three discrete channels with the offline
+    # split layout (Ls/-, C/C, -/Rs).
+    out = run_streaming(
+        wav_path,
+        out_dir=tmp_path / "out",
+        hw_block_size=256,
+        band_edges=[0, 400, 1600],
+        export_mode="split",
+    )
+    assert len(out.paths) == 3
+    tags = [os.path.basename(p) for p in out.paths]
+    assert any("_Ls_" in t for t in tags)
+    assert any("_C_" in t for t in tags)
+    assert any("_Rs_" in t for t in tags)
+    ls, _ = read_wav(out.paths[0])
+    c, _ = read_wav(out.paths[1])
+    rs, _ = read_wav(out.paths[2])
+    assert np.abs(ls[:, 1]).max() == 0.0  # Ls right channel silent
+    assert np.array_equal(c[:, 0], c[:, 1])  # C duplicated
+    assert np.abs(rs[:, 0]).max() == 0.0  # Rs left channel silent
+    # stereo_sum must be reconstructable from the split outputs.
+    sum_out = run_streaming(
+        wav_path, out_dir=tmp_path / "sum", hw_block_size=256,
+        band_edges=[0, 400, 1600],
+    )
+    w, _ = read_wav(sum_out.paths[0])
+    np.testing.assert_allclose(w[:, 0], ls[:, 0] + 0.5 * c[:, 0], atol=1e-6)
+    np.testing.assert_allclose(w[:, 1], rs[:, 1] + 0.5 * c[:, 1], atol=1e-6)
+
+    with pytest.raises(ValueError):
+        run_streaming(wav_path, out_dir=tmp_path / "x", export_mode="AB")
+
+
 def test_run_streaming_bad_engine(wav_path, tmp_path):
     with pytest.raises(ValueError):
         run_streaming(wav_path, out_dir=tmp_path, hw_block_size=256, engine="cuda")
@@ -111,8 +145,27 @@ def test_cli_upmixer_cache_reuse(tmp_path):
             upmixer_cache=cache,
         )
     assert len(cache) == 1
-    up = cache[sr]
+    up = next(iter(cache.values()))
     assert len(up._cache) == 1  # both lengths padded to one compiled program
+
+
+def test_upmixer_cache_config_keyed(tmp_path):
+    # A shared cache must NOT reuse an Upmixer across differing configs
+    # (round-1 advisor finding: it was keyed by sample rate only).
+    from upmix_tpu.app import run_offline
+
+    sr = 8000
+    L, R = make_stereo(2000, float(sr), seed=0)
+    p = tmp_path / "in.wav"
+    write_wav(p, np.column_stack([L, R]).astype(np.float32), sr, subtype="FLOAT")
+    cache = {}
+    run_offline(p, out_dir=tmp_path / "out", band_edges=[0, 400],
+                max_block_size=256, upmixer_cache=cache)
+    run_offline(p, out_dir=tmp_path / "out", band_edges=[0, 400, 1600],
+                max_block_size=256, upmixer_cache=cache)
+    assert len(cache) == 2
+    n_bands = sorted(len(k[0].bands) for k in cache)
+    assert n_bands == [2, 3]
 
 
 def test_demo_entry(tmp_path, wav_path):

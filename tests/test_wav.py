@@ -90,3 +90,26 @@ def test_odd_sized_data_chunk_alignment(tmp_path):
     write_wav(path, x, 8000, subtype="PCM_24")
     y, _ = read_wav(path)
     np.testing.assert_allclose(y, x, atol=2**-22)
+
+
+def test_non_wav_error_mentions_soundfile(tmp_path):
+    from upmix_tpu.io import wav as wavmod
+
+    p = tmp_path / "x.flac"
+    p.write_bytes(b"fLaC" + b"\x00" * 64)
+    if wavmod._sf is not None:
+        pytest.skip("soundfile installed; fallback error path not reachable")
+    with pytest.raises(ValueError, match="soundfile"):
+        read_wav(p)
+
+
+def test_flac_roundtrip_via_soundfile(tmp_path):
+    sf = pytest.importorskip("soundfile")
+    if not hasattr(sf, "write"):
+        pytest.skip("soundfile is a test stub")
+    x = np.linspace(-0.5, 0.5, 1000).astype(np.float32)
+    p = tmp_path / "x.flac"
+    sf.write(p, np.column_stack([x, x]), 8000, format="FLAC")
+    y, sr = read_wav(p)
+    assert sr == 8000 and y.shape == (1000, 2)
+    np.testing.assert_allclose(y[:, 0], x, atol=2e-4)

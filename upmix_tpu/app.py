@@ -142,19 +142,28 @@ def run_streaming(
     bin_rounding: str = "cpp",
     engine: str = "jax",
     subtype: str = "FLOAT",
+    export_mode: str = "stereo_sum",
     verbose: bool = False,
 ) -> ExportResult:
-    """Streaming (block-based) pipeline: WAV → block engine → 2-channel
-    stereo_sum WAV, simulating the real-time path offline.
+    """Streaming (block-based) pipeline: WAV → block engine → WAV,
+    simulating the real-time path offline.
 
     Defaults replicate the C++ reference's shipped configuration: 4 bands
     at 0/500/2000/8000 Hz, 2048-sample hardware blocks, plain-BH synthesis
     and hard C++ bin rounding (bela/upmix.cpp:521-528; README.md:65).
     engine="jax" runs the scan-based TPU engine; engine="native" runs the
     C++ host shell (requires `make -C native`).
+
+    export_mode="stereo_sum" writes the reference Bela downmix (one
+    2-channel file, Ls+C/2 | Rs+C/2); export_mode="split" writes the three
+    discrete channels with the offline split layout (Ls/–, C/C, –/Rs).
     """
     from upmix_tpu.config import UpmixConfig
 
+    if export_mode not in ("stereo_sum", "split"):
+        raise ValueError(
+            f"streaming export_mode must be 'stereo_sum' or 'split', got {export_mode!r}"
+        )
     L, R, sr, _peak = load_stereo(in_path)
     L32, R32 = L.astype(np.float32), R.astype(np.float32)
 
@@ -169,13 +178,13 @@ def run_streaming(
         bin_rounding=bin_rounding,
         verbose=verbose,
     )
+    mix = "stereo_sum" if export_mode == "stereo_sum" else "lcr"
 
     if engine == "jax":
         from upmix_tpu.models.streaming import StreamingUpmixer
 
         s = StreamingUpmixer(config, hw_block_size)
-        out_l, out_r = s.process_signal(L32, R32, mix="stereo_sum")
-        out_l, out_r = np.asarray(out_l), np.asarray(out_r)
+        outs = tuple(np.asarray(o) for o in s.process_signal(L32, R32, mix=mix))
     elif engine == "native":
         from upmix_tpu.native import NativeStreamingUpmixer
 
@@ -187,22 +196,39 @@ def run_streaming(
             synthesis=synthesis,
             bin_rounding=bin_rounding,
             threshold_factor=threshold_factor,
+            window=window,
         )
-        out_l, out_r = eng.process_signal(L32, R32, mix="stereo_sum")
+        outs = eng.process_signal(L32, R32, mix=mix)
     else:
         raise ValueError(f"unknown engine {engine!r}; one of ('jax', 'native')")
 
     os.makedirs(out_dir, exist_ok=True)
     info = band_info_str(config)
     base = os.path.splitext(os.path.basename(str(in_path)))[0]
-    path = os.path.join(
-        out_dir, f"{base}_Stream_hw{hw_block_size}_{info}.wav"
-    )
-    write_wav(path, np.column_stack([out_l, out_r]), sr, subtype=subtype)
-    log.info(
-        "[Stream:%s] Wrote 2-ch => %s (Left = Ls+C/2, Right = Rs+C/2)", engine, path
-    )
-    return ExportResult(paths=[path], scale_factor=1.0, n_samples=len(out_l), sr=sr)
+    paths = []
+    if export_mode == "stereo_sum":
+        out_l, out_r = outs
+        path = os.path.join(out_dir, f"{base}_Stream_hw{hw_block_size}_{info}.wav")
+        write_wav(path, np.column_stack([out_l, out_r]), sr, subtype=subtype)
+        log.info(
+            "[Stream:%s] Wrote 2-ch => %s (Left = Ls+C/2, Right = Rs+C/2)", engine, path
+        )
+        paths.append(path)
+    else:
+        C, Ls, Rs = outs
+        layouts = [
+            ("Ls", np.column_stack([Ls, np.zeros_like(Ls)])),
+            ("C", np.column_stack([C, C])),
+            ("Rs", np.column_stack([np.zeros_like(Rs), Rs])),
+        ]
+        for tag, data in layouts:
+            path = os.path.join(
+                out_dir, f"{base}_Stream_hw{hw_block_size}_{tag}_{info}.wav"
+            )
+            write_wav(path, data, sr, subtype=subtype)
+            log.info("[Stream:%s] Wrote => %s", engine, path)
+            paths.append(path)
+    return ExportResult(paths=paths, scale_factor=1.0, n_samples=len(outs[0]), sr=sr)
 
 
 def run_offline(
@@ -227,16 +253,16 @@ def run_offline(
     """Full offline pipeline: load → upmix → scale → export.
 
     Defaults replicate main.py:29-73 (minus its edit-the-source config).
-    Pass a pre-built `upmixer`, or a shared `upmixer_cache` dict (keyed by
-    sample rate internally) to reuse compiled programs across a batch of
-    files.
+    Pass a pre-built `upmixer`, or a shared `upmixer_cache` dict to reuse
+    compiled programs across a batch of files — the cache is keyed by the
+    full config identity (UpmixConfig is hashable) plus kernel and
+    pad_granularity, so one cache is safe to share across calls with
+    differing flags or sample rates.
     """
     if export_mode not in EXPORT_MODES:
         raise ValueError(f"unknown export_mode {export_mode!r}; one of {EXPORT_MODES}")
     L, R, sr, peak_in = load_stereo(in_path)
 
-    if upmixer is None and upmixer_cache is not None:
-        upmixer = upmixer_cache.get(sr)
     if upmixer is None:
         config = UpmixConfig.make(
             list(band_edges),
@@ -250,9 +276,13 @@ def run_offline(
             bin_rounding=bin_rounding,
             verbose=verbose,
         )
-        upmixer = Upmixer(config, pad_granularity=pad_granularity, kernel=kernel)
+        cache_key = (config, kernel, pad_granularity)
         if upmixer_cache is not None:
-            upmixer_cache[sr] = upmixer
+            upmixer = upmixer_cache.get(cache_key)
+        if upmixer is None:
+            upmixer = Upmixer(config, pad_granularity=pad_granularity, kernel=kernel)
+            if upmixer_cache is not None:
+                upmixer_cache[cache_key] = upmixer
     config = upmixer.config
 
     C, Ls, Rs = upmixer.process_np(L.astype(np.float32), R.astype(np.float32))

@@ -32,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
         default="stereo_sum",
         choices=EXPORT_MODES,
         help="AB (upmix-vs-original), split (3 stereo files), stereo_sum "
-        "(Ls+C/2 | Rs+C/2); default stereo_sum as in the reference main.py",
+        "(Ls+C/2 | Rs+C/2); default stereo_sum as in the reference main.py. "
+        "With --streaming: stereo_sum or split",
     )
     p.add_argument(
         "--band-edges",
@@ -102,7 +103,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--streaming",
         action="store_true",
         help="run the block-based streaming engine instead of the offline "
-        "pipeline (2-channel stereo_sum output, C++-reference defaults)",
+        "pipeline (stereo_sum or split output, C++-reference defaults)",
     )
     p.add_argument(
         "--hw-block",
@@ -140,8 +141,10 @@ def parse_edges(text: str):
         raise SystemExit(f"error: --band-edges must be comma-separated numbers, got {text!r}")
     if not edges:
         raise SystemExit("error: --band-edges is empty")
-    if sorted(edges) != edges:
+    if any(b <= a for a, b in zip(edges, edges[1:])):
         raise SystemExit("error: --band-edges must be ascending")
+    if edges[0] < 0:
+        raise SystemExit("error: --band-edges must be non-negative")
     return edges
 
 
@@ -159,6 +162,11 @@ def main(argv=None) -> int:
     if args.streaming:
         from upmix_tpu.app import run_streaming
 
+        if args.export_mode == "AB":
+            raise SystemExit(
+                "error: --export-mode AB needs the original signal aligned with "
+                "the upmix; the streaming path supports stereo_sum or split"
+            )
         for path in args.inputs:
             t0 = time.perf_counter()
             result = run_streaming(
@@ -173,6 +181,7 @@ def main(argv=None) -> int:
                 bin_rounding=args.bin_rounding or "cpp",
                 engine=args.engine,
                 subtype=args.subtype,
+                export_mode=args.export_mode,
                 verbose=args.verbose,
             )
             _report(args, result, path, t0)

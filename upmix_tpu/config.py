@@ -244,8 +244,19 @@ def chain_bands(
     Appends sr/2 if the last edge is below Nyquist; each band's low fade
     width is the previous band's high fade width, and the high fade width is
     `xo_fraction` of its upper edge.
+
+    Edges must be non-negative and strictly ascending — the reference
+    silently produces degenerate bands otherwise (via the bin swap in the
+    band-limit filter); this library validates at config time, matching
+    the CLI's checks.
     """
     band_edges = list(band_edges)
+    if not band_edges:
+        raise ValueError("band_edges is empty")
+    if band_edges[0] < 0.0:
+        raise ValueError(f"band_edges must be non-negative, got {band_edges[0]}")
+    if any(b <= a for a, b in zip(band_edges, band_edges[1:])):
+        raise ValueError(f"band_edges must be ascending, got {band_edges}")
     if band_edges[-1] < (sr / 2.0):
         band_edges = band_edges + [sr / 2.0]
 

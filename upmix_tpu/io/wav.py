@@ -1,12 +1,16 @@
-"""Pure-NumPy WAV I/O.
+"""Audio file I/O: dependency-free RIFF/WAVE codec + optional soundfile.
 
-The reference uses `soundfile` (main.py:22,43,119); this environment has
-none, so the framework ships a dependency-free RIFF/WAVE codec with the
-same conventions: reads return float64 normalized to [-1, 1) for integer
-PCM, writes default to 32-bit IEEE float.
+The reference reads anything libsndfile supports via `soundfile`
+(main.py:22,43,119 — FLAC/AIFF/OGG included).  This module ships a
+dependency-free RIFF/WAVE codec with the same conventions (reads return
+float64 normalized to [-1, 1) for integer PCM; writes default to 32-bit
+IEEE float) and uses `soundfile` opportunistically when it is installed:
+non-WAV inputs (FLAC, AIFF, OGG, ...) are routed to soundfile, and raise
+a clear error telling the user to install it otherwise.
 
-Supported: PCM 16/24/32-bit, IEEE float32/float64, WAVE_FORMAT_EXTENSIBLE
-wrapping either, any channel count, arbitrary chunk order.
+Supported natively: PCM 16/24/32-bit, IEEE float32/float64,
+WAVE_FORMAT_EXTENSIBLE wrapping either, any channel count, arbitrary
+chunk order.
 """
 
 from __future__ import annotations
@@ -15,6 +19,14 @@ import struct
 from pathlib import Path
 
 import numpy as np
+
+try:  # pragma: no cover - environment-dependent
+    import soundfile as _sf
+
+    if not hasattr(_sf, "read"):  # guard against injected stubs
+        _sf = None
+except ImportError:
+    _sf = None
 
 _FMT_PCM = 1
 _FMT_FLOAT = 3
@@ -34,10 +46,18 @@ def read_wav(path, always_2d: bool = False):
 
     data is float64; 1-D for mono unless always_2d, else [frames, channels].
     Integer PCM is normalized by 2**(bits-1) (soundfile convention).
+    Non-WAV containers (FLAC/AIFF/OGG/...) are read via `soundfile` when
+    installed (reference: main.py:43 reads anything libsndfile supports).
     """
     raw = Path(path).read_bytes()
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-        raise ValueError(f"{path}: not a RIFF/WAVE file")
+        if _sf is not None:
+            data, sr = _sf.read(path, always_2d=always_2d, dtype="float64")
+            return data, int(sr)
+        raise ValueError(
+            f"{path}: not a RIFF/WAVE file (install `soundfile` to read "
+            "FLAC/AIFF/OGG and other libsndfile formats)"
+        )
 
     fmt = None
     data = None

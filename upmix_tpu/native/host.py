@@ -17,6 +17,14 @@ _LIB_PATH = os.path.join(
 _XOVER_MODES = {"raised_cosine": 0, "hard_zero": 1}
 _SYNTHESIS = {"wola": 0, "analysis": 1}
 _ROUNDING = {"python": 0, "cpp": 1}
+_WINDOWS = {
+    "blackman_harris": 0,
+    "sqrt_hann": 1,
+    "hann": 2,
+    "blackman": 3,
+    "hamming": 4,
+    "rect": 5,
+}
 
 _f32p = ctypes.POINTER(ctypes.c_float)
 
@@ -47,6 +55,7 @@ def _load():
             ctypes.c_int,  # rounding
             ctypes.c_double,  # threshold_multi
             ctypes.c_double,  # xo_fraction
+            ctypes.c_int,  # window
         ]
         lib.upmix_destroy.argtypes = [ctypes.c_void_p]
         lib.upmix_num_bands.restype = ctypes.c_int
@@ -88,12 +97,15 @@ class NativeStreamingUpmixer:
         bin_rounding: str = "python",
         threshold_factor: float = 32.0,
         xo_fraction: float = 0.25,
+        window: str = "blackman_harris",
     ):
         lib = _load()
         edges = np.asarray(list(band_edges), dtype=np.float64)
         self._lib = lib
         self.hw_block_size = int(hw_block_size)
         self.sr = float(sr)
+        if window not in _WINDOWS:
+            raise ValueError(f"unknown window {window!r}; one of {sorted(_WINDOWS)}")
         self._h = lib.upmix_create(
             ctypes.c_double(self.sr),
             self.hw_block_size,
@@ -104,6 +116,7 @@ class NativeStreamingUpmixer:
             _ROUNDING[bin_rounding],
             ctypes.c_double(threshold_factor),
             ctypes.c_double(xo_fraction),
+            _WINDOWS[window],
         )
         if not self._h:
             raise ValueError(
