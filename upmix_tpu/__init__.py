@@ -27,7 +27,7 @@ from upmix_tpu.config import (
     streaming_stft_table,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "EPS",
