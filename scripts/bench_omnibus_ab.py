@@ -1,0 +1,142 @@
+"""A/B benchmark: merged omnibus (all 5 buckets, one launch) vs the
+round-1 configuration (omnibus of 3 + standalone fused 4096 + XLA 65536).
+
+Run on the real chip (ONE process at a time):
+    python scripts/bench_omnibus_ab.py [variants...]
+Variants: old, new, nobig, nomed (default: old new).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SR = 44100.0
+EDGES = (0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0)
+N = int(os.environ.get("BENCH_SAMPLES", 2**21))
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.offline import build_offline_chunked_fn
+    from upmix_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    config = UpmixConfig.make(list(EDGES), sr=SR)
+
+    variants = sys.argv[1:] or ["old", "new"]
+    settings = {
+        "old": dict(omnibus_medium=False, omnibus_big=False),
+        "nobig": dict(omnibus_medium=True, omnibus_big=False),
+        "nomed": dict(omnibus_medium=False, omnibus_big=True),
+        "new": dict(omnibus_medium=True, omnibus_big=True),
+    }
+
+    rng = np.random.default_rng(0)
+    L = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    R = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    L, R = jax.device_put((L, R))
+
+    # Correctness spot-check data (CPU oracle comparison is too slow here;
+    # compare variants against each other instead).
+    outputs = {}
+    for name in variants:
+        base_fn = build_offline_chunked_fn(config, N, **settings[name])
+
+        def step(L, R, seed, base_fn=base_fn):
+            return base_fn(L + seed, R - seed)
+
+        fn = jax.jit(step)
+
+        def run(iters):
+            seed = jnp.zeros((), jnp.float32)
+            out = None
+            for _ in range(iters):
+                out = fn(L, R, seed)
+                seed = out[0][0] * 1e-6
+            return out
+
+        t0 = time.perf_counter()
+        out = run(1)
+        _ = float(np.asarray(out[0][0]))
+        compile_s = time.perf_counter() - t0
+        outputs[name] = np.stack([np.asarray(o[:65536]) for o in out])
+
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(ITERS)
+            _ = float(np.asarray(out[0][0]))
+            times.append((time.perf_counter() - t0) / ITERS)
+        times.sort()
+        ms = times[1] * 1e3
+        rt = (N / SR) / times[1]
+        print(f"{name:6s}  {ms:7.2f} ms/iter  {rt:8.1f}x realtime  (compile+warm {compile_s:.1f}s)  all3={ [round(t*1e3,2) for t in times] }")
+
+    if len(outputs) > 1:
+        names = list(outputs)
+        a = outputs[names[0]]
+        for nm in names[1:]:
+            b = outputs[nm]
+            err = np.abs(a - b).max()
+            denom = np.abs(a).max() + 1e-12
+            print(f"max|{names[0]} - {nm}| = {err:.3e} (rel {err/denom:.2e})")
+
+
+def chunk_sweep():
+    """Chunk-size sweep for the merged omnibus (run: ... sweep)."""
+    import jax
+    import jax.numpy as jnp
+
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.offline import build_offline_chunked_fn
+    from upmix_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    config = UpmixConfig.make(list(EDGES), sr=SR)
+    rng = np.random.default_rng(0)
+    L = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    R = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    L, R = jax.device_put((L, R))
+
+    for chunk in (2**18, 2**19, 2**20, 2**21):
+        fn0 = build_offline_chunked_fn(config, N, chunk=chunk)
+
+        def step(L, R, seed, fn0=fn0):
+            return fn0(L + seed, R - seed)
+
+        fn = jax.jit(step)
+
+        def run(iters):
+            seed = jnp.zeros((), jnp.float32)
+            out = None
+            for _ in range(iters):
+                out = fn(L, R, seed)
+                seed = out[0][0] * 1e-6
+            return out
+
+        out = run(1)
+        _ = float(np.asarray(out[0][0]))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run(ITERS)
+            _ = float(np.asarray(out[0][0]))
+            times.append((time.perf_counter() - t0) / ITERS)
+        times.sort()
+        ms = times[1] * 1e3
+        print(f"chunk 2^{chunk.bit_length()-1}: {ms:7.2f} ms/iter  {(N/SR)/times[1]:8.1f}x")
+
+
+if __name__ == "__main__":
+    if "sweep" in sys.argv:
+        chunk_sweep()
+    else:
+        main()

@@ -314,23 +314,33 @@ def test_chunked_with_omnibus_parity_vs_oracle():
 
 def test_omnibus_plan_classification():
     from upmix_tpu.models.offline import _plan_buckets
-    from upmix_tpu.ops.pallas_omnibus import (
-        _DirectSub,
-        _TwoStageSub,
-        make_omnibus_plan,
-    )
+    from upmix_tpu.ops.pallas_omnibus import make_omnibus_plan
 
     cfg = UpmixConfig.make([0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0], sr=44100.0)
     plans = _plan_buckets(cfg, 2**17)
     op, leftover = make_omnibus_plan(plans, 2**17)
     kinds = {s.B: type(s).__name__ for s in op.subs}
-    # 65536 exceeds the tile cap (VMEM blocks); 4096's direct weights are
-    # VMEM-hungry — both stay outside the omnibus.
-    assert kinds[16384] == "_TwoStageSub"
+    # Round 2: every bucket rides the one launch — narrow buckets direct,
+    # medium/wide as batched block-diagonal 2-stage, 65536 via multi-view
+    # lookahead frames (tile stays at 16384, halo covers the big block).
+    assert kinds[65536] == "_TwoStageBdSub"
+    assert kinds[16384] == "_TwoStageBdSub"
+    assert kinds[4096] == "_TwoStageBdSub"
     assert kinds[1024] == "_DirectSub"
     assert kinds[256] == "_DirectSub"
-    assert sorted(p.block_size for p in leftover) == [4096, 65536]
-    assert op.tile == 16384 and op.halo == 12288
+    assert leftover == []
+    assert op.tile == 16384 and op.halo == 49152 and op.n_views == 4
+    # Round-1 classification still reachable via the compat flags.
+    op1, leftover1 = make_omnibus_plan(
+        plans, 2**17, include_medium=False, include_big=False
+    )
+    assert sorted(p.block_size for p in leftover1) == [4096, 65536]
+    assert op1.tile == 16384 and op1.halo == 12288
+
+    # Stage-1 row restriction: the single-column 65536 bucket keeps only
+    # the k1 rows that can carry a kept bin.
+    big = next(s for s in op.subs if s.B == 65536)
+    assert big.R < big.n1 and big.R % 8 == 0
 
 
 def test_bigblock_kernel_matches_fold():

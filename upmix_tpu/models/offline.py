@@ -271,13 +271,15 @@ def resolve_kernel(kernel: str) -> str:
 
 
 # Long inputs are processed as a scan over fixed-size chunks with
-# overlap-discard halos: working-set locality is what sets throughput on
-# TPU (measured on v5e: 2^18-sample chunks run ~2x faster per sample than
-# one 2^21-sample program and ~3x faster than 2^22), and memory stays
-# bounded for arbitrarily long files.  The spill of each chunk's
-# overlap-add tail is carried into the next chunk — exact semantics, same
-# math as the sequence-parallel halo exchange in parallel/sharded.py.
-CHUNK_SAMPLES = 2**18
+# overlap-discard halos; the spill of each chunk's overlap-add tail is
+# carried into the next chunk — exact semantics, same math as the
+# sequence-parallel halo exchange in parallel/sharded.py.  Round 1
+# measured a hard locality cliff above 2^18-sample chunks; with ALL
+# buckets merged into the single omnibus kernel (round 2) the cliff is
+# gone and 2^21 chunks measure ~4-8% faster (fewer scan steps).  Short
+# inputs clamp the chunk down (build_offline_chunked_fn), so memory stays
+# bounded and small files don't pad up.
+CHUNK_SAMPLES = 2**21
 _CHUNK_THRESHOLD = 2**18  # below this, one whole-file program is faster
 
 
@@ -307,6 +309,8 @@ def build_offline_chunked_fn(
     use_pallas: bool | None = None,
     use_omnibus: bool | None = None,
     use_bigblock: bool = False,
+    omnibus_medium: bool = True,
+    omnibus_big: bool = True,
 ):
     """Chunked-scan variant of build_offline_fn (kernel 'mm' only).
 
@@ -332,6 +336,9 @@ def build_offline_chunked_fn(
         )
     plans = _plan_buckets(config, chunk)  # geometry is per-chunk
     unit = _chain_block_lcm(plans)
+    # Clamp to the input length (unit-rounded) so short inputs don't pad
+    # up to the full default chunk, then round up to the unit.
+    chunk = min(chunk, max(-(-n_samples // unit) * unit, unit))
     if chunk % unit:
         chunk = -(-chunk // unit) * unit
     halo = max(p.block_size - p.hop_size for p in plans)
@@ -352,7 +359,10 @@ def build_offline_chunked_fn(
     bigblock_plans = {}
     if use_pallas:
         if use_omnibus:
-            omni_plan, xla_plans = make_omnibus_plan(plans, chunk)
+            omni_plan, xla_plans = make_omnibus_plan(
+                plans, chunk,
+                include_medium=omnibus_medium, include_big=omnibus_big,
+            )
         for p in list(xla_plans):
             nz = np.nonzero(p.gains.max(axis=0))[0]
             if not len(nz):

@@ -1,22 +1,26 @@
-"""Omnibus pallas kernel: many buckets per launch, summed in VMEM.
+"""Omnibus pallas kernel: ALL buckets in one launch, summed in VMEM.
 
-Leave-one-out profiling shows each bucket costs ~125 us per scan step
-regardless of kernel — launch chains and small-shape stages, not FLOPs or
-HBM.  This kernel processes a GROUP of buckets in one launch per tile of
-the shared timeline: per bucket it frames (zero-copy group reshapes of the
-VMEM-resident tile), transforms (direct banded DFT for narrow buckets;
-2-stage Cooley-Tukey matmuls in the banded layout for wide ones), applies
-gain+mask, inverts, folds — and accumulates every bucket's folded
-contribution into ONE output tile, carrying the combined OLA spill in VMEM
-scratch across the sequential grid.
+Round-1 leave-one-out profiling showed each separately-launched bucket
+costs ~125 us per scan step regardless of kernel.  This kernel processes
+every bucket of the config in one launch per tile of the shared timeline:
+per bucket it frames (zero-copy group reshapes of the VMEM-resident
+tile), transforms (direct banded DFT for narrow buckets; batched
+block-diagonal 2-stage matmuls for medium/wide/huge ones — see
+_TwoStageBdSub), applies gain+mask, inverts, folds at the bucket's
+natural width — and merges every bucket's folded contribution into ONE
+output tile, carrying the combined OLA spill in VMEM scratch across the
+sequential grid.
 
-The tile is the LCM of the included block sizes, so all buckets share the
-two offset input views (tile i, tile i+1).  All matmuls are bf16x3 with
-pre-split hi/lo weight pairs (~1e-6 relative error, ~90+ dB pipeline SNR).
+The tile is the LCM of the small buckets' block sizes (<= tile_cap);
+buckets whose BLOCK exceeds the tile (65536 at the default config) read
+ceil(halo/tile) extra lookahead VIEWS of the input (BlockSpec index maps
+i+1, i+2, ...) and fold through the same spill carry — this replaces
+round 1's tile=LCM attempt (VMEM blowup at the 16 MB scoped default) and
+the manual-DMA bigblock kernel (slower standalone).
 
-The 4096-block bucket of the default config is direct-eligible but its
-12.4 MB of weights would monopolize VMEM here; it keeps its standalone
-fused kernel (ops/pallas_upmix.py).
+All matmuls are bf16x3 with pre-split hi/lo weight pairs (~1e-6 relative
+error, ~100 dB pipeline SNR).  bf16x2 was measured at 56-59 dB end to
+end — below the 60 dB bar; do not retry.
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from upmix_tpu.ops.fftmm import make_real_banded_plan, permute_half_bins
+from upmix_tpu.ops.fftmm import _split, make_real_banded_plan, permute_half_bins
 from upmix_tpu.ops.pallas_upmix import _dot_f32 as _dot3
 from upmix_tpu.ops.pallas_upmix import _mask_sum
 from upmix_tpu.ops.pallas_upmix import _split_bf16 as _bf16_pair
@@ -82,12 +86,76 @@ class _TwoStageSub:
 
 
 @dataclass(frozen=True)
+class _TwoStageBdSub:
+    """Batched block-diagonal 2-stage sub: all M frames of a hop-group go
+    through single left-multiplied matmuls (weights I_M ⊗ D1), with N2
+    pinned to the 128-lane width.  Eliminates both the per-frame unroll
+    and the in-kernel transposes of the original right-multiplied form
+    (measured: the unrolled form cost +2.5 ms/iter for the 4096 bucket).
+
+    Covers B <= tile (frames ≡ g mod K tile contiguously; sub-groups of M
+    such frames per start) and B > tile (M = 1, one start per hop) with
+    identical math: each start reads glen = M*B samples at its offset and
+    its folded flat lands there.
+
+    Stage-1 output rows are restricted to R <= N1: only k1 rows that can
+    carry a kept bin (k1 + N1*k2 in [lo, hi] for some kept column) are
+    computed — a 2.3x MAC cut for single-column buckets like 65536 at
+    44.1 kHz, exact because the dropped rows are annihilated by the gains
+    anyway.
+
+    The kernel is issue-bound on small MXU ops, so the stereo channels
+    ride the LANES of one stage-1 chain (Z = [Z_L | Z_R], stage-2 weights
+    I_2 ⊗ D2) and the three outputs (C, Ls, Rs) ride the lanes of one
+    inverse chain (I_3 ⊗ E2, one stage-B matmul): 18 MXU dots per group
+    instead of 45."""
+
+    B: int
+    H: int
+    n1: int
+    n2: int  # always 128
+    M: int  # frames per sub-group (capped so the kron weights stay small)
+    starts: tuple  # sub-group start offsets within the tile
+    R: int  # kept stage-1 rows (R <= n1)
+    aw2: np.ndarray  # [M*N1, 2*N2] f32 ([aw | aw] — stereo lanes)
+    sw3: np.ndarray  # [M*N1, 3*N2] f32 ([sw | sw | sw] — output lanes)
+    w1s_hi: np.ndarray  # [2*M*R, M*N1] bf16: rows = [I⊗d1r[:R] ; I⊗d1i[:R]]
+    w1s_lo: np.ndarray
+    twr2: np.ndarray  # [M*R, 2*N2] f32
+    twi2: np.ndarray
+    d2b_hi: np.ndarray  # [2*N2, 4C] bf16 (I_2 ⊗ d2)
+    d2b_lo: np.ndarray
+    e2b_hi: np.ndarray  # [3C, 6*N2] bf16 (I_3 ⊗ e2)
+    e2b_lo: np.ndarray
+    twr3: np.ndarray  # [M*R, 3*N2] f32
+    twi3: np.ndarray
+    winv_rep: np.ndarray  # [M*R, C] f32
+    w1i_hi: np.ndarray  # [M*N1, 2*M*R] bf16: [I⊗d1r[:R].T | I⊗d1i[:R].T]
+    w1i_lo: np.ndarray
+    gains_rep: np.ndarray  # [nb, M*R, C] f32
+
+    @property
+    def arrays(self):
+        return (
+            self.aw2, self.sw3, self.w1s_hi, self.w1s_lo,
+            self.twr2, self.twi2, self.d2b_hi, self.d2b_lo,
+            self.e2b_hi, self.e2b_lo, self.twr3, self.twi3,
+            self.winv_rep, self.w1i_hi, self.w1i_lo, self.gains_rep,
+        )
+
+
+@dataclass(frozen=True)
 class OmnibusPlan:
     tile: int
     halo: int
     n_tiles: int
     chunk: int
-    subs: tuple  # mixed _DirectSub / _TwoStageSub
+    subs: tuple  # mixed _DirectSub / _TwoStageBdSub
+
+    @property
+    def n_views(self) -> int:
+        # 1 main view + enough lookahead views to cover the halo.
+        return 1 + -(-self.halo // self.tile)
 
     def arrays(self):
         out = []
@@ -101,32 +169,84 @@ def make_omnibus_plan(
     chunk: int,
     direct_weight_limit: int = 4 << 20,
     tile_cap: int = 16384,
+    include_medium: bool = True,
+    include_big: bool = True,
 ):
     """Build the omnibus plan from offline _BucketPlan records.
 
-    Returns (plan_or_None, leftover): leftover bucket plans are NOT
-    handled here — direct-eligible buckets whose weights exceed
-    `direct_weight_limit` (standalone fused kernel), and buckets whose
-    block exceeds `tile_cap` (the omnibus tile is the LCM of included
-    blocks, and tile-sized in/out VMEM blocks above ~16k samples blow the
-    16 MB scoped-VMEM budget).
+    Every bucket of a typical config rides one launch:
+      - narrow buckets whose direct-DFT weights fit `direct_weight_limit`
+        -> _DirectSub (one matmul per direction);
+      - medium and wide buckets (<= tile_cap) -> _TwoStageBdSub, the
+        batched block-diagonal 2-stage form with N2 pinned to 128 lanes
+        (round 1 had the medium 4096 bucket in a standalone fused direct
+        kernel; both the direct form inside the omnibus (VMEM pressure)
+        and the per-frame-unrolled 2-stage (+2.5 ms) measured slower);
+      - blocks LARGER than the tile (e.g. 65536) -> _TwoStageBdSub with
+        M=1 and one start per hop: the tile stays at tile_cap and the
+        kernel reads ceil(halo/tile) extra lookahead views of the input.
+
+    `include_medium`/`include_big` restore the round-1 classification for
+    A/B benchmarking (scripts/bench_omnibus_ab.py).
+
+    Returns (plan_or_None, leftover): leftover bucket plans must be
+    handled by the caller (dead all-zero-gain buckets, big buckets whose
+    hop doesn't divide the tile, and whatever the compat flags exclude).
     """
     from upmix_tpu.ops.dftmm import make_direct_plan
 
-    subs = []
+    # Pass 1: classify buckets (the tile depends on which are included).
+    picked = []  # (kind, bucket_plan)
     leftover = []
     for p in bucket_plans:
         B, H = p.block_size, p.hop_size
         nz = np.nonzero(p.gains.max(axis=0))[0]
-        if B > tile_cap or not len(nz):
-            # Too big for tile-sized VMEM blocks, or all-zero gains (a
-            # dead bucket would still inflate the tile LCM and halo).
+        if not len(nz):
+            # Dead bucket (all-zero gains) would inflate the tile LCM/halo.
             leftover.append(p)
+            continue
+        if B > tile_cap:
+            # Big bucket: frames span multiple tiles (extra lookahead
+            # views).  Needs hop | tile and hop <= tile.
+            if include_big and H <= tile_cap:
+                picked.append(("big", p))
+            else:
+                leftover.append(p)
             continue
         lo, hi = int(nz[0]), int(nz[-1])
         kept = hi - lo + 1
         direct_bytes = B * 2 * kept * 4
         if direct_bytes <= direct_weight_limit:
+            picked.append(("direct", p))
+        elif direct_bytes <= (8 << 20) and not include_medium:
+            # Round-1 behavior for medium direct-eligible buckets (e.g.
+            # 4096): standalone fused kernel outside the omnibus.
+            leftover.append(p)
+        else:
+            picked.append(("twostage", p))
+    if not picked:
+        return None, leftover
+
+    tile = 1
+    for kind, p in picked:
+        unit = p.hop_size if kind == "big" else p.block_size
+        tile = tile * unit // math.gcd(tile, unit)
+    kept_picked = []
+    for kind, p in picked:
+        if kind == "big" and (tile % p.hop_size or p.hop_size > tile):
+            leftover.append(p)
+        else:
+            kept_picked.append((kind, p))
+    if not kept_picked or tile > tile_cap:
+        return None, leftover + [p for _, p in kept_picked]
+
+    # Pass 2: build the sub records with the tile known.
+    subs = []
+    for kind, p in kept_picked:
+        B, H = p.block_size, p.hop_size
+        if kind == "direct":
+            nz = np.nonzero(p.gains.max(axis=0))[0]
+            lo, hi = int(nz[0]), int(nz[-1])
             dp = make_direct_plan(B, lo, hi, p.analysis_window, p.synthesis_window)
             wf_hi, wf_lo = _bf16_pair(dp.w_fwd)
             wi_hi, wi_lo = _bf16_pair(dp.w_inv)
@@ -137,39 +257,101 @@ def make_omnibus_plan(
                     gains=np.asarray(p.gains[:, lo : hi + 1], np.float32),
                 )
             )
-        elif direct_bytes <= (8 << 20):
-            # Medium weights (the 4096 bucket): too hungry to share VMEM
-            # here, small enough for the standalone fused kernel.  (Its
-            # 2-stage form cannot ride the omnibus either: N2 = 64 is
-            # below the 128-lane width and Mosaic rejects the reshape.)
-            leftover.append(p)
-        else:
-            subs.append(make_twostage_sub(p))
-    if not subs:
-        return None, leftover
-    tile = 1
-    for s in subs:
-        tile = tile * s.B // math.gcd(tile, s.B)
+        elif kind == "twostage":
+            # Frames ≡ g (mod K) tile contiguously with stride B; split
+            # each such run into sub-groups of M frames.  M is capped so
+            # the I_M ⊗ D1 kron weights stay small (their size — and the
+            # block-diagonal FLOP waste — grows with M; per-grid-step
+            # fixed cost shrinks with fewer, larger tiles instead).
+            K = B // H
+            M_full = (tile // H) // K
+            M = M_full
+            while M > 1 and M * B > 65536:
+                M //= 2
+            starts = tuple(
+                g * H + j * M * B
+                for g in range(K)
+                for j in range(M_full // M)
+            )
+            subs.append(make_bd_sub(p, M=M, starts=starts))
+        else:  # big
+            starts = tuple(j * H for j in range(tile // H))
+            subs.append(make_bd_sub(p, M=1, starts=starts))
+
     halo = max(s.B - s.H for s in subs)
     if chunk % tile:
         raise ValueError(f"chunk {chunk} not a multiple of omnibus tile {tile}")
-    if halo > tile:
-        raise ValueError(f"halo {halo} exceeds tile {tile}")
     return (
         OmnibusPlan(
-            tile=tile, halo=halo, n_tiles=chunk // tile, chunk=chunk, subs=tuple(subs)
+            tile=tile, halo=halo, n_tiles=chunk // tile, chunk=chunk,
+            subs=tuple(subs),
         ),
         leftover,
     )
 
 
-def make_twostage_sub(p) -> _TwoStageSub:
+def make_bd_sub(p, M: int, starts: tuple) -> _TwoStageBdSub:
+    """Pack one bucket's batched block-diagonal 2-stage weights.
+
+    N2 is pinned to 128 (Mosaic's 1D->2D shape cast supports only the
+    native lane width); all M frames of a group ride each matmul via
+    I_M ⊗ D1 block-diagonal stage-1/stage-B weights, and the twiddles /
+    windows / gains are pre-tiled M times along the rows.
+    """
+    B = p.block_size
+    n1 = B // 128
+    nz = np.nonzero(p.gains.max(axis=0))[0]
+    lo, hi = (int(nz[0]), int(nz[-1])) if len(nz) else (0, 0)
+    rp = make_real_banded_plan(B, lo, hi, n1=n1)
+    # Stage-1 row restriction: keep k1 rows [0, R) covering every kept bin
+    # (bins outside [lo, hi] are zeroed by the gains, so dropping their
+    # rows is exact).  R is rounded up to the f32 sublane multiple.
+    need_max = max(
+        min(n1 - 1, hi - n1 * c) for c in rp.cols if lo - n1 * c <= n1 - 1
+    )
+    R = min(n1, -(-(need_max + 1) // 8) * 8)
+    eye = np.eye(M, dtype=np.float32)
+    bd_r = np.kron(eye, rp.d1r[:R])  # [M*R, M*N1]
+    bd_i = np.kron(eye, rp.d1i[:R])
+    w1s = np.concatenate([bd_r, bd_i], axis=0)  # [2*M*R, M*N1]
+    # Inverse stage-B: y[n] = sum_{k1<R} d1r[k1,n] u_re[k1] + d1i[k1,n] u_im[k1]
+    w1i = np.concatenate(
+        [np.kron(eye, rp.d1r[:R].T), np.kron(eye, rp.d1i[:R].T)], axis=1
+    )  # [M*N1, 2*M*R]
+    d2 = np.concatenate([rp.d2r, rp.d2i], axis=1)  # [N2, 2C]
+    e2 = np.concatenate([rp.e2r, rp.e2i], axis=1)  # [C, 2N2]
+    d2b = np.kron(np.eye(2, dtype=np.float32), d2)  # [2N2, 4C]
+    e2b = np.kron(np.eye(3, dtype=np.float32), e2)  # [3C, 6N2]
+    w1s_hi, w1s_lo = _bf16_pair(w1s)
+    w1i_hi, w1i_lo = _bf16_pair(w1i)
+    d2b_hi, d2b_lo = _bf16_pair(d2b)
+    e2b_hi, e2b_lo = _bf16_pair(e2b)
+    rep = lambda a, lanes=1: np.tile(np.asarray(a, np.float32), (M, lanes))
+    gains_rep = np.stack(
+        [np.tile(permute_half_bins(rp, g)[:R], (M, 1)) for g in p.gains]
+    ).astype(np.float32)
+    aw = np.asarray(p.analysis_window, np.float32).reshape(n1, rp.n2)
+    sw = np.asarray(p.synthesis_window, np.float32).reshape(n1, rp.n2)
+    return _TwoStageBdSub(
+        B=B, H=p.hop_size, n1=n1, n2=rp.n2, M=M, starts=tuple(starts), R=R,
+        aw2=rep(aw, 2), sw3=rep(sw, 3),
+        w1s_hi=w1s_hi, w1s_lo=w1s_lo,
+        twr2=rep(rp.twr[:R], 2), twi2=rep(rp.twi[:R], 2),
+        d2b_hi=d2b_hi, d2b_lo=d2b_lo, e2b_hi=e2b_hi, e2b_lo=e2b_lo,
+        twr3=rep(rp.twr[:R], 3), twi3=rep(rp.twi[:R], 3),
+        winv_rep=rep(rp.winv[:R]),
+        w1i_hi=w1i_hi, w1i_lo=w1i_lo,
+        gains_rep=gains_rep,
+    )
+
+
+def make_twostage_sub(p, n1: int | None = None) -> _TwoStageSub:
     """Pack one offline _BucketPlan's 2-stage weights for in-kernel use
     (shared by the omnibus and big-block kernels)."""
     B = p.block_size
     nz = np.nonzero(p.gains.max(axis=0))[0]
     lo, hi = (int(nz[0]), int(nz[-1])) if len(nz) else (0, 0)
-    rp = make_real_banded_plan(B, lo, hi)
+    rp = make_real_banded_plan(B, lo, hi, n1=n1)
     d1s = np.concatenate([rp.d1r, rp.d1i], axis=0)  # [2N1, N1]
     d2 = np.concatenate([rp.d2r, rp.d2i], axis=1)  # [N2, 2C]
     e2 = np.concatenate([rp.e2r, rp.e2i], axis=1)  # [C, 2N2]
@@ -269,55 +451,93 @@ def _direct_tile(sub: _DirectSub, xloc, refs, tile, width):
     return _fold(jnp.stack(recs), B, H, K, M, tile, width)
 
 
-def _twostage_tile(sub: _TwoStageSub, xloc, refs, tile, width):
-    aw, swv = refs[0], refs[1]
-    g_ref = refs[12]
-    B, H, N1, N2 = sub.B, sub.H, sub.n1, sub.n2
-    K = B // H
-    M = (tile // H) // K
-    gains_list = [g_ref[b] for b in range(sub.gains.shape[0])]
+def _dot3l(a_hi, a_lo, b):
+    """bf16x3 matmul with the LEFT operand pre-split (constant weights):
+    the activation b is split at runtime.  Mirror of _dot3 (which pre-
+    splits the right operand)."""
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda x, y: jax.lax.dot(x, y, preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
 
-    # Frames are sliced straight off the VMEM timeline and reshaped per
-    # frame (a row-of-2D slice + reshape is the one shape-cast pattern
-    # Mosaic supports here; slicing rows of a stacked [F, B] array is not).
-    # F = K*M is small for wide buckets (4-16): static unroll.
-    spill_b = B - H
-    total = tile + spill_b
+
+def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width):
+    """One tile's contribution from a batched block-diagonal 2-stage sub.
+
+    Per group g: glen = M*B samples at offset g*H, reshaped [M*N1, 128]
+    (zero-copy, native lane width), pushed through left-multiplied
+    block-diagonal stage-1, banded stage-2, gains+mask, and the inverse —
+    every matmul carries all M frames at once, and no transposes appear
+    anywhere.  The group flat [3, M*B] folds at offset g*H.
+    """
+    (aw2, sw3, w1s_hi, w1s_lo, twr2, twi2, d2b_hi, d2b_lo, e2b_hi, e2b_lo,
+     twr3, twi3, winv, w1i_hi, w1i_lo, g_ref) = refs
+    B, H, N2, M = sub.B, sub.H, sub.n2, sub.M
+    rows_t = M * sub.n1  # time-domain rows
+    rows = M * sub.R  # spectral rows (stage-1 restricted to kept bins)
+    C = sub.e2b_hi.shape[0] // 3
+    glen = M * B
+    gains_list = [g_ref[b] for b in range(sub.gains_rep.shape[0])]
     out = None
-    for g in range(K):
-        flats = [[], [], []]
-        for m in range(M):
-            start = g * H + m * B
-            spec = []
-            for ch in range(2):
-                xm = xloc[ch, start : start + B].reshape(N1, N2) * aw[...]
-                spec.append(twostage_forward_frame(xm, refs))
-            c_re, c_im, l_re, l_im, r_re, r_im = _mask_sum(
-                spec[0][0], spec[0][1], spec[1][0], spec[1][1], gains_list
-            )
-            for idx, (sre, sim) in enumerate(
-                ((c_re, c_im), (l_re, l_im), (r_re, r_im))
-            ):
-                y = twostage_inverse_frame(sre, sim, refs)
-                flats[idx].append((y * swv[...]).reshape(1, B))
-        flat_g = jnp.stack(
-            [jnp.concatenate(f, axis=1)[0] for f in flats]
-        )  # [3, M*B]
-        part = jnp.pad(flat_g, ((0, 0), (g * H, total - g * H - M * B)))
+    for start in sub.starts:
+        # Forward: both channels in the lanes of one chain.
+        Z = jnp.concatenate(
+            [
+                xloc[0, start : start + glen].reshape(rows_t, N2),
+                xloc[1, start : start + glen].reshape(rows_t, N2),
+            ],
+            axis=1,
+        ) * aw2[...]  # [rows_t, 2*N2]
+        As = _dot3l(w1s_hi[...], w1s_lo[...], Z)  # [2*rows, 2*N2]
+        a_re, a_im = As[:rows], As[rows:]
+        b_re = a_re * twr2[...] - a_im * twi2[...]
+        b_im = a_re * twi2[...] + a_im * twr2[...]
+        p1 = _dot3(b_re, d2b_hi[...], d2b_lo[...])  # [rows, 4C]
+        p2 = _dot3(b_im, d2b_hi[...], d2b_lo[...])
+        sl = (p1[:, :C] - p2[:, C : 2 * C], p1[:, C : 2 * C] + p2[:, :C])
+        sr = (
+            p1[:, 2 * C : 3 * C] - p2[:, 3 * C :],
+            p1[:, 3 * C :] + p2[:, 2 * C : 3 * C],
+        )
+        c_re, c_im, l_re, l_im, r_re, r_im = _mask_sum(
+            sl[0], sl[1], sr[0], sr[1], gains_list
+        )
+        # Inverse: the three outputs in the lanes of one chain.
+        w = winv[...]
+        S_re = jnp.concatenate([c_re * w, l_re * w, r_re * w], axis=1)  # [rows, 3C]
+        S_im = jnp.concatenate([c_im * w, l_im * w, r_im * w], axis=1)
+        q1 = _dot3(S_re, e2b_hi[...], e2b_lo[...])  # [rows, 6*N2]
+        q2 = _dot3(S_im, e2b_hi[...], e2b_lo[...])
+        # Per output o the lane block is [o*2N2, (o+1)*2N2) with re then im
+        # halves; regroup into u_re/u_im of 3*N2 lanes each.
+        q1_re = jnp.concatenate([q1[:, o * 2 * N2 : o * 2 * N2 + N2] for o in range(3)], axis=1)
+        q1_im = jnp.concatenate([q1[:, o * 2 * N2 + N2 : (o + 1) * 2 * N2] for o in range(3)], axis=1)
+        q2_re = jnp.concatenate([q2[:, o * 2 * N2 : o * 2 * N2 + N2] for o in range(3)], axis=1)
+        q2_im = jnp.concatenate([q2[:, o * 2 * N2 + N2 : (o + 1) * 2 * N2] for o in range(3)], axis=1)
+        t_re = q1_re - q2_im
+        t_im = q1_im + q2_re
+        u_re = t_re * twr3[...] + t_im * twi3[...]
+        u_im = t_im * twr3[...] - t_re * twi3[...]
+        u = jnp.concatenate([u_re, u_im], axis=0)  # [2*rows, 3*N2]
+        y = _dot3l(w1i_hi[...], w1i_lo[...], u) * sw3[...]  # [rows_t, 3*N2]
+        rec = jnp.concatenate(
+            [y[:, o * N2 : (o + 1) * N2].reshape(1, glen) for o in range(3)],
+            axis=0,
+        )  # [3, glen]
+        part = jnp.pad(rec, ((0, 0), (start, width - start - glen)))
         out = part if out is None else out + part
-    if width > total:
-        out = jnp.pad(out, ((0, 0), (0, width - total)))
     return out
 
 
 def _build_kernel(plan: OmnibusPlan):
     tile, halo, n_tiles = plan.tile, plan.halo, plan.n_tiles
+    n_views = plan.n_views
     subs = plan.subs
     counts = [len(s.arrays) for s in subs]
 
     def kernel(*refs):
-        x_ref, x_next_ref = refs[0], refs[1]
-        pos = 2
+        x_views = refs[:n_views]
+        pos = n_views
         sub_refs = []
         for c in counts:
             sub_refs.append(refs[pos : pos + c])
@@ -330,15 +550,43 @@ def _build_kernel(plan: OmnibusPlan):
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        xloc = jnp.concatenate([x_ref[0], x_next_ref[0, :, :halo]], axis=1)
-        width = tile + halo
+        # Slice the LAST view down to the halo remainder BEFORE the concat
+        # (concat-then-slice leaves Mosaic with mismatched vector offsets).
+        rem = tile + halo - (n_views - 1) * tile
+        parts = [xv[0] for xv in x_views[:-1]]
+        parts.append(x_views[-1][0] if rem == tile else x_views[-1][0][:, :rem])
+        xloc = jnp.concatenate(parts, axis=1)
+
+        # Per-tile cost is dominated by vector ops whose width is the fold
+        # width, so each sub folds at its NATURAL width (tile + own spill,
+        # rounded up to the lane width) and the merge concatenates rather
+        # than padding everything to tile + halo (measured: full-width
+        # folds cost ~20 us/tile at halo 49152).  Widest first.
+        order = sorted(
+            range(len(subs)), key=lambda k: -(subs[k].B - subs[k].H)
+        )
         total = None
-        for sub, srefs in zip(subs, sub_refs):
+        for k in order:
+            sub, srefs = subs[k], sub_refs[k]
+            w_nat = tile + (sub.B - sub.H)
+            w_nat = -(-w_nat // 128) * 128  # lane-align the merge boundary
+            if total is not None:
+                w_nat = min(w_nat, total.shape[1])
             if isinstance(sub, _DirectSub):
-                contrib = _direct_tile(sub, xloc, srefs, tile, width)
+                contrib = _direct_tile(sub, xloc, srefs, tile, w_nat)
             else:
-                contrib = _twostage_tile(sub, xloc, srefs, tile, width)
-            total = contrib if total is None else total + contrib
+                contrib = _bd_tile(sub, xloc, srefs, tile, w_nat)
+            if total is None:
+                pad = tile + halo - w_nat
+                total = (
+                    jnp.pad(contrib, ((0, 0), (0, pad))) if pad else contrib
+                )
+            elif w_nat == total.shape[1]:
+                total = total + contrib
+            else:
+                total = jnp.concatenate(
+                    [total[:, :w_nat] + contrib, total[:, w_nat:]], axis=1
+                )
 
         total = jnp.concatenate(
             [total[:, :halo] + acc[...], total[:, halo:]], axis=1
@@ -360,8 +608,9 @@ def omnibus_lcr_batch(x: jnp.ndarray, plan: OmnibusPlan, interpret: bool = False
     spill [S, 3, halo]).
     """
     tile, halo = plan.tile, plan.halo
+    n_views = plan.n_views
     n_seg = x.shape[0]
-    need = plan.chunk + tile
+    need = plan.chunk + (n_views - 1) * tile
     pad = need - x.shape[-1]
     if pad < 0:
         raise ValueError(f"x too long: {x.shape[-1]} > {need}")
@@ -369,8 +618,10 @@ def omnibus_lcr_batch(x: jnp.ndarray, plan: OmnibusPlan, interpret: bool = False
 
     w_arrays = plan.arrays()
     in_specs = [
-        pl.BlockSpec((1, 2, tile), lambda s, i: (s, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2, tile), lambda s, i: (s, 0, i + 1), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 2, tile), lambda s, i, v=v: (s, 0, i + v), memory_space=pltpu.VMEM
+        )
+        for v in range(n_views)
     ]
     for w in w_arrays:
         zeros = (0,) * w.ndim
@@ -391,9 +642,13 @@ def omnibus_lcr_batch(x: jnp.ndarray, plan: OmnibusPlan, interpret: bool = False
             jax.ShapeDtypeStruct((n_seg, 3, halo), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((3, halo), jnp.float32)],
+        # With big subs aboard (weights + per-frame transients for a
+        # B > tile frame) the kernel needs ~19 MB of scoped VMEM — above
+        # the 16 MB default, comfortably under the v5e core's capacity.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )
-    return call(xp, xp, *[jnp.asarray(w) for w in w_arrays])
+    return call(*([xp] * n_views), *[jnp.asarray(w) for w in w_arrays])
 
 
 def omnibus_lcr(x: jnp.ndarray, plan: OmnibusPlan, interpret: bool = False):

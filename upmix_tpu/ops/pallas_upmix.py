@@ -241,6 +241,10 @@ def _build_call(plan: FusedPlan, n_seg: int, interpret: bool):
             jax.ShapeDtypeStruct((n_seg, 3, spill), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((3, spill), jnp.float32)],
+        # Headroom above the 16 MB scoped default: the 4096 bucket's
+        # direct weights alone are ~12.4 MB (hi/lo pairs), and co-residing
+        # with other raised-limit kernels shifts the accounting.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )
 
