@@ -360,3 +360,37 @@ def test_bigblock_kernel_matches_fold():
     ref = np.asarray(_bucket_fold_mm(p, jnp.asarray(x[:, :T]), F))
     assert snr_db(ref[:, :2048], np.asarray(main)) > 100.0
     assert snr_db(ref[:, 2048:], np.asarray(spill)) > 100.0
+
+
+def test_omnibus_bigblock_multiview_parity():
+    # A bucket whose BLOCK exceeds the omnibus tile rides extra lookahead
+    # input views (round 2); check the multi-view fold against the plain
+    # grouped-framing path at tiny sizes (tile_cap=128 makes the 512
+    # bucket "big": halo 384 = 3 extra views).
+    from upmix_tpu.models.offline import _bucket_fold_mm, _plan_buckets
+    from upmix_tpu.ops.pallas_omnibus import make_omnibus_plan, omnibus_lcr
+
+    cfg = UpmixConfig.make([0.0, 2000.0], sr=8000.0, max_block_size=512)
+    chunk = 1024
+    plans = _plan_buckets(cfg, chunk)
+    assert sorted(p.block_size for p in plans) == [128, 512]
+    op, leftover = make_omnibus_plan(plans, chunk, tile_cap=128)
+    assert leftover == []
+    assert op.tile == 128 and op.halo == 384 and op.n_views == 4
+    big = next(s for s in op.subs if s.B == 512)
+    assert type(big).__name__ == "_TwoStageBdSub" and big.M == 1
+
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((2, chunk + op.halo)).astype(np.float32)
+    main, spill = omnibus_lcr(jnp.asarray(x), op, interpret=True)
+
+    ref = None
+    for p in plans:
+        K = p.block_size // p.hop_size
+        F = chunk // p.hop_size
+        T = (F + K - 1) * p.hop_size
+        contrib = np.asarray(_bucket_fold_mm(p, jnp.asarray(x[:, :T]), F))
+        contrib = np.pad(contrib, ((0, 0), (0, chunk + op.halo - T)))
+        ref = contrib if ref is None else ref + contrib
+    got = np.concatenate([np.asarray(main), np.asarray(spill)], axis=1)
+    assert snr_db(ref, got) > 80.0
