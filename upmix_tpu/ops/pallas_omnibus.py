@@ -438,17 +438,27 @@ def _direct_tile(sub: _DirectSub, xloc, refs, tile, width):
     B, H = sub.B, sub.H
     Kb = sub.gains.shape[1]
     chans, K, M = _frames_of(xloc, B, H, tile)
-    sl = _dot3(chans[0], wf_hi[...], wf_lo[...])  # [K*M, 2Kb]
-    sr = _dot3(chans[1], wf_hi[...], wf_lo[...])
+    F = K * M
+    # Channels stacked on the sublanes: one forward dot for both.
+    s2 = _dot3(
+        jnp.concatenate(chans, axis=0), wf_hi[...], wf_lo[...]
+    )  # [2F, 2Kb]
+    sl, sr = s2[:F], s2[F:]
     gains_list = [g_ref[b, :] for b in range(sub.gains.shape[0])]
     c_re, c_im, l_re, l_im, r_re, r_im = _mask_sum(
         sl[:, :Kb], sl[:, Kb:], sr[:, :Kb], sr[:, Kb:], gains_list
     )
-    recs = []
-    for sre, sim in ((c_re, c_im), (l_re, l_im), (r_re, r_im)):
-        s = jnp.concatenate([sre, sim], axis=1)
-        recs.append(_dot3(s, wi_hi[...], wi_lo[...]))  # [K*M, B] (sw folded)
-    return _fold(jnp.stack(recs), B, H, K, M, tile, width)
+    # The three outputs stacked on the sublanes: one inverse dot.
+    s = jnp.concatenate(
+        [
+            jnp.concatenate([c_re, c_im], axis=1),
+            jnp.concatenate([l_re, l_im], axis=1),
+            jnp.concatenate([r_re, r_im], axis=1),
+        ],
+        axis=0,
+    )  # [3F, 2Kb]
+    rec = _dot3(s, wi_hi[...], wi_lo[...])  # [3F, B] (sw folded)
+    return _fold(rec.reshape(3, F, B), B, H, K, M, tile, width)
 
 
 def _dot3l(a_hi, a_lo, b):
