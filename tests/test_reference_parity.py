@@ -188,3 +188,32 @@ def test_oracle_matches_reference_hard_zero(ce):
     for name, r, g in zip("C Ls Rs".split(), ref, got):
         s = snr_db(np.asarray(r), np.asarray(g))
         assert s > 100.0, f"hard_zero {name}: {s:.1f} dB"
+
+
+@pytest.mark.parametrize("overlap", [0.6, 0.9])
+def test_jax_pipeline_matches_reference_arbitrary_overlap(ce, overlap):
+    # Round-2 regression: non-divisible overlaps (hop not dividing block)
+    # run the gather-framing mm path; hold it against the REAL reference,
+    # which accepts any overlap with hop >= 1 (center_extraction.py:250-254).
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.offline import upmix_offline
+
+    sr = 8000.0
+    edges = [0.0, 400.0, 1600.0]
+    L, R = make_stereo(5000, sr, seed=2)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+
+    extractors = ce.chain_bands(
+        band_edges=list(edges),
+        overlap=overlap,
+        window_func=ce.make_blackman_harris,
+        sr=sr,
+        xover_mode="raised_cosine",
+    )
+    ref = ce.extract_center_left_right_multi_band_in_memory(L32, R32, sr, extractors)
+
+    cfg = UpmixConfig.make(edges, sr=sr, overlap=overlap)
+    got = upmix_offline(L32, R32, cfg, kernel="mm")
+    for name, r, g in zip("C Ls Rs".split(), ref, got):
+        s = snr_db(np.asarray(r), np.asarray(g))
+        assert s > 60.0, f"JAX vs REAL reference @ overlap={overlap}, {name}: {s:.1f} dB"
