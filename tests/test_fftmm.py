@@ -374,7 +374,7 @@ def test_omnibus_bigblock_multiview_parity():
     chunk = 1024
     plans = _plan_buckets(cfg, chunk)
     assert sorted(p.block_size for p in plans) == [128, 512]
-    op, leftover = make_omnibus_plan(plans, chunk, tile_cap=128)
+    op, leftover = make_omnibus_plan(plans, chunk, tile_cap=128, min_tile=0)
     assert leftover == []
     assert op.tile == 128 and op.halo == 384 and op.n_views == 4
     big = next(s for s in op.subs if s.B == 512)
@@ -394,3 +394,51 @@ def test_omnibus_bigblock_multiview_parity():
         ref = contrib if ref is None else ref + contrib
     got = np.concatenate([np.asarray(main), np.asarray(spill)], axis=1)
     assert snr_db(ref, got) > 80.0
+
+
+def test_omnibus_random_config_fuzz():
+    # Bounded fuzz of the full pallas path (interpret mode): random edges,
+    # rates, caps, and xover modes through the single-launch omnibus must
+    # hold >60 dB vs the oracle.  (The broader fuzz in test_edge_cases
+    # covers the non-pallas kernels; this one pins the kernel that runs
+    # on the chip.)
+    import jax
+
+    from upmix_tpu.models.offline import build_offline_chunked_fn
+
+    rng = np.random.default_rng(77)
+    for trial in range(4):
+        sr = float(rng.choice([8000, 22050, 48000]))
+        n_edges = int(rng.integers(1, 4))
+        edges = [0.0] + sorted(
+            float(f) for f in rng.uniform(sr * 0.02, sr * 0.45, size=n_edges)
+        )
+        if any(b - a < sr * 0.01 for a, b in zip(edges, edges[1:])):
+            continue  # avoid near-degenerate bands
+        max_block = int(rng.choice([256, 512, 1024]))
+        xover = str(rng.choice(["raised_cosine", "hard_zero"]))
+        cfg = UpmixConfig.make(
+            edges, sr=sr, max_block_size=max_block, xover_mode=xover
+        )
+        unit = 1
+        for b in cfg.bands:
+            unit = unit * b.block_size // np.gcd(unit, b.block_size)
+        chunk = max(2 * unit, 2048)
+        n = int(chunk * 2.5)
+        L, R = make_stereo(n, sr, seed=100 + trial)
+        L32, R32 = L.astype(np.float32), R.astype(np.float32)
+        ref = oracle_multiband(L32, R32, cfg)
+        fn = jax.jit(
+            build_offline_chunked_fn(
+                cfg, n, chunk=chunk, use_pallas=True, use_omnibus=True
+            )
+        )
+        got = fn(jnp.asarray(L32), jnp.asarray(R32))
+        for name, r, g in zip("C Ls Rs".split(), ref, got):
+            if np.max(np.abs(r)) < 1e-7:
+                continue
+            s = snr_db(r, np.asarray(g))
+            assert s > 60.0, (
+                f"trial {trial} {name}: {s:.1f} dB "
+                f"(sr={sr}, edges={edges}, mb={max_block}, {xover})"
+            )

@@ -362,6 +362,9 @@ def build_offline_chunked_fn(
             omni_plan, xla_plans = make_omnibus_plan(
                 plans, chunk,
                 include_medium=omnibus_medium, include_big=omnibus_big,
+                # Interpret mode has no Mosaic layout constraints; real
+                # hardware gates small tiles (see make_omnibus_plan).
+                min_tile=0 if on_cpu else 4096,
             )
         for p in list(xla_plans):
             nz = np.nonzero(p.gains.max(axis=0))[0]

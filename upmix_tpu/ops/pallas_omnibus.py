@@ -171,6 +171,7 @@ def make_omnibus_plan(
     tile_cap: int = 16384,
     include_medium: bool = True,
     include_big: bool = True,
+    min_tile: int = 4096,
 ):
     """Build the omnibus plan from offline _BucketPlan records.
 
@@ -237,7 +238,13 @@ def make_omnibus_plan(
             leftover.append(p)
         else:
             kept_picked.append((kind, p))
-    if not kept_picked or tile > tile_cap:
+    if not kept_picked or tile > tile_cap or tile < min_tile:
+        # min_tile: Mosaic rejects the fold's offset concats for small
+        # tiles on real hardware ("result/input offset mismatch on
+        # non-concat dimension"; measured boundary: tile >= 4096 compiles,
+        # <= 2048 does not).  Leftover buckets run in the standalone fused
+        # kernel (unaffected) or the XLA path.  Interpret-mode callers
+        # pass min_tile=0.
         return None, leftover + [p for _, p in kept_picked]
 
     # Pass 2: build the sub records with the tile known.
@@ -580,8 +587,9 @@ def _build_kernel(plan: OmnibusPlan):
             sub, srefs = subs[k], sub_refs[k]
             w_nat = tile + (sub.B - sub.H)
             w_nat = -(-w_nat // 128) * 128  # lane-align the merge boundary
-            if total is not None:
-                w_nat = min(w_nat, total.shape[1])
+            # The rounding must not overshoot the full width (halo itself
+            # may be lane-unaligned for tiny configs).
+            w_nat = min(w_nat, tile + halo)
             if isinstance(sub, _DirectSub):
                 contrib = _direct_tile(sub, xloc, srefs, tile, w_nat)
             else:
