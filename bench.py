@@ -32,7 +32,7 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", 1))
 # drops per-application time from ~7.1 to ~6.1 ms), which is a transport
 # artifact, not a property of the TPU — chaining measures the sustained
 # on-device throughput a host-attached deployment sees.
-INNER = int(os.environ.get("BENCH_INNER", 10))
+INNER = max(1, int(os.environ.get("BENCH_INNER", 10)))  # 1 = single-dispatch timing
 
 
 def main():
@@ -70,6 +70,8 @@ def main():
     L, R = jax.device_put((L, R))
 
     def run(iters):
+        if iters < 1:
+            return 0.0
         seed = jnp.zeros((), jnp.float32)
         out = None
         for _ in range(iters):

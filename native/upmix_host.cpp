@@ -383,6 +383,12 @@ void band_pass(Engine& e, Band& b, int offset, float* outC, float* outLs,
 
 extern "C" {
 
+// Bumped whenever the upmix_create signature (or any other ABI surface)
+// changes; the Python loader refuses libraries with a different value so
+// a stale .so cannot silently drop arguments (e.g. round 2 added the
+// trailing `window` parameter).
+int upmix_abi_version() { return 2; }
+
 // xover_mode: 0 = raised_cosine (live-fade), 1 = hard_zero
 // synthesis:  0 = wola, 1 = analysis (C++-reference parity)
 // rounding:   0 = python, 1 = cpp

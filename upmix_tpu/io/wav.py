@@ -48,16 +48,22 @@ def read_wav(path, always_2d: bool = False):
     Integer PCM is normalized by 2**(bits-1) (soundfile convention).
     Non-WAV containers (FLAC/AIFF/OGG/...) are read via `soundfile` when
     installed (reference: main.py:43 reads anything libsndfile supports).
+    Raises ValueError for unreadable/unsupported files either way.
     """
-    raw = Path(path).read_bytes()
-    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+    with open(path, "rb") as f:
+        head = f.read(12)
+    if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
         if _sf is not None:
-            data, sr = _sf.read(path, always_2d=always_2d, dtype="float64")
+            try:
+                data, sr = _sf.read(path, always_2d=always_2d, dtype="float64")
+            except Exception as e:  # LibsndfileError is a RuntimeError
+                raise ValueError(f"{path}: unreadable audio file ({e})") from e
             return data, int(sr)
         raise ValueError(
             f"{path}: not a RIFF/WAVE file (install `soundfile` to read "
             "FLAC/AIFF/OGG and other libsndfile formats)"
         )
+    raw = Path(path).read_bytes()
 
     fmt = None
     data = None

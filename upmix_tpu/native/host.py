@@ -40,10 +40,24 @@ def is_available() -> bool:
         return False
 
 
+_ABI_VERSION = 2  # must match upmix_abi_version() in upmix_host.cpp
+
+
 def _load():
     global _LIB
     if _LIB is None:
         lib = ctypes.CDLL(_LIB_PATH)
+        # A stale library would silently drop trailing arguments (the C
+        # calling convention ignores extras) — refuse version mismatches.
+        try:
+            got = lib.upmix_abi_version()
+        except AttributeError:
+            got = 1
+        if got != _ABI_VERSION:
+            raise OSError(
+                f"{_LIB_PATH}: ABI version {got}, expected {_ABI_VERSION} — "
+                "rebuild with `make -C native`"
+            )
         lib.upmix_create.restype = ctypes.c_void_p
         lib.upmix_create.argtypes = [
             ctypes.c_double,  # sr

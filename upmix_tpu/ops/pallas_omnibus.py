@@ -232,12 +232,9 @@ def make_omnibus_plan(
     for kind, p in picked:
         unit = p.hop_size if kind == "big" else p.block_size
         tile = tile * unit // math.gcd(tile, unit)
-    kept_picked = []
-    for kind, p in picked:
-        if kind == "big" and (tile % p.hop_size or p.hop_size > tile):
-            leftover.append(p)
-        else:
-            kept_picked.append((kind, p))
+    # (Every big bucket's hop is folded into the LCM above, so hop | tile
+    # and hop <= tile hold by construction for all picked buckets.)
+    kept_picked = picked
     if not kept_picked or tile > tile_cap or tile < min_tile:
         # min_tile: Mosaic rejects the fold's offset concats for small
         # tiles on real hardware ("result/input offset mismatch on
