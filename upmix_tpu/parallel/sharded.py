@@ -143,17 +143,18 @@ def _local_lcr(
     axis_size: int,
     kern: str,
     fused_plans: dict,
+    omni_plan,
     on_cpu: bool,
     x_loc: jnp.ndarray,
 ):
     """Per-device body: x_loc [..., 2, chunk] -> y_loc [..., 3, chunk].
 
     Two nearest-neighbor `ppermute`s realize the input and output halos.
-    kern="mm" routes each bucket through the matmul-transform kernels
-    (same code as the single-chip chunked scan, including the fused pallas
-    engine for eligible buckets — the local batch rides the kernel's
-    segment axis); kern="xla" keeps the jnp.fft path (the CPU/virtual-mesh
-    default).
+    kern="mm" routes buckets through the matmul-transform kernels — ALL
+    of them in the single omnibus launch when the plan allows (round 2;
+    same kernel as the single-chip chunked scan), leftovers through the
+    standalone fused engine or the grouped-framing fold; kern="xla" keeps
+    the jnp.fft path (the CPU/virtual-mesh default).
     """
     # Input halo: receive the first `halo` samples of the right neighbor.
     # (Each device sends its head to its left neighbor; the last device
@@ -164,12 +165,21 @@ def _local_lcr(
     x_ext = jnp.concatenate([x_loc, halo_in], axis=-1)  # [..., 2, chunk+halo]
 
     if kern == "mm":
+        from upmix_tpu.ops.pallas_omnibus import omnibus_lcr_batch
         from upmix_tpu.ops.pallas_upmix import fused_bucket_lcr_batch
 
         lead = x_ext.shape[:-2]
         xb = x_ext.reshape((-1,) + x_ext.shape[-2:])  # [S, 2, chunk+halo]
 
         y_total = None
+        if omni_plan is not None:
+            main, sp = omnibus_lcr_batch(
+                xb[:, :, : chunk + omni_plan.halo], omni_plan, interpret=on_cpu
+            )
+            y_total = jnp.concatenate([main, sp], axis=-1)  # [S, 3, chunk+oh]
+            pad = chunk + halo - y_total.shape[-1]
+            if pad:
+                y_total = jnp.pad(y_total, ((0, 0), (0, 0), (0, pad)))
         for plan in plans:
             B, H = plan.block_size, plan.hop_size
             K = B // H
@@ -246,15 +256,23 @@ def build_sharded_offline_fn(
     kern = resolve_kernel(kernel)
     on_cpu = jax.default_backend() == "cpu"
 
-    # Fused pallas engine for eligible buckets (same gate as the chunked
-    # scan; interpret-mode when forced on CPU).
+    # Pallas engines (same gates as the chunked scan; interpret-mode when
+    # forced on CPU): the single-launch omnibus covers every bucket it
+    # can, leftovers fall to the standalone fused engine or the grouped
+    # fold.
+    omni_plan = None
     fused_plans = {}
+    leftover_plans = plans
     if kern == "mm" and (use_pallas if use_pallas is not None else not on_cpu):
         from upmix_tpu.models.offline import _PALLAS_WEIGHT_BYTES
         from upmix_tpu.ops.dftmm import make_direct_plan
+        from upmix_tpu.ops.pallas_omnibus import make_omnibus_plan
         from upmix_tpu.ops.pallas_upmix import make_fused_plan
 
-        for p in plans:
+        omni_plan, leftover_plans = make_omnibus_plan(
+            plans, plan.chunk, min_tile=0 if on_cpu else 4096
+        )
+        for p in leftover_plans:
             nz = np.nonzero(p.gains.max(axis=0))[0]
             if not len(nz):
                 continue
@@ -276,8 +294,9 @@ def build_sharded_offline_fn(
 
     def local_fn(x_loc):
         return _local_lcr(
-            plans, plan.chunk, plan.halo, seq_axis, n_seq, kern,
-            fused_plans, on_cpu, x_loc,
+            leftover_plans if kern == "mm" else plans,
+            plan.chunk, plan.halo, seq_axis, n_seq, kern,
+            fused_plans, omni_plan, on_cpu, x_loc,
         )
 
     sharded = shard_map(local_fn, mesh, in_specs=(in_spec,), out_specs=out_spec)
