@@ -399,8 +399,15 @@ def build_offline_chunked_fn(
         x = jnp.pad(x, ((0, 0), (0, n_pad + halo - n_samples)))
         # segments with right halo: [n_seg, 2, chunk + halo]
         idx = np.arange(n_seg) * chunk
-        segs = jnp.stack(
-            [jax.lax.dynamic_slice_in_dim(x, int(s), chunk + halo, axis=1) for s in idx]
+        segs = (
+            x[None]
+            if n_seg == 1
+            else jnp.stack(
+                [
+                    jax.lax.dynamic_slice_in_dim(x, int(s), chunk + halo, axis=1)
+                    for s in idx
+                ]
+            )
         )
 
         def body(carry, seg):  # carry: spill tail [3, halo]
@@ -437,8 +444,13 @@ def build_offline_chunked_fn(
             return y[:, chunk:], out
 
         zero = jnp.zeros((3, halo), jnp.float32)
-        _, outs = jax.lax.scan(body, zero, segs)  # [n_seg, 3, chunk]
-        full = jnp.moveaxis(outs, 0, 1).reshape(3, n_pad)
+        if n_seg == 1:
+            # Single segment: skip the scan and the [n_seg, 3, chunk]
+            # moveaxis/copy entirely (saves ~2 full-output HBM passes).
+            _, full = body(zero, segs[0])
+        else:
+            _, outs = jax.lax.scan(body, zero, segs)  # [n_seg, 3, chunk]
+            full = jnp.moveaxis(outs, 0, 1).reshape(3, n_pad)
         return full[0, :n_samples], full[1, :n_samples], full[2, :n_samples]
 
     return fn
