@@ -343,25 +343,6 @@ def test_omnibus_plan_classification():
     assert big.R < big.n1 and big.R % 8 == 0
 
 
-def test_bigblock_kernel_matches_fold():
-    import jax
-
-    from upmix_tpu.models.offline import _bucket_fold_mm, _plan_buckets
-    from upmix_tpu.ops.pallas_bigblock import bigblock_lcr, make_bigblock_plan
-
-    cfg = UpmixConfig.make([0.0, 400.0, 1600.0], sr=8000.0, max_block_size=512)
-    p = _plan_buckets(cfg, 2048)[0]  # B=512 bucket
-    sub, F = make_bigblock_plan(p, 2048)
-    rng = np.random.default_rng(9)
-    x = rng.standard_normal((2, 2048 + p.block_size - p.hop_size)).astype(np.float32)
-    main, spill = bigblock_lcr(jnp.asarray(x), sub, F, interpret=True)
-    K = p.block_size // p.hop_size
-    T = (F + K - 1) * p.hop_size
-    ref = np.asarray(_bucket_fold_mm(p, jnp.asarray(x[:, :T]), F))
-    assert snr_db(ref[:, :2048], np.asarray(main)) > 100.0
-    assert snr_db(ref[:, 2048:], np.asarray(spill)) > 100.0
-
-
 def test_omnibus_bigblock_multiview_parity():
     # A bucket whose BLOCK exceeds the omnibus tile rides extra lookahead
     # input views (round 2); check the multi-view fold against the plain

@@ -308,7 +308,6 @@ def build_offline_chunked_fn(
     chunk: int = CHUNK_SAMPLES,
     use_pallas: bool | None = None,
     use_omnibus: bool | None = None,
-    use_bigblock: bool = False,
     omnibus_medium: bool = True,
     omnibus_big: bool = True,
 ):
@@ -322,7 +321,6 @@ def build_offline_chunked_fn(
     VMEM-hungry middle bucket in its own fused kernel
     (ops/pallas_upmix.py).
     """
-    from upmix_tpu.ops.pallas_bigblock import bigblock_lcr, make_bigblock_plan
     from upmix_tpu.ops.pallas_omnibus import make_omnibus_plan, omnibus_lcr
     from upmix_tpu.ops.pallas_upmix import fused_bucket_lcr, make_fused_plan
 
@@ -356,7 +354,6 @@ def build_offline_chunked_fn(
     omni_plan = None
     xla_plans = list(plans)
     fused_plans = {}
-    bigblock_plans = {}
     if use_pallas:
         if use_omnibus:
             omni_plan, xla_plans = make_omnibus_plan(
@@ -385,14 +382,6 @@ def build_offline_chunked_fn(
                     dplan.w_inv,
                     p.gains[:, lo : hi + 1],
                 )
-            elif use_bigblock:
-                # Very large blocks: streaming-OLA pallas kernel (manual
-                # DMA of one frame window per grid step).  MEASURED SLOWER
-                # than the XLA 2-stage path for the default config
-                # (per-program overhead dominates at 16 frames/chunk) —
-                # off by default, kept for configs with many huge-block
-                # buckets.
-                bigblock_plans[p.block_size] = make_bigblock_plan(p, chunk)
 
     def fn(L: jnp.ndarray, R: jnp.ndarray):
         x = jnp.stack([L.astype(jnp.float32), R.astype(jnp.float32)])
@@ -426,13 +415,8 @@ def build_offline_chunked_fn(
                 F = chunk // H  # frames whose output starts in this chunk
                 T = (F + K - 1) * H  # = chunk + B - H <= chunk + halo
                 fp = fused_plans.get(p.block_size)
-                bb = bigblock_plans.get(p.block_size)
                 if fp is not None:
                     main, sp = fused_bucket_lcr(seg[:, :T], fp, interpret=on_cpu)
-                    contrib = jnp.concatenate([main, sp], axis=1)  # [3, T]
-                elif bb is not None:
-                    sub, n_frames = bb
-                    main, sp = bigblock_lcr(seg[:, :T], sub, n_frames, interpret=on_cpu)
                     contrib = jnp.concatenate([main, sp], axis=1)  # [3, T]
                 else:
                     contrib = _bucket_fold_mm(p, seg[:, :T], F)  # [3, T]

@@ -56,36 +56,6 @@ class _DirectSub:
 
 
 @dataclass(frozen=True)
-class _TwoStageSub:
-    B: int
-    H: int
-    n1: int
-    n2: int
-    aw: np.ndarray  # [N1, N2] f32 (analysis window pre-reshaped)
-    swv: np.ndarray  # [N1, N2] f32 (synthesis window pre-reshaped)
-    d1s_hi: np.ndarray  # [2N1, N1] bf16 — stage-1 DFT, re rows then im rows
-    d1s_lo: np.ndarray
-    twr: np.ndarray  # [N1, N2] f32
-    twi: np.ndarray
-    d2_hi: np.ndarray  # [N2, 2C] bf16 — stage-2, re cols then im cols
-    d2_lo: np.ndarray
-    e2_hi: np.ndarray  # [C, 2N2] bf16 — inverse stage-A, re cols then im cols
-    e2_lo: np.ndarray
-    b1_hi: np.ndarray  # [N1, 2N1] bf16 — inverse stage-B, [d1r | d1i]
-    b1_lo: np.ndarray
-    gains: np.ndarray  # [nb, N1, C] f32
-    winv: np.ndarray  # [N1, C] f32
-
-    @property
-    def arrays(self):
-        return (
-            self.aw, self.swv, self.d1s_hi, self.d1s_lo, self.twr, self.twi,
-            self.d2_hi, self.d2_lo, self.e2_hi, self.e2_lo, self.b1_hi,
-            self.b1_lo, self.gains, self.winv,
-        )
-
-
-@dataclass(frozen=True)
 class _TwoStageBdSub:
     """Batched block-diagonal 2-stage sub: all M frames of a hop-group go
     through single left-multiplied matmuls (weights I_M ⊗ D1), with N2
@@ -347,69 +317,6 @@ def make_bd_sub(p, M: int, starts: tuple) -> _TwoStageBdSub:
         w1i_hi=w1i_hi, w1i_lo=w1i_lo,
         gains_rep=gains_rep,
     )
-
-
-def make_twostage_sub(p, n1: int | None = None) -> _TwoStageSub:
-    """Pack one offline _BucketPlan's 2-stage weights for in-kernel use
-    (shared by the omnibus and big-block kernels)."""
-    B = p.block_size
-    nz = np.nonzero(p.gains.max(axis=0))[0]
-    lo, hi = (int(nz[0]), int(nz[-1])) if len(nz) else (0, 0)
-    rp = make_real_banded_plan(B, lo, hi, n1=n1)
-    d1s = np.concatenate([rp.d1r, rp.d1i], axis=0)  # [2N1, N1]
-    d2 = np.concatenate([rp.d2r, rp.d2i], axis=1)  # [N2, 2C]
-    e2 = np.concatenate([rp.e2r, rp.e2i], axis=1)  # [C, 2N2]
-    b1 = np.concatenate([rp.d1r, rp.d1i], axis=1)  # [N1, 2N1]
-    d1s_hi, d1s_lo = _bf16_pair(d1s)
-    d2_hi, d2_lo = _bf16_pair(d2)
-    e2_hi, e2_lo = _bf16_pair(e2)
-    b1_hi, b1_lo = _bf16_pair(b1)
-    gains = np.stack([permute_half_bins(rp, g) for g in p.gains]).astype(np.float32)
-    return _TwoStageSub(
-        B=B, H=p.hop_size, n1=rp.n1, n2=rp.n2,
-        aw=np.asarray(p.analysis_window, np.float32).reshape(rp.n1, rp.n2),
-        swv=np.asarray(p.synthesis_window, np.float32).reshape(rp.n1, rp.n2),
-        d1s_hi=d1s_hi, d1s_lo=d1s_lo,
-        twr=rp.twr, twi=rp.twi,
-        d2_hi=d2_hi, d2_lo=d2_lo,
-        e2_hi=e2_hi, e2_lo=e2_lo,
-        b1_hi=b1_hi, b1_lo=b1_lo,
-        gains=gains, winv=rp.winv,
-    )
-
-
-def twostage_forward_frame(xm, refs):
-    """Forward 2-stage chain for one windowed frame xm [N1, N2] ->
-    (re, im) [N1, C].  refs: the _TwoStageSub ref tuple."""
-    (_aw, _swv, d1s_hi, d1s_lo, twr, twi, d2_hi, d2_lo, *_rest) = refs
-    N1 = xm.shape[0]
-    C = d2_hi.shape[1] // 2
-    A = _dot3(xm.T, d1s_hi[...].T, d1s_lo[...].T)  # [N2, 2N1] = (D1 @ xm)^T
-    a_re = A[:, :N1].T
-    a_im = A[:, N1:].T
-    b_re = a_re * twr[...] - a_im * twi[...]
-    b_im = a_re * twi[...] + a_im * twr[...]
-    p1 = _dot3(b_re, d2_hi[...], d2_lo[...])  # [N1, 2C]
-    p2 = _dot3(b_im, d2_hi[...], d2_lo[...])
-    return p1[:, :C] - p2[:, C:], p1[:, C:] + p2[:, :C]
-
-
-def twostage_inverse_frame(sre, sim, refs):
-    """Inverse 2-stage chain for one spectrum [N1, C] -> y [N1, N2]
-    (synthesis weights winv applied, synthesis window NOT)."""
-    (_aw, _swv, d1s_hi, d1s_lo, twr, twi, _d2h, _d2l, e2_hi, e2_lo,
-     b1_hi, b1_lo, _g, winv) = refs
-    N2 = twr.shape[1]
-    sre = sre * winv[...]
-    sim = sim * winv[...]
-    q1 = _dot3(sre, e2_hi[...], e2_lo[...])  # [N1, 2N2]
-    q2 = _dot3(sim, e2_hi[...], e2_lo[...])
-    t_re = q1[:, :N2] - q2[:, N2:]
-    t_im = q1[:, N2:] + q2[:, :N2]
-    u_re = t_re * twr[...] + t_im * twi[...]
-    u_im = t_im * twr[...] - t_re * twi[...]
-    u = jnp.concatenate([u_re, u_im], axis=0)  # [2N1, N2]
-    return _dot3(u.T, b1_hi[...].T, b1_lo[...].T).T  # [N1, N2]
 
 
 def _frames_of(xloc, B, H, tile):
