@@ -34,6 +34,7 @@ def main():
     variants = sys.argv[1:] or ["old", "new"]
     settings = {
         "old": dict(omnibus_medium=False, omnibus_big=False),
+        "t32k": dict(tile32k=True),
         "nobig": dict(omnibus_medium=True, omnibus_big=False),
         "nomed": dict(omnibus_medium=False, omnibus_big=True),
         "new": dict(omnibus_medium=True, omnibus_big=True),
@@ -48,7 +49,22 @@ def main():
     # compare variants against each other instead).
     outputs = {}
     for name in variants:
-        base_fn = build_offline_chunked_fn(config, N, **settings[name])
+        kw = dict(settings[name])
+        tile32k = kw.pop("tile32k", False)
+        if tile32k:
+            import upmix_tpu.ops.pallas_omnibus as _po
+            _orig = _po.make_omnibus_plan
+            def _patched(plans, chunk, **k):
+                k["tile_cap"] = 32768
+                k["tile_pref"] = 32768
+                return _orig(plans, chunk, **k)
+            _po.make_omnibus_plan = _patched
+            import upmix_tpu.models.offline as _off
+            _off.make_omnibus_plan = _patched
+        base_fn = build_offline_chunked_fn(config, N, **kw)
+        if tile32k:
+            _po.make_omnibus_plan = _orig
+            _off.make_omnibus_plan = _orig
 
         def step(L, R, seed, base_fn=base_fn):
             return base_fn(L + seed, R - seed)

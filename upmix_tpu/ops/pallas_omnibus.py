@@ -142,6 +142,7 @@ def make_omnibus_plan(
     include_medium: bool = True,
     include_big: bool = True,
     min_tile: int = 4096,
+    tile_pref: int | None = None,
 ):
     """Build the omnibus plan from offline _BucketPlan records.
 
@@ -202,6 +203,11 @@ def make_omnibus_plan(
     for kind, p in picked:
         unit = p.hop_size if kind == "big" else p.block_size
         tile = tile * unit // math.gcd(tile, unit)
+    # Optionally scale the tile up to a preferred size (multiples of the
+    # LCM keep every geometry valid) — fewer, larger grid steps.
+    if tile_pref is not None:
+        while tile * 2 <= min(tile_pref, tile_cap):
+            tile *= 2
     # (Every big bucket's hop is folded into the LCM above, so hop | tile
     # and hop <= tile hold by construction for all picked buckets.)
     kept_picked = picked
@@ -240,7 +246,7 @@ def make_omnibus_plan(
             K = B // H
             M_full = (tile // H) // K
             M = M_full
-            while M > 1 and M * B > 65536:
+            while M > 1 and M * B > 16384:
                 M //= 2
             starts = tuple(
                 g * H + j * M * B
