@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from upmix_tpu.ops.fftmm import _split, make_real_banded_plan, permute_half_bins
+from upmix_tpu.ops.fftmm import make_real_banded_plan, permute_half_bins
 from upmix_tpu.ops.pallas_upmix import _dot_f32 as _dot3
 from upmix_tpu.ops.pallas_upmix import _mask_sum
 from upmix_tpu.ops.pallas_upmix import _split_bf16 as _bf16_pair
