@@ -177,3 +177,50 @@ def test_demo_entry(tmp_path, wav_path):
     )
     assert os.path.exists(win_png)
     assert os.path.exists(cmp_png)
+
+
+def test_pipe_mode_matches_streaming_engine(tmp_path):
+    # Raw-PCM filter surface: bytes through the CLI pipe must match the
+    # streaming engine's process_signal output (including the zero-padded
+    # trimmed final partial block).
+    import subprocess
+    import sys as _sys
+
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.streaming import StreamingUpmixer
+
+    sr, hw = 8000, 256
+    n = 6 * hw + 100  # partial final block
+    L, R = make_stereo(n, float(sr), seed=13)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    raw = np.column_stack([L32, R32]).astype("<f4").tobytes()
+
+    # A clean CPU child: drop the axon TPU activation vars (JAX_PLATFORMS
+    # alone does not override the sitecustomize TPU registration).
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [
+            _sys.executable, "-m", "upmix_tpu.cli", "-",
+            "--pipe", "--sr", str(sr), "--hw-block", str(hw),
+            "--band-edges", "0,400,1600",
+        ],
+        input=raw, capture_output=True, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-500:]
+    out = np.frombuffer(proc.stdout, dtype="<f4").reshape(-1, 2)
+    assert out.shape[0] == n
+
+    cfg = UpmixConfig.streaming([0, 400, 1600], sr=float(sr), hw_block_size=hw)
+    s = StreamingUpmixer(cfg, hw)
+    pad = (-n) % hw
+    Lp = np.pad(L32, (0, pad))
+    Rp = np.pad(R32, (0, pad))
+    rl, rr = (np.asarray(o) for o in s.process_signal(Lp, Rp, mix="stereo_sum"))
+    np.testing.assert_allclose(out[:, 0], rl[:n], atol=1e-5)
+    np.testing.assert_allclose(out[:, 1], rr[:n], atol=1e-5)

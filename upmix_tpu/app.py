@@ -231,6 +231,91 @@ def run_streaming(
     return ExportResult(paths=paths, scale_factor=1.0, n_samples=len(outs[0]), sr=sr)
 
 
+def run_pipe(
+    stdin,
+    stdout,
+    sr: float,
+    hw_block_size: int = 2048,
+    band_edges=(0, 500, 2000, 8000),
+    window: str = "blackman_harris",
+    xover_mode: str = "raised_cosine",
+    threshold_factor: float = 32.0,
+    synthesis: str = "analysis",
+    bin_rounding: str = "cpp",
+    engine: str = "jax",
+    mix: str = "stereo_sum",
+) -> int:
+    """Raw-PCM streaming filter: interleaved float32 stereo on stdin →
+    processed interleaved float32 on stdout, one hardware block at a time.
+
+    The sox-style integration surface for audio pipelines (the L4 analog
+    of the reference's Bela render() callback for hosts that speak pipes
+    instead of audio callbacks):
+
+        ffmpeg -i in.flac -f f32le -ac 2 - | upmix-tpu --pipe --sr 44100 - \\
+            | ffmpeg -f f32le -ar 44100 -ac 2 -i - out.wav
+
+    mix="stereo_sum" emits 2 channels (Ls+C/2 | Rs+C/2, the reference
+    Bela downmix); mix="lcr" emits 3 interleaved channels (C, Ls, Rs).
+    A final partial block is zero-padded through the engine and trimmed
+    on output.  Returns the number of frames processed.
+    """
+    if mix not in ("stereo_sum", "lcr"):
+        raise ValueError(f"pipe mix must be 'stereo_sum' or 'lcr', got {mix!r}")
+    hw = int(hw_block_size)
+    if engine == "jax":
+        from upmix_tpu.config import UpmixConfig
+        from upmix_tpu.models.streaming import StreamingUpmixer
+
+        config = UpmixConfig.streaming(
+            list(band_edges), sr=float(sr), hw_block_size=hw, window=window,
+            xover_mode=xover_mode, threshold_factor=threshold_factor,
+            synthesis=synthesis, bin_rounding=bin_rounding,
+        )
+        eng = StreamingUpmixer(config, hw)
+
+        def push(bl, br):
+            return tuple(np.asarray(o) for o in eng.push_block(bl, br))
+    elif engine == "native":
+        from upmix_tpu.native import NativeStreamingUpmixer
+
+        neng = NativeStreamingUpmixer(
+            list(band_edges), sr=float(sr), hw_block_size=hw,
+            xover_mode=xover_mode, synthesis=synthesis,
+            bin_rounding=bin_rounding, threshold_factor=threshold_factor,
+            window=window,
+        )
+        push = neng.push_block
+    else:
+        raise ValueError(f"unknown engine {engine!r}; one of ('jax', 'native')")
+
+    src = getattr(stdin, "buffer", stdin)
+    dst = getattr(stdout, "buffer", stdout)
+    frame_bytes = 2 * 4  # stereo float32
+    total = 0
+    while True:
+        raw = src.read(hw * frame_bytes)
+        if not raw:
+            break
+        n = len(raw) // frame_bytes
+        x = np.frombuffer(raw[: n * frame_bytes], dtype="<f4").reshape(n, 2)
+        if n < hw:
+            x = np.vstack([x, np.zeros((hw - n, 2), np.float32)])
+        c, ls, rs = push(
+            np.ascontiguousarray(x[:, 0]), np.ascontiguousarray(x[:, 1])
+        )
+        if mix == "stereo_sum":
+            out = np.column_stack([ls + 0.5 * c, rs + 0.5 * c])
+        else:
+            out = np.column_stack([c, ls, rs])
+        dst.write(out[:n].astype("<f4").tobytes())
+        total += n
+        if n < hw:
+            break
+    dst.flush()
+    return total
+
+
 def run_offline(
     in_path,
     out_dir="out",

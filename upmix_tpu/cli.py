@@ -120,6 +120,26 @@ def build_parser() -> argparse.ArgumentParser:
         "shell; requires `make -C native`)",
     )
     p.add_argument(
+        "--pipe",
+        action="store_true",
+        help="raw-PCM filter mode: interleaved float32 stereo on stdin -> "
+        "processed float32 on stdout (streaming engine; requires --sr; "
+        "input argument must be '-'). stereo_sum emits 2 channels, "
+        "--pipe-mix lcr emits C/Ls/Rs as 3 interleaved channels",
+    )
+    p.add_argument(
+        "--sr",
+        type=float,
+        default=None,
+        help="sample rate of the raw stdin stream (required with --pipe)",
+    )
+    p.add_argument(
+        "--pipe-mix",
+        default="stereo_sum",
+        choices=["stereo_sum", "lcr"],
+        help="pipe output layout (default stereo_sum)",
+    )
+    p.add_argument(
         "--meter",
         action="store_true",
         help="print the realtime factor (audio-sec per wall-sec) after each file",
@@ -158,6 +178,31 @@ def main(argv=None) -> int:
         enable_compilation_cache()
 
     import time
+
+    if args.pipe:
+        import sys as _sys
+
+        from upmix_tpu.app import run_pipe
+
+        if args.sr is None:
+            raise SystemExit("error: --pipe requires --sr (raw PCM has no header)")
+        if args.inputs != ["-"]:
+            raise SystemExit("error: --pipe reads stdin; pass '-' as the input")
+        run_pipe(
+            _sys.stdin,
+            _sys.stdout,
+            sr=args.sr,
+            hw_block_size=args.hw_block,
+            band_edges=edges,
+            window=args.window,
+            xover_mode=args.xover_mode,
+            threshold_factor=args.threshold_factor,
+            synthesis=args.synthesis or "analysis",
+            bin_rounding=args.bin_rounding or "cpp",
+            engine=args.engine,
+            mix=args.pipe_mix,
+        )
+        return 0
 
     if args.streaming:
         from upmix_tpu.app import run_streaming
