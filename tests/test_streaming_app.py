@@ -179,22 +179,7 @@ def test_demo_entry(tmp_path, wav_path):
     assert os.path.exists(cmp_png)
 
 
-def test_pipe_mode_matches_streaming_engine(tmp_path):
-    # Raw-PCM filter surface: bytes through the CLI pipe must match the
-    # streaming engine's process_signal output (including the zero-padded
-    # trimmed final partial block).
-    import subprocess
-    import sys as _sys
-
-    from upmix_tpu.config import UpmixConfig
-    from upmix_tpu.models.streaming import StreamingUpmixer
-
-    sr, hw = 8000, 256
-    n = 6 * hw + 100  # partial final block
-    L, R = make_stereo(n, float(sr), seed=13)
-    L32, R32 = L.astype(np.float32), R.astype(np.float32)
-    raw = np.column_stack([L32, R32]).astype("<f4").tobytes()
-
+def _cpu_child_env():
     # A clean CPU child: drop the axon TPU activation vars (JAX_PLATFORMS
     # alone does not override the sitecustomize TPU registration).
     env = {
@@ -203,24 +188,122 @@ def test_pipe_mode_matches_streaming_engine(tmp_path):
         if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))
     }
     env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _pipe_reference(L32, R32, sr, hw, edges):
+    """Aligned reference: raw stream over input + warmup-1 zero blocks,
+    shifted left by the (warmup-1)*hw engine latency, trimmed to len."""
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.streaming import StreamingUpmixer
+
+    cfg = UpmixConfig.streaming(edges, sr=float(sr), hw_block_size=hw)
+    s = StreamingUpmixer(cfg, hw)
+    n = len(L32)
+    lat = (s.warmup_blocks - 1) * hw
+    pad = (-n) % hw + lat
+    Lp = np.pad(L32, (0, pad))
+    Rp = np.pad(R32, (0, pad))
+    rl, rr = (np.asarray(o) for o in s.process_signal(Lp, Rp, mix="stereo_sum"))
+    return rl[lat : lat + n], rr[lat : lat + n]
+
+
+def test_pipe_mode_matches_streaming_engine():
+    # Raw-PCM filter surface: bytes through the CLI pipe must match the
+    # latency-ALIGNED streaming reference (default align semantics:
+    # output frame i corresponds to input frame i, len(out) == len(in),
+    # including the drained tail after a partial final block).
+    sr, hw = 8000, 256
+    n = 6 * hw + 100  # partial final block
+    L, R = make_stereo(n, float(sr), seed=13)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    raw = np.column_stack([L32, R32]).astype("<f4").tobytes()
+
     proc = subprocess.run(
         [
-            _sys.executable, "-m", "upmix_tpu.cli", "-",
+            sys.executable, "-m", "upmix_tpu.cli", "-",
             "--pipe", "--sr", str(sr), "--hw-block", str(hw),
             "--band-edges", "0,400,1600",
         ],
-        input=raw, capture_output=True, env=env,
+        input=raw, capture_output=True, env=_cpu_child_env(),
         cwd=os.path.join(os.path.dirname(__file__), ".."),
     )
     assert proc.returncode == 0, proc.stderr.decode()[-500:]
     out = np.frombuffer(proc.stdout, dtype="<f4").reshape(-1, 2)
     assert out.shape[0] == n
 
+    rl, rr = _pipe_reference(L32, R32, sr, hw, [0, 400, 1600])
+    np.testing.assert_allclose(out[:, 0], rl, atol=1e-5)
+    np.testing.assert_allclose(out[:, 1], rr, atol=1e-5)
+
+
+def test_pipe_raw_mode_and_short_reads():
+    # align=False emits the raw real-time stream; and a source that
+    # delivers short reads (raw/unbuffered pipe semantics) must not be
+    # mistaken for EOF.
+    import io
+
+    from upmix_tpu.app import run_pipe
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.streaming import StreamingUpmixer
+
+    sr, hw = 8000, 256
+    n = 5 * hw
+    L, R = make_stereo(n, float(sr), seed=14)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    raw = np.column_stack([L32, R32]).astype("<f4").tobytes()
+
+    class Dribble(io.RawIOBase):
+        """Returns at most 1000 bytes per read (legal short reads)."""
+
+        def __init__(self, data):
+            self._data = data
+            self._pos = 0
+
+        def readable(self):
+            return True
+
+        def read(self, size=-1):
+            if self._pos >= len(self._data):
+                return b""
+            k = min(1000, size if size >= 0 else 1000, len(self._data) - self._pos)
+            out = self._data[self._pos : self._pos + k]
+            self._pos += k
+            return out
+
+    sink = io.BytesIO()
+    emitted = run_pipe(
+        Dribble(raw), sink, sr=sr, hw_block_size=hw,
+        band_edges=[0, 400, 1600], align=False,
+    )
+    assert emitted == n
+    out = np.frombuffer(sink.getvalue(), dtype="<f4").reshape(-1, 2)
     cfg = UpmixConfig.streaming([0, 400, 1600], sr=float(sr), hw_block_size=hw)
     s = StreamingUpmixer(cfg, hw)
-    pad = (-n) % hw
-    Lp = np.pad(L32, (0, pad))
-    Rp = np.pad(R32, (0, pad))
-    rl, rr = (np.asarray(o) for o in s.process_signal(Lp, Rp, mix="stereo_sum"))
-    np.testing.assert_allclose(out[:, 0], rl[:n], atol=1e-5)
-    np.testing.assert_allclose(out[:, 1], rr[:n], atol=1e-5)
+    rl, rr = (np.asarray(o) for o in s.process_signal(L32, R32, mix="stereo_sum"))
+    np.testing.assert_allclose(out[:, 0], rl, atol=1e-5)
+    np.testing.assert_allclose(out[:, 1], rr, atol=1e-5)
+
+
+def test_pipe_broken_downstream_exits_quietly(tmp_path):
+    # Downstream closing early (head, user quitting a player) must not
+    # produce a traceback — rc 0, quiet stderr.
+    sr, hw = 8000, 256
+    # Enough blocks that output far exceeds what `head` consumes, so the
+    # writer reliably hits the closed pipe.
+    L, R = make_stereo(64 * hw, float(sr), seed=15)
+    raw_path = tmp_path / "in.raw"
+    raw_path.write_bytes(np.column_stack([L, R]).astype("<f4").tobytes())
+    err_path = tmp_path / "err.txt"
+    cmd = (
+        f"set -o pipefail; {sys.executable} -m upmix_tpu.cli - --pipe "
+        f"--sr {sr} --hw-block {hw} --band-edges 0,400,1600 "
+        f"< {raw_path} 2> {err_path} | head -c 64 > /dev/null"
+    )
+    proc = subprocess.run(
+        ["bash", "-c", cmd], capture_output=True, env=_cpu_child_env(),
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    err = err_path.read_bytes()
+    assert proc.returncode == 0, (proc.returncode, err[-400:])
+    assert b"Traceback" not in err, err[-400:]

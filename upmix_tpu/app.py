@@ -158,8 +158,6 @@ def run_streaming(
     2-channel file, Ls+C/2 | Rs+C/2); export_mode="split" writes the three
     discrete channels with the offline split layout (Ls/–, C/C, –/Rs).
     """
-    from upmix_tpu.config import UpmixConfig
-
     if export_mode not in ("stereo_sum", "split"):
         raise ValueError(
             f"streaming export_mode must be 'stereo_sum' or 'split', got {export_mode!r}"
@@ -167,40 +165,12 @@ def run_streaming(
     L, R, sr, _peak = load_stereo(in_path)
     L32, R32 = L.astype(np.float32), R.astype(np.float32)
 
-    config = UpmixConfig.streaming(
-        list(band_edges),
-        sr=float(sr),
-        hw_block_size=hw_block_size,
-        window=window,
-        xover_mode=xover_mode,
-        threshold_factor=threshold_factor,
-        synthesis=synthesis,
-        bin_rounding=bin_rounding,
-        verbose=verbose,
+    eng, _warmup, config = _make_streaming_engine(
+        band_edges, sr, hw_block_size, window, xover_mode,
+        threshold_factor, synthesis, bin_rounding, engine, verbose=verbose,
     )
     mix = "stereo_sum" if export_mode == "stereo_sum" else "lcr"
-
-    if engine == "jax":
-        from upmix_tpu.models.streaming import StreamingUpmixer
-
-        s = StreamingUpmixer(config, hw_block_size)
-        outs = tuple(np.asarray(o) for o in s.process_signal(L32, R32, mix=mix))
-    elif engine == "native":
-        from upmix_tpu.native import NativeStreamingUpmixer
-
-        eng = NativeStreamingUpmixer(
-            list(band_edges),
-            sr=float(sr),
-            hw_block_size=hw_block_size,
-            xover_mode=xover_mode,
-            synthesis=synthesis,
-            bin_rounding=bin_rounding,
-            threshold_factor=threshold_factor,
-            window=window,
-        )
-        outs = eng.process_signal(L32, R32, mix=mix)
-    else:
-        raise ValueError(f"unknown engine {engine!r}; one of ('jax', 'native')")
+    outs = tuple(np.asarray(o) for o in eng.process_signal(L32, R32, mix=mix))
 
     os.makedirs(out_dir, exist_ok=True)
     info = band_info_str(config)
@@ -231,6 +201,59 @@ def run_streaming(
     return ExportResult(paths=paths, scale_factor=1.0, n_samples=len(outs[0]), sr=sr)
 
 
+def _make_streaming_engine(
+    band_edges,
+    sr: float,
+    hw_block_size: int,
+    window: str,
+    xover_mode: str,
+    threshold_factor: float,
+    synthesis: str,
+    bin_rounding: str,
+    engine: str,
+    verbose: bool = False,
+):
+    """Shared jax/native streaming-engine construction (run_streaming and
+    run_pipe).  Returns (engine, warmup_blocks, config); both engines
+    expose push_block and process_signal with the same surface."""
+    config = UpmixConfig.streaming(
+        list(band_edges), sr=float(sr), hw_block_size=hw_block_size,
+        window=window, xover_mode=xover_mode,
+        threshold_factor=threshold_factor, synthesis=synthesis,
+        bin_rounding=bin_rounding, verbose=verbose,
+    )
+    if engine == "jax":
+        from upmix_tpu.models.streaming import StreamingUpmixer
+
+        eng = StreamingUpmixer(config, hw_block_size)
+        return eng, eng.warmup_blocks, config
+    if engine == "native":
+        from upmix_tpu.native import NativeStreamingUpmixer
+
+        eng = NativeStreamingUpmixer(
+            list(band_edges), sr=float(sr), hw_block_size=hw_block_size,
+            xover_mode=xover_mode, synthesis=synthesis,
+            bin_rounding=bin_rounding, threshold_factor=threshold_factor,
+            window=window,
+        )
+        return eng, eng.latency_blocks, config
+    raise ValueError(f"unknown engine {engine!r}; one of ('jax', 'native')")
+
+
+def _read_exact(src, nbytes: int) -> bytes:
+    """Read exactly nbytes unless EOF (raw/unbuffered pipes legally return
+    short reads mid-stream — a short read is NOT end-of-stream)."""
+    chunks = []
+    got = 0
+    while got < nbytes:
+        b = src.read(nbytes - got)
+        if not b:
+            break
+        chunks.append(b)
+        got += len(b)
+    return b"".join(chunks)
+
+
 def run_pipe(
     stdin,
     stdout,
@@ -244,6 +267,7 @@ def run_pipe(
     bin_rounding: str = "cpp",
     engine: str = "jax",
     mix: str = "stereo_sum",
+    align: bool = True,
 ) -> int:
     """Raw-PCM streaming filter: interleaved float32 stereo on stdin →
     processed interleaved float32 on stdout, one hardware block at a time.
@@ -252,68 +276,81 @@ def run_pipe(
     of the reference's Bela render() callback for hosts that speak pipes
     instead of audio callbacks):
 
-        ffmpeg -i in.flac -f f32le -ac 2 - | upmix-tpu --pipe --sr 44100 - \\
+        ffmpeg -i in.flac -f f32le -ac 2 - | upmix-tpu - --pipe --sr 44100 \\
             | ffmpeg -f f32le -ar 44100 -ac 2 -i - out.wav
 
     mix="stereo_sum" emits 2 channels (Ls+C/2 | Rs+C/2, the reference
     Bela downmix); mix="lcr" emits 3 interleaved channels (C, Ls, Rs).
-    A final partial block is zero-padded through the engine and trimmed
-    on output.  Returns the number of frames processed.
+
+    With align=True (default) the engine's warmup latency is compensated:
+    the leading (warmup-1) blocks of silence are dropped and the stream is
+    drained with zero blocks at EOF, so output frame i corresponds to
+    input frame i and len(out) == len(in) — the right semantics for a
+    file filter.  align=False emits the raw real-time stream (output
+    delayed by the warmup, tail not drained), matching what a live audio
+    callback would produce.  Returns the number of frames emitted.
     """
     if mix not in ("stereo_sum", "lcr"):
         raise ValueError(f"pipe mix must be 'stereo_sum' or 'lcr', got {mix!r}")
     hw = int(hw_block_size)
-    if engine == "jax":
-        from upmix_tpu.config import UpmixConfig
-        from upmix_tpu.models.streaming import StreamingUpmixer
+    eng, warmup_blocks, _config = _make_streaming_engine(
+        band_edges, sr, hw, window, xover_mode, threshold_factor,
+        synthesis, bin_rounding, engine,
+    )
 
-        config = UpmixConfig.streaming(
-            list(band_edges), sr=float(sr), hw_block_size=hw, window=window,
-            xover_mode=xover_mode, threshold_factor=threshold_factor,
-            synthesis=synthesis, bin_rounding=bin_rounding,
-        )
-        eng = StreamingUpmixer(config, hw)
-
-        def push(bl, br):
-            return tuple(np.asarray(o) for o in eng.push_block(bl, br))
-    elif engine == "native":
-        from upmix_tpu.native import NativeStreamingUpmixer
-
-        neng = NativeStreamingUpmixer(
-            list(band_edges), sr=float(sr), hw_block_size=hw,
-            xover_mode=xover_mode, synthesis=synthesis,
-            bin_rounding=bin_rounding, threshold_factor=threshold_factor,
-            window=window,
-        )
-        push = neng.push_block
-    else:
-        raise ValueError(f"unknown engine {engine!r}; one of ('jax', 'native')")
+    def push(bl, br):
+        return tuple(np.asarray(o) for o in eng.push_block(bl, br))
 
     src = getattr(stdin, "buffer", stdin)
     dst = getattr(stdout, "buffer", stdout)
     frame_bytes = 2 * 4  # stereo float32
-    total = 0
+    to_skip = (warmup_blocks - 1) * hw if align else 0
+    emitted = 0
+    total_in = 0
+
+    def mix_out(c, ls, rs):
+        if mix == "stereo_sum":
+            return np.column_stack([ls + 0.5 * c, rs + 0.5 * c])
+        return np.column_stack([c, ls, rs])
+
+    def write_out(out, limit=None):
+        nonlocal to_skip, emitted
+        if to_skip:
+            k = min(to_skip, len(out))
+            out = out[k:]
+            to_skip -= k
+        if limit is not None:
+            out = out[: max(0, limit - emitted)]
+        if len(out):
+            dst.write(np.ascontiguousarray(out).astype("<f4").tobytes())
+            emitted += len(out)
+
     while True:
-        raw = src.read(hw * frame_bytes)
+        raw = _read_exact(src, hw * frame_bytes)
         if not raw:
             break
         n = len(raw) // frame_bytes
         x = np.frombuffer(raw[: n * frame_bytes], dtype="<f4").reshape(n, 2)
         if n < hw:
             x = np.vstack([x, np.zeros((hw - n, 2), np.float32)])
+        total_in += n
         c, ls, rs = push(
             np.ascontiguousarray(x[:, 0]), np.ascontiguousarray(x[:, 1])
         )
-        if mix == "stereo_sum":
-            out = np.column_stack([ls + 0.5 * c, rs + 0.5 * c])
-        else:
-            out = np.column_stack([c, ls, rs])
-        dst.write(out[:n].astype("<f4").tobytes())
-        total += n
+        # The final (partial) input block may carry output beyond the
+        # input length; everything earlier cannot (emitted <= in - skip).
+        write_out(mix_out(c, ls, rs), limit=total_in if n < hw else None)
         if n < hw:
             break
+    if align:
+        # Drain: the last (warmup-1) blocks of program material are still
+        # inside the engine; push zeros until the output catches up.
+        zeros = np.zeros(hw, np.float32)
+        while emitted < total_in:
+            c, ls, rs = push(zeros, zeros)
+            write_out(mix_out(c, ls, rs), limit=total_in)
     dst.flush()
-    return total
+    return emitted
 
 
 def run_offline(

@@ -140,6 +140,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="pipe output layout (default stereo_sum)",
     )
     p.add_argument(
+        "--pipe-raw",
+        action="store_true",
+        help="emit the raw real-time stream (output delayed by the engine "
+        "warmup, tail not drained) instead of the default latency-aligned "
+        "file-filter semantics",
+    )
+    p.add_argument(
         "--meter",
         action="store_true",
         help="print the realtime factor (audio-sec per wall-sec) after each file",
@@ -184,24 +191,38 @@ def main(argv=None) -> int:
 
         from upmix_tpu.app import run_pipe
 
-        if args.sr is None:
-            raise SystemExit("error: --pipe requires --sr (raw PCM has no header)")
+        if args.sr is None or args.sr <= 0:
+            raise SystemExit(
+                "error: --pipe requires a positive --sr (raw PCM has no header)"
+            )
         if args.inputs != ["-"]:
             raise SystemExit("error: --pipe reads stdin; pass '-' as the input")
-        run_pipe(
-            _sys.stdin,
-            _sys.stdout,
-            sr=args.sr,
-            hw_block_size=args.hw_block,
-            band_edges=edges,
-            window=args.window,
-            xover_mode=args.xover_mode,
-            threshold_factor=args.threshold_factor,
-            synthesis=args.synthesis or "analysis",
-            bin_rounding=args.bin_rounding or "cpp",
-            engine=args.engine,
-            mix=args.pipe_mix,
-        )
+        try:
+            run_pipe(
+                _sys.stdin,
+                _sys.stdout,
+                sr=args.sr,
+                hw_block_size=args.hw_block,
+                band_edges=edges,
+                window=args.window,
+                xover_mode=args.xover_mode,
+                threshold_factor=args.threshold_factor,
+                synthesis=args.synthesis or "analysis",
+                bin_rounding=args.bin_rounding or "cpp",
+                engine=args.engine,
+                mix=args.pipe_mix,
+                align=not args.pipe_raw,
+            )
+        except BrokenPipeError:
+            # Downstream closed early (user quit the player, `head`, ...):
+            # exit quietly like any well-behaved pipe filter.  Point stdout
+            # at devnull so interpreter shutdown doesn't print
+            # "Exception ignored in: BufferedWriter" while flushing.
+            import os as _os
+
+            devnull = _os.open(_os.devnull, _os.O_WRONLY)
+            _os.dup2(devnull, _sys.stdout.fileno())
+            return 0
         return 0
 
     if args.streaming:
