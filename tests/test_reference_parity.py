@@ -190,6 +190,65 @@ def test_oracle_matches_reference_hard_zero(ce):
         assert s > 100.0, f"hard_zero {name}: {s:.1f} dB"
 
 
+def test_random_config_fuzz_vs_real_reference(ce):
+    # Deterministic bounded fuzz where the ground truth is the ACTUAL
+    # reference implementation (not our oracle): random rates, edges,
+    # overlaps (including hop-not-dividing-block), windows, and crossover
+    # modes.  The oracle must track the reference to float precision
+    # (>100 dB) and the JAX pipeline must hold the >60 dB bar on every
+    # draw.  chain_bands has no block-size cap parameter, so UpmixConfig
+    # uses its matching default (2**16, center_extraction.py:173-197).
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.offline import upmix_offline
+    from upmix_tpu.oracle import oracle_multiband
+
+    windows = {
+        "blackman_harris": ce.make_blackman_harris,
+        "sqrt_hann": ce.make_sqrt_hann,
+        "hann": ce.make_hann,
+        "blackman": ce.make_blackman,
+        "hamming": ce.make_hamming,
+    }
+    rng = np.random.default_rng(20260816)
+    for trial in range(4):
+        sr = float(rng.choice([8000, 16000, 22050, 44100]))
+        n_edges = int(rng.integers(1, 4))
+        edges = [0.0] + sorted(
+            float(f) for f in rng.uniform(sr * 0.02, sr * 0.45, size=n_edges)
+        )
+        overlap = float(rng.choice([0.5, 0.6, 0.75, 0.875, 0.9]))
+        wname = str(rng.choice(sorted(windows)))
+        xover = str(rng.choice(["raised_cosine", "hard_zero"]))
+        n = int(rng.integers(3000, 6000))
+        L, R = make_stereo(n, sr, seed=100 + trial)
+        L32, R32 = L.astype(np.float32), R.astype(np.float32)
+
+        extractors = ce.chain_bands(
+            band_edges=list(edges),
+            overlap=overlap,
+            window_func=windows[wname],
+            sr=sr,
+            xover_mode=xover,
+        )
+        ref = ce.extract_center_left_right_multi_band_in_memory(
+            L32, R32, sr, extractors
+        )
+
+        cfg = UpmixConfig.make(
+            edges, sr=sr, overlap=overlap, window=wname, xover_mode=xover
+        )
+        desc = f"trial {trial} (sr={sr}, edges={edges}, ov={overlap}, {wname}, {xover})"
+        got_oracle = oracle_multiband(L32, R32, cfg)
+        got_jax = upmix_offline(L32, R32, cfg, kernel="mm")
+        for name, r, o, j in zip("C Ls Rs".split(), ref, got_oracle, got_jax):
+            if np.max(np.abs(np.asarray(r))) < 1e-7:
+                continue
+            s_o = snr_db(np.asarray(r), np.asarray(o))
+            assert s_o > 100.0, f"oracle vs REAL reference {name}: {s_o:.1f} dB {desc}"
+            s_j = snr_db(np.asarray(r), np.asarray(j))
+            assert s_j > 60.0, f"JAX vs REAL reference {name}: {s_j:.1f} dB {desc}"
+
+
 @pytest.mark.parametrize("overlap", [0.6, 0.9])
 def test_jax_pipeline_matches_reference_arbitrary_overlap(ce, overlap):
     # Round-2 regression: non-divisible overlaps (hop not dividing block)
