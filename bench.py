@@ -25,7 +25,7 @@ TARGET_REALTIME = 1000.0  # BASELINE.md north star: >1000x realtime/chip
 SR = 44100.0
 BAND_EDGES = (0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0)
 N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 2**21))  # ~47.6 s of audio
-ITERS = int(os.environ.get("BENCH_ITERS", 3))
+ITERS = max(1, int(os.environ.get("BENCH_ITERS", 3)))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 1))
 # Pipeline applications chained INSIDE one jitted call: the dev tunnel
 # adds ~1 ms of RPC latency per dispatch (measured: 10x inner chaining

@@ -285,6 +285,9 @@ struct Engine {
   // spectra scratch per pass: L/R/C/Ls/Rs half-spectra
   std::vector<double> sLre, sLim, sRre, sRim, sCre, sCim, sSre, sSim,
       sTre, sTim;
+  // per-hw-block band output scratch — preallocated so the real-time
+  // process_block path never touches the allocator
+  std::vector<float> blkC, blkLs, blkRs;
 
   void alloc_scratch(int maxb) {
     zre.resize(maxb); zim.resize(maxb); wre.resize(maxb); wim.resize(maxb);
@@ -292,6 +295,7 @@ struct Engine {
     sLre.resize(nb); sLim.resize(nb); sRre.resize(nb); sRim.resize(nb);
     sCre.resize(nb); sCim.resize(nb); sSre.resize(nb); sSim.resize(nb);
     sTre.resize(nb); sTim.resize(nb);
+    blkC.resize(hw); blkLs.resize(hw); blkRs.resize(hw);
   }
 };
 
@@ -486,11 +490,14 @@ int upmix_process_block(void* h, const float* inL, const float* inR,
   std::memset(outRs, 0, sizeof(float) * hw);
   if (e.t < kWarmupBlocks) return 0;
 
-  std::vector<float> c(hw), ls(hw), rs(hw);
+  // Engine-owned scratch: the audio-callback path must not malloc.
+  float* c = e.blkC.data();
+  float* ls = e.blkLs.data();
+  float* rs = e.blkRs.data();
   for (auto& b : e.bands) {
     for (int p = 0; p < b.passes; ++p) {
-      band_pass(e, b, p * b.hop, c.data() + p * b.hop, ls.data() + p * b.hop,
-                rs.data() + p * b.hop);
+      band_pass(e, b, p * b.hop, c + p * b.hop, ls + p * b.hop,
+                rs + p * b.hop);
     }
     for (int i = 0; i < hw; ++i) {
       outC[i] += c[i];

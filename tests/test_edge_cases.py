@@ -130,6 +130,83 @@ def test_all_windows_parity(window):
         assert snr_db(r, g) > 60.0
 
 
+def test_edge_at_or_above_nyquist_rejected():
+    # A lone edge at/above Nyquist pairs with nothing; config time must
+    # reject it instead of returning zero bands that crash downstream.
+    with pytest.raises(ValueError, match="Nyquist"):
+        UpmixConfig.make([22050.0], sr=44100.0)
+    with pytest.raises(ValueError, match="Nyquist"):
+        UpmixConfig.make([30000.0], sr=44100.0)
+    # An edge below Nyquist plus one at it is a valid single band.
+    cfg = UpmixConfig.make([0.0, 22050.0], sr=44100.0, max_block_size=512)
+    assert len(cfg.bands) == 1
+
+
+def test_non_power_of_two_max_block_size():
+    # The reference returns max_block_size verbatim for f_low <= 0
+    # (center_extraction.py:193-197), so a non-pow2 cap produces a
+    # non-pow2 block; the mm kernel must route it to a working transform
+    # (direct DFT or the XLA FFT fallback), not crash inside fftmm.
+    L, R = make_stereo(5000, 8000.0, seed=11)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    # hard_zero full-range band: kept bins = everything -> the wide-
+    # support non-pow2 fallback; raised_cosine multiband -> direct path.
+    for edges, xover in ([[0.0], "hard_zero"], [[0.0, 400.0], "raised_cosine"]):
+        cfg = UpmixConfig.make(
+            edges, sr=8000.0, max_block_size=3000, xover_mode=xover
+        )
+        assert cfg.bands[0].block_size == 3000
+        ref = oracle_multiband(L32, R32, cfg)
+        got = upmix_offline(L32, R32, cfg, kernel="mm")
+        for name, r, g in zip("C Ls Rs".split(), ref, got):
+            s = snr_db(r, g)
+            assert s > 60.0, f"non-pow2 {xover}/{name}: {s:.1f} dB"
+
+
+def test_non_power_of_two_long_input_routes_to_whole_file():
+    from upmix_tpu.models.offline import build_offline_chunked_fn, build_offline_fn
+
+    cfg = UpmixConfig.make(
+        [0.0, 400.0], sr=8000.0, max_block_size=3000, xover_mode="raised_cosine"
+    )
+    n = 2**18 + 7
+    fn = build_offline_fn(cfg, n, kernel="mm")  # must not pick the chunked scan
+    L, R = make_stereo(n, cfg.sr, seed=12)
+    c, ls, rs = fn(L.astype(np.float32), R.astype(np.float32))
+    assert c.shape == (n,)
+    with pytest.raises(ValueError, match="power-of-two"):
+        build_offline_chunked_fn(cfg, n)
+
+
+def test_chunked_fn_rejects_foreign_kernel():
+    from upmix_tpu.models.offline import build_offline_chunked_fn
+
+    cfg = UpmixConfig.make([0.0, 400.0], sr=8000.0, max_block_size=256)
+    with pytest.raises(ValueError, match="kernel"):
+        build_offline_chunked_fn(cfg, 4096, kernel="xla")
+
+
+def test_streaming_bad_block_leaves_state_intact():
+    # A wrong-length block must raise BEFORE dispatch and leave the
+    # stream state untouched (no silent warmup restart on retry).
+    cfg = UpmixConfig.streaming([0.0, 400.0], sr=8000.0, hw_block_size=256)
+    rng = np.random.default_rng(5)
+    blocks = rng.standard_normal((10, 256)).astype(np.float32) * 0.3
+
+    ref_eng = StreamingUpmixer(cfg, 256)
+    ref_out = [ref_eng.push_block(b, -b) for b in blocks]
+
+    eng = StreamingUpmixer(cfg, 256)
+    for b in blocks[:5]:
+        eng.push_block(b, -b)
+    with pytest.raises(ValueError, match="push_block"):
+        eng.push_block(blocks[5][:100], blocks[5][:100])
+    outs = [eng.push_block(b, -b) for b in blocks[5:]]
+    for (c, ls, rs), (rc, rls, rrs) in zip(outs, ref_out[5:]):
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(rc))
+        np.testing.assert_array_equal(np.asarray(ls), np.asarray(rls))
+
+
 def test_random_config_fuzz_parity():
     # Deterministic bounded fuzz: random band edges / overlaps / sizing
     # caps, every draw must hold >60 dB parity vs the oracle on both

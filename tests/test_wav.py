@@ -83,6 +83,28 @@ def test_error_paths(tmp_path):
         read_wav(p)
 
 
+def test_malformed_fmt_chunks_raise_valueerror(tmp_path):
+    # The documented contract is ValueError for unreadable files — a
+    # zero-channel fmt must not escape as ZeroDivisionError, nor a
+    # truncated fmt body as struct.error.
+    import struct
+
+    def build(fmt_body, payload=b"\x00\x00"):
+        chunks = struct.pack("<4sI", b"fmt ", len(fmt_body)) + fmt_body
+        chunks += struct.pack("<4sI", b"data", len(payload)) + payload
+        return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+    p = tmp_path / "zero_ch.wav"
+    p.write_bytes(build(struct.pack("<HHIIHH", 1, 0, 8000, 16000, 2, 16)))
+    with pytest.raises(ValueError, match="channels"):
+        read_wav(p)
+
+    p2 = tmp_path / "short_fmt.wav"
+    p2.write_bytes(build(b"\x01\x00\x01\x00"))  # 4-byte fmt body
+    with pytest.raises(ValueError):
+        read_wav(p2)
+
+
 def test_odd_sized_data_chunk_alignment(tmp_path):
     # 24-bit mono with odd payload length exercises the pad byte.
     x = np.linspace(-0.5, 0.5, 7)

@@ -291,6 +291,13 @@ def chain_bands(
             )
         )
         prev_xover_high = xover_high
+    if not bands:
+        # A single edge at/above Nyquist pairs with nothing; returning an
+        # empty band list would fail far downstream with confusing errors.
+        raise ValueError(
+            f"band_edges {band_edges} yield no bands: at least one edge "
+            f"must lie below Nyquist ({sr / 2.0:.1f} Hz)"
+        )
     return bands
 
 

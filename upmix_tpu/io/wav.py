@@ -110,7 +110,11 @@ def read_wav(path, always_2d: bool = False):
 
 
 def _parse_fmt(body: bytes):
+    if len(body) < 16:
+        raise ValueError(f"fmt chunk too short ({len(body)} bytes)")
     tag, channels, sr, _byte_rate, _align, bits = struct.unpack_from("<HHIIHH", body, 0)
+    if channels < 1:
+        raise ValueError(f"fmt chunk declares {channels} channels")
     if tag == _FMT_EXTENSIBLE:
         if len(body) < 40:
             raise ValueError("EXTENSIBLE fmt chunk too short")

@@ -139,13 +139,18 @@ def _spectral_lcr_mm(plan: _BucketPlan, fr: jnp.ndarray) -> jnp.ndarray:
     nz = np.nonzero(plan.gains.max(axis=0))[0]
     lo, hi = (int(nz[0]), int(nz[-1])) if len(nz) else (0, 0)
     kept = hi - lo + 1
-    n1, n2 = _split(B)
+    pow2 = B & (B - 1) == 0
+    # The 2-stage factorization requires power-of-two sizes; _split is
+    # meaningless otherwise (non-pow2 blocks arise from a non-pow2
+    # max_block_size on an f_low=0 band — the reference returns
+    # max_block_size verbatim there, center_extraction.py:193-197).
+    n1, n2 = _split(B) if pow2 else (0, 0)
 
     # Direct-DFT weight slices are [B, 2*kept] program constants; bound
     # their size so compiled programs stay small (large blocks use the
     # 2-stage kernel, whose constants are O(sqrt(B)^2) tiny).
     weight_bytes = B * 2 * kept * 4
-    if kept <= n1 + n2 and weight_bytes <= (8 << 20):
+    if (kept <= n1 + n2 or not pow2) and weight_bytes <= (8 << 20):
         # Narrow support: direct banded DFT — one matmul per direction
         # with the analysis/synthesis windows and normalization folded
         # into the weight slices.
@@ -162,6 +167,20 @@ def _spectral_lcr_mm(plan: _BucketPlan, fr: jnp.ndarray) -> jnp.ndarray:
         rec = irdft_direct(
             jnp.real(summed), jnp.imag(summed), dplan
         )  # [3, *lead, B], synthesis-windowed
+    elif not pow2:
+        # Wide support at a non-power-of-two block: neither the direct
+        # slices nor the 2-stage factorization apply — fall back to XLA's
+        # FFT for this bucket (same semantics; only the transform backend
+        # differs).
+        frw = fr * jnp.asarray(plan.analysis_window)
+        spec = jnp.fft.rfft(frw)  # [2, *lead, n_bins]
+        g = jnp.asarray(plan.gains).reshape(
+            (1, n_bands) + (1,) * n_lead + (plan.gains.shape[1],)
+        )
+        spec = spec[:, None] * g  # [2, n_bands, *lead, n_bins]
+        sc, sls, srs = center_mask(spec[0], spec[1])
+        summed = jnp.stack([sc, sls, srs]).sum(axis=1)
+        rec = jnp.fft.irfft(summed, n=B) * jnp.asarray(plan.synthesis_window)
     else:
         # Wide support: 2-stage real SoA matmul FFT in the permuted
         # banded layout.  (An N1=128 asymmetric split was measured and is
@@ -324,6 +343,17 @@ def build_offline_chunked_fn(
     from upmix_tpu.ops.pallas_omnibus import make_omnibus_plan, omnibus_lcr
     from upmix_tpu.ops.pallas_upmix import fused_bucket_lcr, make_fused_plan
 
+    if kernel not in ("auto", "mm"):
+        raise ValueError(
+            f"the chunked scan supports only the 'mm' kernel, got {kernel!r}"
+        )
+    odd = [b for b in config.bands if b.block_size & (b.block_size - 1)]
+    if odd:
+        raise ValueError(
+            "the chunked scan requires power-of-two block sizes (got "
+            f"{odd[0].block_size}); non-power-of-two blocks run as a "
+            "whole-file program (build_offline_fn routes them automatically)"
+        )
     bad = [b for b in config.bands if b.block_size % b.hop_size]
     if bad:
         raise ValueError(
@@ -455,7 +485,8 @@ def build_offline_fn(
     """
     kern = resolve_kernel(kernel)
     divisible = all(b.block_size % b.hop_size == 0 for b in config.bands)
-    if kern == "mm" and chunk != 0 and divisible:
+    pow2 = all(b.block_size & (b.block_size - 1) == 0 for b in config.bands)
+    if kern == "mm" and chunk != 0 and divisible and pow2:
         chunk_size = chunk if chunk else CHUNK_SAMPLES
         if n_samples > (_CHUNK_THRESHOLD if chunk is None else 0):
             return build_offline_chunked_fn(

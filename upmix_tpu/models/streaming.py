@@ -296,6 +296,13 @@ class StreamingUpmixer:
         x = jnp.stack(
             [jnp.asarray(in_l, jnp.float32), jnp.asarray(in_r, jnp.float32)]
         )
+        if x.shape != (2, self.hw_block_size):
+            # Reject bad blocks BEFORE dispatch: the state is still valid
+            # (nothing was donated), so the stream keeps its history.
+            raise ValueError(
+                f"push_block expects two length-{self.hw_block_size} "
+                f"channels, got {x.shape[1]}"
+            )
         try:
             self.state, out = self._step(self.state, x)
         except Exception:

@@ -173,8 +173,11 @@ def make_omnibus_plan(
     for p in bucket_plans:
         B, H = p.block_size, p.hop_size
         nz = np.nonzero(p.gains.max(axis=0))[0]
-        if not len(nz):
-            # Dead bucket (all-zero gains) would inflate the tile LCM/halo.
+        if not len(nz) or B & (B - 1):
+            # Dead buckets (all-zero gains) would inflate the tile
+            # LCM/halo; non-power-of-two blocks (possible via a non-pow2
+            # max_block_size) break the 2-stage factorization and the
+            # kernel's reshape geometry.
             leftover.append(p)
             continue
         if B > tile_cap:
@@ -210,19 +213,18 @@ def make_omnibus_plan(
             tile *= 2
     # (Every big bucket's hop is folded into the LCM above, so hop | tile
     # and hop <= tile hold by construction for all picked buckets.)
-    kept_picked = picked
-    if not kept_picked or tile > tile_cap or tile < min_tile:
+    if tile > tile_cap or tile < min_tile:
         # min_tile: Mosaic rejects the fold's offset concats for small
         # tiles on real hardware ("result/input offset mismatch on
         # non-concat dimension"; measured boundary: tile >= 4096 compiles,
         # <= 2048 does not).  Leftover buckets run in the standalone fused
         # kernel (unaffected) or the XLA path.  Interpret-mode callers
         # pass min_tile=0.
-        return None, leftover + [p for _, p in kept_picked]
+        return None, leftover + [p for _, p in picked]
 
     # Pass 2: build the sub records with the tile known.
     subs = []
-    for kind, p in kept_picked:
+    for kind, p in picked:
         B, H = p.block_size, p.hop_size
         if kind == "direct":
             nz = np.nonzero(p.gains.max(axis=0))[0]
