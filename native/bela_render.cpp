@@ -32,7 +32,8 @@
 extern "C" {
 void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
                    int xover_mode, int synthesis, int rounding,
-                   double threshold_multi, double xo_fraction, int window);
+                   double threshold_multi, double xo_fraction, int window,
+                   int n_threads);
 void upmix_destroy(void* h);
 int upmix_process_block(void* h, const float* inL, const float* inR,
                         float* outC, float* outLs, float* outRs);
@@ -56,7 +57,7 @@ bool setup(BelaContext* context, void*) {
   gEngine = upmix_create(context->audioSampleRate, hw, kEdges, kNumEdges,
                          /*xover_mode=*/0, /*synthesis=*/1, /*rounding=*/1,
                          /*threshold_multi=*/32.0, /*xo_fraction=*/0.25,
-                         /*window=*/0);
+                         /*window=*/0, /*n_threads=*/1);  // Bela: one core
   if (!gEngine) return false;
   gInL.assign(hw, 0.0f);
   gInR.assign(hw, 0.0f);

@@ -27,14 +27,22 @@
 //
 // API: extern "C", handle-based; see upmix_host.h-equivalent declarations
 // at the bottom.  Thread model: single producer — one engine instance per
-// stream, no internal locking (matches the single-audio-thread usage of
-// the reference).
+// stream.  Internally the engine can fan bands out over a persistent
+// worker pool (n_threads > 1 or 0 = auto): bands own their scratch and
+// output buffers, workers never touch shared mutable state, and the main
+// thread sums band outputs in band order after the join, so results are
+// bit-identical to the serial path (the pool is the native equivalent of
+// the reference's ThreadPoolExecutor over bands,
+// center_extraction.py:499-511).
 
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
 #include <fenv.h>
+#include <mutex>
 #include <new>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -266,9 +274,27 @@ struct Band {
   std::vector<float> aw, sw;
   std::vector<double> gain;        // [block/2 + 1]
   std::vector<float> accum;        // OLA accumulators [3][block] flattened
-  Fft* fft = nullptr;              // shared per block size
+  Fft* fft = nullptr;              // shared per block size (read-only plan)
+
+  // Band-owned scratch — bands never share mutable state, so the worker
+  // pool needs no locking around the DSP.
+  std::vector<double> zre, zim, wre, wim;
+  // spectra scratch per pass: L/R/C/Ls/Rs half-spectra
+  std::vector<double> sLre, sLim, sRre, sRim, sCre, sCim, sSre, sSim,
+      sTre, sTim;
+  // per-hw-block output buffers (summed by the main thread, in band order)
+  std::vector<float> blkC, blkLs, blkRs;
 
   float* acc(int ch) { return accum.data() + (size_t)ch * block; }
+
+  void alloc_scratch(int hw) {
+    zre.resize(block); zim.resize(block); wre.resize(block); wim.resize(block);
+    int nb = block / 2 + 1;
+    sLre.resize(nb); sLim.resize(nb); sRre.resize(nb); sRim.resize(nb);
+    sCre.resize(nb); sCim.resize(nb); sSre.resize(nb); sSim.resize(nb);
+    sTre.resize(nb); sTim.resize(nb);
+    blkC.resize(hw); blkLs.resize(hw); blkRs.resize(hw);
+  }
 };
 
 struct Engine {
@@ -279,28 +305,52 @@ struct Engine {
   std::vector<float> histL, histR;  // shared input history, newest at tail
   std::vector<Band> bands;
   std::vector<Fft> ffts;            // one per distinct block size
-  // scratch (largest block)
-  std::vector<double> zre, zim, wre, wim;
 
-  // spectra scratch per pass: L/R/C/Ls/Rs half-spectra
-  std::vector<double> sLre, sLim, sRre, sRim, sCre, sCim, sSre, sSim,
-      sTre, sTim;
-  // per-hw-block band output scratch — preallocated so the real-time
-  // process_block path never touches the allocator
-  std::vector<float> blkC, blkLs, blkRs;
+  // Worker pool (band task parallelism).  Protocol: the main thread
+  // publishes `next = 0, remaining = n` under the mutex and wakes the
+  // workers; each worker claims band indices via `next`, processes the
+  // band into its own buffers, and the last one signals `cv_done`.  The
+  // main thread claims work too, so n_threads counts it (pool size =
+  // n_threads - 1).
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_work, cv_done;
+  size_t next = 0;       // next band index to claim
+  int remaining = -1;    // bands not yet finished; -1 = no batch pending
+  bool stop = false;
 
-  void alloc_scratch(int maxb) {
-    zre.resize(maxb); zim.resize(maxb); wre.resize(maxb); wim.resize(maxb);
-    int nb = maxb / 2 + 1;
-    sLre.resize(nb); sLim.resize(nb); sRre.resize(nb); sRim.resize(nb);
-    sCre.resize(nb); sCim.resize(nb); sSre.resize(nb); sSim.resize(nb);
-    sTre.resize(nb); sTim.resize(nb);
-    blkC.resize(hw); blkLs.resize(hw); blkRs.resize(hw);
+  ~Engine() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv_work.notify_all();
+    for (auto& w : workers) w.join();
   }
 };
 
+void band_process(Engine& e, Band& b);
+
+void worker_loop(Engine* e) {
+  for (;;) {
+    size_t idx;
+    {
+      std::unique_lock<std::mutex> lk(e->mu);
+      e->cv_work.wait(lk, [e] { return e->stop || e->next < e->bands.size(); });
+      if (e->stop) return;
+      idx = e->next++;
+    }
+    band_process(*e, e->bands[idx]);
+    {
+      std::lock_guard<std::mutex> lk(e->mu);
+      if (--e->remaining == 0) e->cv_done.notify_one();
+    }
+  }
+}
+
 // One pass of one band: read history window at offset, produce hop samples
 // of (C, Ls, Rs) into out[3][hop] (float32, matching oracle numerics).
+// Touches only band-owned scratch (and the engine's read-only history).
 void band_pass(Engine& e, Band& b, int offset, float* outC, float* outLs,
                float* outRs) {
   int B = b.block, H = b.hop, NB = B / 2 + 1;
@@ -309,27 +359,27 @@ void band_pass(Engine& e, Band& b, int offset, float* outC, float* outLs,
   for (int i = 0; i < B; ++i) {
     float l = e.histL[offset + i] * b.aw[i];
     float r = e.histR[offset + i] * b.aw[i];
-    e.zre[i] = (double)l;
-    e.zim[i] = (double)r;
+    b.zre[i] = (double)l;
+    b.zim[i] = (double)r;
   }
-  b.fft->forward(e.zre.data(), e.zim.data());
+  b.fft->forward(b.zre.data(), b.zim.data());
   // Unpack: L[k] = (Z[k] + conj(Z[N-k]))/2; R[k] = (Z[k] - conj(Z[N-k]))/2i
   for (int k = 0; k < NB; ++k) {
     int kc = (B - k) & (B - 1);
-    double ar = e.zre[k], ai = e.zim[k];
-    double br = e.zre[kc], bi = -e.zim[kc];
+    double ar = b.zre[k], ai = b.zim[k];
+    double br = b.zre[kc], bi = -b.zim[kc];
     double lre = 0.5 * (ar + br), lim = 0.5 * (ai + bi);
     double rre = 0.5 * (ai - bi), rim = -0.5 * (ar - br);
     double g = b.gain[k];
-    e.sLre[k] = lre * g; e.sLim[k] = lim * g;
-    e.sRre[k] = rre * g; e.sRim[k] = rim * g;
+    b.sLre[k] = lre * g; b.sLim[k] = lim * g;
+    b.sRre[k] = rre * g; b.sRim[k] = rim * g;
   }
 
   // Center-extraction mask (reference math, double precision like the
   // oracle's float64 spectra).
   for (int k = 0; k < NB; ++k) {
-    double lre = e.sLre[k], lim = e.sLim[k];
-    double rre = e.sRre[k], rim = e.sRim[k];
+    double lre = b.sLre[k], lim = b.sLim[k];
+    double rre = b.sRre[k], rim = b.sRim[k];
     double magl = std::sqrt(lre * lre + lim * lim);
     double magr = std::sqrt(rre * rre + rim * rim);
     double cross = magl * magr;  // |L * conj(R)| == |L||R|
@@ -337,35 +387,35 @@ void band_pass(Engine& e, Band& b, int offset, float* outC, float* outLs,
     double bal = (magl - magr) / (magl + magr + kEps);
     double f = 0.5 * coh * (1.0 - std::fabs(bal));
     double cre = f * (lre + rre), cim = f * (lim + rim);
-    e.sCre[k] = cre; e.sCim[k] = cim;
-    e.sSre[k] = lre - cre; e.sSim[k] = lim - cim;   // Ls
-    e.sTre[k] = rre - cre; e.sTim[k] = rim - cim;   // Rs
+    b.sCre[k] = cre; b.sCim[k] = cim;
+    b.sSre[k] = lre - cre; b.sSim[k] = lim - cim;   // Ls
+    b.sTre[k] = rre - cre; b.sTim[k] = rim - cim;   // Rs
   }
 
   // Packed inverse 1: c + i*ls from full spectra via conjugate symmetry.
   for (int k = 0; k < B; ++k) {
     double cr, ci, lr, li;
-    if (k < NB) { cr = e.sCre[k]; ci = e.sCim[k]; lr = e.sSre[k]; li = e.sSim[k]; }
-    else { int kc = B - k; cr = e.sCre[kc]; ci = -e.sCim[kc]; lr = e.sSre[kc]; li = -e.sSim[kc]; }
-    e.zre[k] = cr - li;
-    e.zim[k] = ci + lr;
+    if (k < NB) { cr = b.sCre[k]; ci = b.sCim[k]; lr = b.sSre[k]; li = b.sSim[k]; }
+    else { int kc = B - k; cr = b.sCre[kc]; ci = -b.sCim[kc]; lr = b.sSre[kc]; li = -b.sSim[kc]; }
+    b.zre[k] = cr - li;
+    b.zim[k] = ci + lr;
   }
-  b.fft->inverse(e.zre.data(), e.zim.data());
+  b.fft->inverse(b.zre.data(), b.zim.data());
   // Inverse 2: rs (imag input zero by symmetry packing with nothing).
   for (int k = 0; k < B; ++k) {
-    if (k < NB) { e.wre[k] = e.sTre[k]; e.wim[k] = e.sTim[k]; }
-    else { int kc = B - k; e.wre[k] = e.sTre[kc]; e.wim[k] = -e.sTim[kc]; }
+    if (k < NB) { b.wre[k] = b.sTre[k]; b.wim[k] = b.sTim[k]; }
+    else { int kc = B - k; b.wre[k] = b.sTre[kc]; b.wim[k] = -b.sTim[kc]; }
   }
-  b.fft->inverse(e.wre.data(), e.wim.data());
+  b.fft->inverse(b.wre.data(), b.wim.data());
 
   // OLA accumulate (float32, synthesis-windowed — oracle casts the irfft
   // to float32 BEFORE the window multiply, reference ce.py:124-137).
   float* aC = b.acc(0); float* aL = b.acc(1); float* aR = b.acc(2);
   for (int i = 0; i < B; ++i) {
     float sw = b.sw[i];
-    aC[i] += (float)e.zre[i] * sw;
-    aL[i] += (float)e.zim[i] * sw;
-    aR[i] += (float)e.wre[i] * sw;
+    aC[i] += (float)b.zre[i] * sw;
+    aL[i] += (float)b.zim[i] * sw;
+    aR[i] += (float)b.wre[i] * sw;
   }
   // Emit + shift.
   std::memcpy(outC, aC, sizeof(float) * H);
@@ -379,6 +429,15 @@ void band_pass(Engine& e, Band& b, int offset, float* outC, float* outLs,
   std::memset(aR + B - H, 0, sizeof(float) * H);
 }
 
+// One band's full hardware block (all passes) into the band-owned output
+// buffers — the unit of work the pool distributes.
+void band_process(Engine& e, Band& b) {
+  for (int p = 0; p < b.passes; ++p) {
+    band_pass(e, b, p * b.hop, b.blkC.data() + p * b.hop,
+              b.blkLs.data() + p * b.hop, b.blkRs.data() + p * b.hop);
+  }
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -390,18 +449,24 @@ extern "C" {
 // Bumped whenever the upmix_create signature (or any other ABI surface)
 // changes; the Python loader refuses libraries with a different value so
 // a stale .so cannot silently drop arguments (e.g. round 2 added the
-// trailing `window` parameter).
-int upmix_abi_version() { return 2; }
+// trailing `window` parameter, round 3 `n_threads`).
+int upmix_abi_version() { return 3; }
 
 // xover_mode: 0 = raised_cosine (live-fade), 1 = hard_zero
 // synthesis:  0 = wola, 1 = analysis (C++-reference parity)
 // rounding:   0 = python, 1 = cpp
 // window:     0 = blackman_harris, 1 = sqrt_hann, 2 = hann, 3 = blackman,
 //             4 = hamming, 5 = rect (see make_window)
+// n_threads:  total threads processing bands (main included): 1 = serial,
+//             0 = auto (min(n_bands, hardware_concurrency)).  Band outputs
+//             are summed in band order on the caller's thread, so results
+//             are bit-identical at any thread count.
 void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
                    int xover_mode, int synthesis, int rounding,
-                   double threshold_multi, double xo_fraction, int window) {
+                   double threshold_multi, double xo_fraction, int window,
+                   int n_threads) {
   if (window < 0 || window > 5) return nullptr;
+  if (n_threads < 0) return nullptr;
   if (sr <= 0 || hw_block < 4 || n_edges < 1) return nullptr;
   std::vector<double> e(edges, edges + n_edges);
   if (e.back() < sr / 2.0) e.push_back(sr / 2.0);
@@ -420,7 +485,6 @@ void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
 
   int max_block = hw_block * kWarmupBlocks;
   double prev_width = 0.0;
-  int maxb = 0;
   for (size_t i = 0; i + 1 < e.size(); ++i) {
     Band b;
     b.block = compute_block_size(e[i], sr, max_block, threshold_multi);
@@ -434,7 +498,7 @@ void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
                              prev_width, w_hi, rounding);
     prev_width = w_hi;
     b.accum.assign((size_t)3 * b.block, 0.0f);
-    if (b.block > maxb) maxb = b.block;
+    b.alloc_scratch(hw_block);
     eng->bands.push_back(std::move(b));
   }
   // Shared FFT plans per distinct block size.
@@ -453,7 +517,20 @@ void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
   for (auto& b : eng->bands)
     for (auto& f : eng->ffts)
       if (f.n == b.block) { b.fft = &f; break; }
-  eng->alloc_scratch(maxb);
+
+  // Worker pool: n_threads counts the caller's thread, so spawn one
+  // fewer.  `next` starts past the end so idle workers sleep until the
+  // first batch is published.
+  if (n_threads == 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    n_threads = (int)eng->bands.size();
+    if (hc > 0 && (int)hc < n_threads) n_threads = (int)hc;
+  }
+  if (n_threads > (int)eng->bands.size()) n_threads = (int)eng->bands.size();
+  eng->next = eng->bands.size();
+  eng->remaining = 0;
+  for (int i = 0; i + 1 < n_threads; ++i)
+    eng->workers.emplace_back(worker_loop, eng);
   return eng;
 }
 
@@ -490,19 +567,44 @@ int upmix_process_block(void* h, const float* inL, const float* inR,
   std::memset(outRs, 0, sizeof(float) * hw);
   if (e.t < kWarmupBlocks) return 0;
 
-  // Engine-owned scratch: the audio-callback path must not malloc.
-  float* c = e.blkC.data();
-  float* ls = e.blkLs.data();
-  float* rs = e.blkRs.data();
-  for (auto& b : e.bands) {
-    for (int p = 0; p < b.passes; ++p) {
-      band_pass(e, b, p * b.hop, c + p * b.hop, ls + p * b.hop,
-                rs + p * b.hop);
+  if (e.workers.empty()) {
+    // Serial path (n_threads = 1): process bands in order on this thread.
+    for (auto& b : e.bands) band_process(e, b);
+  } else {
+    // Publish the batch; workers and this thread claim bands until the
+    // queue drains, then wait for the stragglers.  Band outputs land in
+    // band-owned buffers — no locking around the DSP, no allocation.
+    {
+      std::lock_guard<std::mutex> lk(e.mu);
+      e.next = 0;
+      e.remaining = (int)e.bands.size();
     }
+    e.cv_work.notify_all();
+    for (;;) {
+      size_t idx;
+      {
+        std::lock_guard<std::mutex> lk(e.mu);
+        if (e.next >= e.bands.size()) break;
+        idx = e.next++;
+      }
+      band_process(e, e.bands[idx]);
+      {
+        std::lock_guard<std::mutex> lk(e.mu);
+        --e.remaining;
+      }
+    }
+    {
+      std::unique_lock<std::mutex> lk(e.mu);
+      e.cv_done.wait(lk, [&e] { return e.remaining == 0; });
+    }
+  }
+  // Deterministic reduction: sum band outputs in band order on the
+  // caller's thread — bit-identical at any thread count.
+  for (auto& b : e.bands) {
     for (int i = 0; i < hw; ++i) {
-      outC[i] += c[i];
-      outLs[i] += ls[i];
-      outRs[i] += rs[i];
+      outC[i] += b.blkC[i];
+      outLs[i] += b.blkLs[i];
+      outRs[i] += b.blkRs[i];
     }
   }
   return 1;

@@ -189,3 +189,73 @@ def test_native_band_clamp_matches_config():
     edges = [0, 50, 100, 200, 400, 800, 1200, 1600, 2000, 2400, 2800]
     eng = native.NativeStreamingUpmixer(edges, sr=8000.0, hw_block_size=256)
     assert eng.num_bands == 8
+
+
+@pytest.mark.parametrize("n_threads", [0, 2, 3])
+def test_native_band_pool_bit_identical(n_threads):
+    # The worker pool (native equivalent of the reference's
+    # ThreadPoolExecutor over bands) must produce bit-identical output to
+    # the serial engine: bands own their scratch and the band sum is
+    # reduced in band order on the calling thread.
+    L, R = make_stereo(16 * HW, SR, seed=21)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+
+    serial = native.NativeStreamingUpmixer(EDGES, sr=SR, hw_block_size=HW)
+    pooled = native.NativeStreamingUpmixer(
+        EDGES, sr=SR, hw_block_size=HW, n_threads=n_threads
+    )
+    ref = serial.process_signal(L32, R32, mix="lcr")
+    got = pooled.process_signal(L32, R32, mix="lcr")
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+    # And across a reset (pool state must fully recycle).
+    pooled.reset()
+    got2 = pooled.process_signal(L32, R32, mix="lcr")
+    for r, g in zip(ref, got2):
+        np.testing.assert_array_equal(r, g)
+
+
+def test_native_pool_under_tsan():
+    # Full data-race check of the band worker pool: run a pooled engine
+    # inside ThreadSanitizer (separate process; TSan must be preloaded
+    # before the CPython binary).  Skipped unless the TSan build and
+    # libtsan are present (`make -C native tsan`).
+    import os
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    tsan_lib = os.path.join(root, "native", "libupmix_host_tsan.so")
+    if not os.path.exists(tsan_lib):
+        pytest.skip("TSan build not present (make -C native tsan)")
+    pre = subprocess.run(
+        ["g++", "-print-file-name=libtsan.so"], capture_output=True, text=True
+    ).stdout.strip()
+    if not pre or not os.path.exists(pre):
+        pytest.skip("libtsan not found")
+    code = """
+import sys
+sys.path.insert(0, %r)
+import upmix_tpu.native.host as host
+host._LIB_PATH = %r
+host._LIB = None
+import numpy as np
+rng = np.random.default_rng(0)
+L = rng.standard_normal(64*256).astype(np.float32)
+R = rng.standard_normal(64*256).astype(np.float32)
+eng = host.NativeStreamingUpmixer([0.0, 400.0, 1600.0], sr=8000.0,
+                                  hw_block_size=256, n_threads=3)
+a = eng.process_signal(L, R)
+eng.reset()
+b = eng.process_signal(L, R)
+np.testing.assert_array_equal(a[0], b[0])
+del eng
+print("TSAN-POOL-OK")
+""" % (os.path.abspath(root), tsan_lib)
+    env = dict(os.environ, LD_PRELOAD=pre, TSAN_OPTIONS="exitcode=66")
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=300,
+    )
+    assert r.returncode == 0 and "TSAN-POOL-OK" in r.stdout, (
+        r.stdout[-500:] + r.stderr[-1500:]
+    )

@@ -40,7 +40,7 @@ def is_available() -> bool:
         return False
 
 
-_ABI_VERSION = 2  # must match upmix_abi_version() in upmix_host.cpp
+_ABI_VERSION = 3  # must match upmix_abi_version() in upmix_host.cpp
 
 
 def _load():
@@ -70,6 +70,7 @@ def _load():
             ctypes.c_double,  # threshold_multi
             ctypes.c_double,  # xo_fraction
             ctypes.c_int,  # window
+            ctypes.c_int,  # n_threads
         ]
         lib.upmix_destroy.argtypes = [ctypes.c_void_p]
         lib.upmix_num_bands.restype = ctypes.c_int
@@ -112,7 +113,14 @@ class NativeStreamingUpmixer:
         threshold_factor: float = 32.0,
         xo_fraction: float = 0.25,
         window: str = "blackman_harris",
+        n_threads: int = 1,
     ):
+        """n_threads: band-parallel worker count inside the engine (the
+        native equivalent of the reference's ThreadPoolExecutor over
+        bands, center_extraction.py:499-511).  1 = serial (default —
+        real-time callers usually pin one core), 0 = auto
+        (min(n_bands, cores)).  Outputs are bit-identical either way:
+        the band sum is reduced in band order on the calling thread."""
         lib = _load()
         edges = np.asarray(list(band_edges), dtype=np.float64)
         self._lib = lib
@@ -131,6 +139,7 @@ class NativeStreamingUpmixer:
             ctypes.c_double(threshold_factor),
             ctypes.c_double(xo_fraction),
             _WINDOWS[window],
+            int(n_threads),
         )
         if not self._h:
             raise ValueError(
