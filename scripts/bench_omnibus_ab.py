@@ -38,6 +38,12 @@ def main():
         "nobig": dict(omnibus_medium=True, omnibus_big=False),
         "nomed": dict(omnibus_medium=False, omnibus_big=True),
         "new": dict(omnibus_medium=True, omnibus_big=True),
+        # PROFILING-ONLY variants (wrong outputs!): cost attribution
+        # inside the omnibus kernel.
+        "profmask": dict(prof="mask"),  # mask sqrt/div -> passthrough
+        "profdot1": dict(prof="dot1"),  # bf16x3 dots -> single bf16 pass
+        # EXACT-ALGEBRA variant: one division in the mask instead of two.
+        "mask1div": dict(prof="1div"),
     }
 
     rng = np.random.default_rng(0)
@@ -48,9 +54,62 @@ def main():
     # Correctness spot-check data (CPU oracle comparison is too slow here;
     # compare variants against each other instead).
     outputs = {}
+    import jax as _jax
+    import upmix_tpu.ops.pallas_omnibus as _pom
+
+    _orig_mask = _pom._mask_sum
+    _orig_dot3 = _pom._dot3
+    _orig_dot3l = _pom._dot3l
+
+    def _mask_sum_cheap(slre, slim, srre, srim, gains_list):
+        # Same gain/sum structure, no sqrt/div (PROFILING ONLY).
+        c_re = c_im = l_re = l_im = r_re = r_im = 0.0
+        for g in gains_list:
+            glre, glim = slre * g, slim * g
+            grre, grim = srre * g, srim * g
+            cre, cim = 0.5 * (glre + grre), 0.5 * (glim + grim)
+            c_re, c_im = c_re + cre, c_im + cim
+            l_re, l_im = l_re + (glre - cre), l_im + (glim - cim)
+            r_re, r_im = r_re + (grre - cre), r_im + (grim - cim)
+        return c_re, c_im, l_re, l_im, r_re, r_im
+
+    def _dot1(a, b_hi, b_lo):
+        return _jax.lax.dot(
+            a.astype(jnp.bfloat16), b_hi, preferred_element_type=jnp.float32
+        )
+
+    def _dot1l(a_hi, a_lo, b):
+        return _jax.lax.dot(
+            a_hi, b.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+
+    import upmix_tpu.ops.pallas_upmix as _pup
+
+    _orig_soa = _pup._mask_soa
+    _EPS = 1e-12
+
+    def _mask_soa_1div(slre, slim, srre, srim):
+        # Same algebra as _mask_soa with the two divisions merged into
+        # one: f = 0.5*cross*(s+eps-d) / ((cross+eps)*(s+eps)).
+        magl = jnp.sqrt(slre * slre + slim * slim)
+        magr = jnp.sqrt(srre * srre + srim * srim)
+        cross = magl * magr
+        s = magl + magr + _EPS
+        d = jnp.abs(magl - magr)
+        f = 0.5 * cross * (s - d) / ((cross + _EPS) * s)
+        return f * (slre + srre), f * (slim + srim)
+
     for name in variants:
         kw = dict(settings[name])
         tile32k = kw.pop("tile32k", False)
+        prof = kw.pop("prof", None)
+        if prof == "mask":
+            _pom._mask_sum = _mask_sum_cheap
+        elif prof == "dot1":
+            _pom._dot3 = _dot1
+            _pom._dot3l = _dot1l
+        elif prof == "1div":
+            _pup._mask_soa = _mask_soa_1div
         if tile32k:
             import upmix_tpu.ops.pallas_omnibus as _po
             _orig = _po.make_omnibus_plan
@@ -83,7 +142,14 @@ def main():
         out = run(1)
         _ = float(np.asarray(out[0][0]))
         compile_s = time.perf_counter() - t0
-        outputs[name] = np.stack([np.asarray(o[:65536]) for o in out])
+        # Profiling patches must stay live through the first call (jit
+        # traces the kernel body then); restore once compiled.
+        _pom._mask_sum = _orig_mask
+        _pom._dot3 = _orig_dot3
+        _pom._dot3l = _orig_dot3l
+        _pup._mask_soa = _orig_soa
+        if prof is None or prof == "1div":  # 1div is exact algebra
+            outputs[name] = np.stack([np.asarray(o[:65536]) for o in out])
 
         times = []
         for _ in range(3):
