@@ -1,0 +1,106 @@
+"""Job-server mode (--serve): line-delimited JSON jobs over stdin/stdout,
+warm compile cache across jobs, per-job failure isolation."""
+
+import io
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from upmix_tpu.app import run_jobs
+from upmix_tpu.io import read_wav, write_wav
+
+from helpers import make_stereo
+
+SR = 8000
+
+
+def _wav(path, n=4096, seed=0):
+    L, R = make_stereo(n, SR, seed=seed)
+    write_wav(path, np.stack([L, R], 1).astype(np.float32), SR)
+    return str(path)
+
+
+def test_run_jobs_end_to_end(tmp_path):
+    a = _wav(tmp_path / "a.wav", seed=1)
+    b = _wav(tmp_path / "b.wav", seed=2)
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    jobs = "\n".join(
+        [
+            json.dumps({"cmd": "ping"}),
+            json.dumps({"in": a, "out_dir": out1}),
+            json.dumps({"in": str(tmp_path / "missing.wav")}),  # fails, isolated
+            json.dumps({"in": b, "out_dir": out2, "export_mode": "split"}),
+            json.dumps({"in": a, "bogus_field": 1}),  # rejected, isolated
+            "",  # blank lines ignored
+            "not json",  # parse error, isolated
+        ]
+    )
+    dst = io.StringIO()
+    n_ok = run_jobs(
+        io.StringIO(jobs),
+        dst,
+        out_dir=str(tmp_path / "default_out"),
+        band_edges=[0.0, 400.0, 1600.0],
+        max_block_size=512,
+    )
+    assert n_ok == 2
+    resps = [json.loads(line) for line in dst.getvalue().splitlines()]
+    assert resps[0] == {"ok": True, "pong": True}
+    assert resps[1]["ok"] and resps[1]["in"] == a
+    assert not resps[2]["ok"] and "missing" in resps[2]["error"]
+    assert resps[3]["ok"] and len(resps[3]["outputs"]) == 3  # split mode
+    assert not resps[4]["ok"] and "bogus_field" in resps[4]["error"]
+    assert not resps[5]["ok"]
+    assert len(resps) == 6
+    # The outputs really exist and decode.
+    for p in resps[1]["outputs"] + resps[3]["outputs"]:
+        y, sr = read_wav(p, always_2d=True)
+        assert sr == SR and len(y) > 0
+    assert resps[1]["audio_seconds"] == pytest.approx(4096 / SR, abs=1e-3)
+
+
+def test_serve_cli_roundtrip(tmp_path):
+    a = _wav(tmp_path / "in.wav", seed=3)
+    out = str(tmp_path / "srv_out")
+    jobs = (
+        json.dumps({"cmd": "ping"})
+        + "\n"
+        + json.dumps({"in": a, "out_dir": out})
+        + "\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "upmix_tpu.cli", "-", "--serve",
+            "--band-edges", "0,400,1600", "--max-block-size", "512",
+        ],
+        input=jobs,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    assert proc.returncode == 0, proc.stderr[-1200:]
+    lines = [json.loads(x) for x in proc.stdout.splitlines() if x.strip()]
+    assert lines[0]["pong"] is True
+    assert lines[1]["ok"] and os.path.exists(lines[1]["outputs"][0])
+
+
+def test_serve_requires_dash_input(tmp_path):
+    a = _wav(tmp_path / "x.wav")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "upmix_tpu.cli", a, "--serve"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    assert proc.returncode != 0
+    assert "stdin" in proc.stderr

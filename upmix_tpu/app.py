@@ -416,3 +416,73 @@ def run_offline(
     result.n_samples = len(L)
     result.sr = sr
     return result
+
+
+def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
+             **offline_kwargs) -> int:
+    """Line-delimited JSON job server: the persistent-process serving mode.
+
+    Reads one JSON object per line from `src` and writes one JSON result
+    line to `dst` per job — composable with sockets, FIFOs, or a work
+    queue (`... | upmix-tpu - --serve | ...`).  The process stays alive
+    across jobs, so compiled programs are reused: the first job at a
+    given (sample rate, length bucket) pays the compile, the rest run
+    warm (pass pad_granularity to widen the length buckets).
+
+    Job fields: {"in": path, "out_dir"?: str, "export_mode"?: str} — all
+    other pipeline flags are process-wide (**offline_kwargs), keeping the
+    compile cache effective.  {"cmd": "ping"} answers {"ok": true,
+    "pong": true} (a readiness probe).  A failing job reports
+    {"ok": false, "error": ...} on its own line; the server keeps going.
+
+    Returns the number of successfully processed jobs.
+
+    The reference has no serving story (single-shot main.py:25-165);
+    this is the batch-serving counterpart of the real-time pipe mode.
+    """
+    import json as _json
+    import time as _time
+
+    cache: dict = {}
+    n_ok = 0
+    for line in src:
+        line = line.strip()
+        if not line:
+            continue
+        job = None
+        try:
+            job = _json.loads(line)
+            if not isinstance(job, dict):
+                raise ValueError("job must be a JSON object")
+            if job.get("cmd") == "ping":
+                resp = {"ok": True, "pong": True}
+            else:
+                unknown = set(job) - {"in", "out_dir", "export_mode"}
+                if unknown:
+                    raise ValueError(f"unknown job fields {sorted(unknown)}")
+                in_path = job["in"]
+                t0 = _time.perf_counter()
+                result = run_offline(
+                    in_path,
+                    out_dir=job.get("out_dir", out_dir),
+                    export_mode=job.get("export_mode", export_mode),
+                    upmixer_cache=cache,
+                    **offline_kwargs,
+                )
+                resp = {
+                    "ok": True,
+                    "in": str(in_path),
+                    "outputs": [str(p) for p in result.paths],
+                    "audio_seconds": round(result.audio_seconds, 3),
+                    "wall_s": round(_time.perf_counter() - t0, 3),
+                }
+                n_ok += 1
+        except Exception as exc:  # job isolation: the server survives
+            resp = {
+                "ok": False,
+                "in": job.get("in") if isinstance(job, dict) else None,
+                "error": f"{type(exc).__name__}: {exc}",
+            }
+        dst.write(_json.dumps(resp) + "\n")
+        dst.flush()
+    return n_ok

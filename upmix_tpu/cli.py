@@ -120,6 +120,14 @@ def build_parser() -> argparse.ArgumentParser:
         "shell; requires `make -C native`)",
     )
     p.add_argument(
+        "--serve",
+        action="store_true",
+        help="job-server mode: one JSON job per stdin line "
+        '({"in": path, "out_dir"?, "export_mode"?} or {"cmd": "ping"}), '
+        "one JSON result per stdout line; the process stays warm so "
+        "compiled programs are reused across jobs (input must be '-')",
+    )
+    p.add_argument(
         "--pipe",
         action="store_true",
         help="raw-PCM filter mode: interleaved float32 stereo on stdin -> "
@@ -185,6 +193,34 @@ def main(argv=None) -> int:
         enable_compilation_cache()
 
     import time
+
+    if args.serve:
+        import sys as _sys
+
+        from upmix_tpu.app import run_jobs
+
+        if args.pipe or args.streaming:
+            raise SystemExit("error: --serve is exclusive with --pipe/--streaming")
+        if args.inputs != ["-"]:
+            raise SystemExit("error: --serve reads jobs from stdin; pass '-'")
+        run_jobs(
+            _sys.stdin,
+            _sys.stdout,
+            out_dir=args.out_dir,
+            export_mode=args.export_mode,
+            band_edges=edges,
+            overlap=args.overlap,
+            window=args.window,
+            xover_mode=args.xover_mode,
+            max_block_size=args.max_block_size,
+            threshold_factor=args.threshold_factor,
+            synthesis=args.synthesis or "wola",
+            bin_rounding=args.bin_rounding or "python",
+            subtype=args.subtype,
+            kernel=args.kernel,
+            pad_granularity=args.pad_granularity,
+        )
+        return 0
 
     if args.pipe:
         import sys as _sys
