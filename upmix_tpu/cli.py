@@ -95,9 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--pad-granularity",
         type=int,
-        default=1,
+        default=None,
         help="round input lengths up to a multiple of this to share compiled "
-        "programs across a batch of files (default 1 = exact lengths)",
+        "programs across a batch of files (default 1 = exact lengths; "
+        "--serve defaults to 65536 so jobs of similar length run warm)",
     )
     p.add_argument(
         "--streaming",
@@ -203,6 +204,9 @@ def main(argv=None) -> int:
             raise SystemExit("error: --serve is exclusive with --pipe/--streaming")
         if args.inputs != ["-"]:
             raise SystemExit("error: --serve reads jobs from stdin; pass '-'")
+        # A job server sees arbitrary lengths: bucket them by default so a
+        # fresh length rarely pays a fresh compile.
+        serve_pad = args.pad_granularity if args.pad_granularity else 2**16
         run_jobs(
             _sys.stdin,
             _sys.stdout,
@@ -218,7 +222,7 @@ def main(argv=None) -> int:
             bin_rounding=args.bin_rounding or "python",
             subtype=args.subtype,
             kernel=args.kernel,
-            pad_granularity=args.pad_granularity,
+            pad_granularity=serve_pad,
         )
         return 0
 
@@ -310,7 +314,7 @@ def main(argv=None) -> int:
             bin_rounding=args.bin_rounding or "python",
             subtype=args.subtype,
             kernel=args.kernel,
-            pad_granularity=args.pad_granularity,
+            pad_granularity=args.pad_granularity or 1,
             upmixer_cache=upmixer_cache,
             verbose=args.verbose,
         )
