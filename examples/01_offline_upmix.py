@@ -74,3 +74,8 @@ def tone_energy(y, f):
 
 print(f"C   440 Hz: {tone_energy(C, 440):9.1f}   1 kHz: {tone_energy(C, 1000):7.1f}")
 print(f"Ls  440 Hz: {tone_energy(Ls, 440):9.1f}   1 kHz: {tone_energy(Ls, 1000):7.1f}")
+assert np.all(np.isfinite(C)) and np.all(np.isfinite(Ls)) and np.all(np.isfinite(Rs))
+assert tone_energy(C, 440) > 10 * tone_energy(C, 1000), "shared tone must land in C"
+assert tone_energy(Ls, 1000) > 10 * tone_energy(Ls, 440), "panned tone must land in Ls"
+assert tone_energy(Rs, 2500) > 10 * tone_energy(Rs, 440), "panned tone must land in Rs"
+print("separation checks passed")

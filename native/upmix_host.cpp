@@ -269,32 +269,38 @@ std::vector<double> band_gain_curve(double f_low, double f_high, double sr,
 // Engine
 // ---------------------------------------------------------------------------
 
+// DSP scratch for one concurrently-running band pass.  Pooled engines
+// give each band its own (bands then share no mutable state, so the
+// worker pool needs no locking around the DSP); the serial engine shares
+// ONE max-block-sized instance across all bands — the pre-pool memory
+// footprint.
+struct Scratch {
+  std::vector<double> zre, zim, wre, wim;
+  // spectra scratch per pass: L/R/C/Ls/Rs half-spectra
+  std::vector<double> sLre, sLim, sRre, sRim, sCre, sCim, sSre, sSim,
+      sTre, sTim;
+
+  void alloc(int block) {
+    zre.resize(block); zim.resize(block); wre.resize(block); wim.resize(block);
+    int nb = block / 2 + 1;
+    sLre.resize(nb); sLim.resize(nb); sRre.resize(nb); sRim.resize(nb);
+    sCre.resize(nb); sCim.resize(nb); sSre.resize(nb); sSim.resize(nb);
+    sTre.resize(nb); sTim.resize(nb);
+  }
+};
+
 struct Band {
   int block = 0, hop = 0, passes = 0;
   std::vector<float> aw, sw;
   std::vector<double> gain;        // [block/2 + 1]
   std::vector<float> accum;        // OLA accumulators [3][block] flattened
   Fft* fft = nullptr;              // shared per block size (read-only plan)
+  Scratch* sc = nullptr;           // own in pooled mode, shared in serial
 
-  // Band-owned scratch — bands never share mutable state, so the worker
-  // pool needs no locking around the DSP.
-  std::vector<double> zre, zim, wre, wim;
-  // spectra scratch per pass: L/R/C/Ls/Rs half-spectra
-  std::vector<double> sLre, sLim, sRre, sRim, sCre, sCim, sSre, sSim,
-      sTre, sTim;
   // per-hw-block output buffers (summed by the main thread, in band order)
   std::vector<float> blkC, blkLs, blkRs;
 
   float* acc(int ch) { return accum.data() + (size_t)ch * block; }
-
-  void alloc_scratch(int hw) {
-    zre.resize(block); zim.resize(block); wre.resize(block); wim.resize(block);
-    int nb = block / 2 + 1;
-    sLre.resize(nb); sLim.resize(nb); sRre.resize(nb); sRim.resize(nb);
-    sCre.resize(nb); sCim.resize(nb); sSre.resize(nb); sSim.resize(nb);
-    sTre.resize(nb); sTim.resize(nb);
-    blkC.resize(hw); blkLs.resize(hw); blkRs.resize(hw);
-  }
 };
 
 struct Engine {
@@ -305,6 +311,7 @@ struct Engine {
   std::vector<float> histL, histR;  // shared input history, newest at tail
   std::vector<Band> bands;
   std::vector<Fft> ffts;            // one per distinct block size
+  std::vector<Scratch> scratches;   // per band (pooled) or one shared (serial)
 
   // Worker pool (band task parallelism).  Protocol: the main thread
   // publishes `next = 0, remaining = n` under the mutex and wakes the
@@ -359,27 +366,27 @@ void band_pass(Engine& e, Band& b, int offset, float* outC, float* outLs,
   for (int i = 0; i < B; ++i) {
     float l = e.histL[offset + i] * b.aw[i];
     float r = e.histR[offset + i] * b.aw[i];
-    b.zre[i] = (double)l;
-    b.zim[i] = (double)r;
+    b.sc->zre[i] = (double)l;
+    b.sc->zim[i] = (double)r;
   }
-  b.fft->forward(b.zre.data(), b.zim.data());
+  b.fft->forward(b.sc->zre.data(), b.sc->zim.data());
   // Unpack: L[k] = (Z[k] + conj(Z[N-k]))/2; R[k] = (Z[k] - conj(Z[N-k]))/2i
   for (int k = 0; k < NB; ++k) {
     int kc = (B - k) & (B - 1);
-    double ar = b.zre[k], ai = b.zim[k];
-    double br = b.zre[kc], bi = -b.zim[kc];
+    double ar = b.sc->zre[k], ai = b.sc->zim[k];
+    double br = b.sc->zre[kc], bi = -b.sc->zim[kc];
     double lre = 0.5 * (ar + br), lim = 0.5 * (ai + bi);
     double rre = 0.5 * (ai - bi), rim = -0.5 * (ar - br);
     double g = b.gain[k];
-    b.sLre[k] = lre * g; b.sLim[k] = lim * g;
-    b.sRre[k] = rre * g; b.sRim[k] = rim * g;
+    b.sc->sLre[k] = lre * g; b.sc->sLim[k] = lim * g;
+    b.sc->sRre[k] = rre * g; b.sc->sRim[k] = rim * g;
   }
 
   // Center-extraction mask (reference math, double precision like the
   // oracle's float64 spectra).
   for (int k = 0; k < NB; ++k) {
-    double lre = b.sLre[k], lim = b.sLim[k];
-    double rre = b.sRre[k], rim = b.sRim[k];
+    double lre = b.sc->sLre[k], lim = b.sc->sLim[k];
+    double rre = b.sc->sRre[k], rim = b.sc->sRim[k];
     double magl = std::sqrt(lre * lre + lim * lim);
     double magr = std::sqrt(rre * rre + rim * rim);
     double cross = magl * magr;  // |L * conj(R)| == |L||R|
@@ -387,35 +394,35 @@ void band_pass(Engine& e, Band& b, int offset, float* outC, float* outLs,
     double bal = (magl - magr) / (magl + magr + kEps);
     double f = 0.5 * coh * (1.0 - std::fabs(bal));
     double cre = f * (lre + rre), cim = f * (lim + rim);
-    b.sCre[k] = cre; b.sCim[k] = cim;
-    b.sSre[k] = lre - cre; b.sSim[k] = lim - cim;   // Ls
-    b.sTre[k] = rre - cre; b.sTim[k] = rim - cim;   // Rs
+    b.sc->sCre[k] = cre; b.sc->sCim[k] = cim;
+    b.sc->sSre[k] = lre - cre; b.sc->sSim[k] = lim - cim;   // Ls
+    b.sc->sTre[k] = rre - cre; b.sc->sTim[k] = rim - cim;   // Rs
   }
 
   // Packed inverse 1: c + i*ls from full spectra via conjugate symmetry.
   for (int k = 0; k < B; ++k) {
     double cr, ci, lr, li;
-    if (k < NB) { cr = b.sCre[k]; ci = b.sCim[k]; lr = b.sSre[k]; li = b.sSim[k]; }
-    else { int kc = B - k; cr = b.sCre[kc]; ci = -b.sCim[kc]; lr = b.sSre[kc]; li = -b.sSim[kc]; }
-    b.zre[k] = cr - li;
-    b.zim[k] = ci + lr;
+    if (k < NB) { cr = b.sc->sCre[k]; ci = b.sc->sCim[k]; lr = b.sc->sSre[k]; li = b.sc->sSim[k]; }
+    else { int kc = B - k; cr = b.sc->sCre[kc]; ci = -b.sc->sCim[kc]; lr = b.sc->sSre[kc]; li = -b.sc->sSim[kc]; }
+    b.sc->zre[k] = cr - li;
+    b.sc->zim[k] = ci + lr;
   }
-  b.fft->inverse(b.zre.data(), b.zim.data());
+  b.fft->inverse(b.sc->zre.data(), b.sc->zim.data());
   // Inverse 2: rs (imag input zero by symmetry packing with nothing).
   for (int k = 0; k < B; ++k) {
-    if (k < NB) { b.wre[k] = b.sTre[k]; b.wim[k] = b.sTim[k]; }
-    else { int kc = B - k; b.wre[k] = b.sTre[kc]; b.wim[k] = -b.sTim[kc]; }
+    if (k < NB) { b.sc->wre[k] = b.sc->sTre[k]; b.sc->wim[k] = b.sc->sTim[k]; }
+    else { int kc = B - k; b.sc->wre[k] = b.sc->sTre[kc]; b.sc->wim[k] = -b.sc->sTim[kc]; }
   }
-  b.fft->inverse(b.wre.data(), b.wim.data());
+  b.fft->inverse(b.sc->wre.data(), b.sc->wim.data());
 
   // OLA accumulate (float32, synthesis-windowed — oracle casts the irfft
   // to float32 BEFORE the window multiply, reference ce.py:124-137).
   float* aC = b.acc(0); float* aL = b.acc(1); float* aR = b.acc(2);
   for (int i = 0; i < B; ++i) {
     float sw = b.sw[i];
-    aC[i] += (float)b.zre[i] * sw;
-    aL[i] += (float)b.zim[i] * sw;
-    aR[i] += (float)b.wre[i] * sw;
+    aC[i] += (float)b.sc->zre[i] * sw;
+    aL[i] += (float)b.sc->zim[i] * sw;
+    aR[i] += (float)b.sc->wre[i] * sw;
   }
   // Emit + shift.
   std::memcpy(outC, aC, sizeof(float) * H);
@@ -498,7 +505,7 @@ void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
                              prev_width, w_hi, rounding);
     prev_width = w_hi;
     b.accum.assign((size_t)3 * b.block, 0.0f);
-    b.alloc_scratch(hw_block);
+    b.blkC.resize(hw_block); b.blkLs.resize(hw_block); b.blkRs.resize(hw_block);
     eng->bands.push_back(std::move(b));
   }
   // Shared FFT plans per distinct block size.
@@ -527,6 +534,22 @@ void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
     if (hc > 0 && (int)hc < n_threads) n_threads = (int)hc;
   }
   if (n_threads > (int)eng->bands.size()) n_threads = (int)eng->bands.size();
+  // Scratch: per band when workers will run concurrently; one shared
+  // max-block instance in serial mode (the pre-pool memory footprint —
+  // matters on embedded targets like Bela, which pin n_threads=1).
+  if (n_threads > 1) {
+    eng->scratches.resize(eng->bands.size());
+    for (size_t i = 0; i < eng->bands.size(); ++i) {
+      eng->scratches[i].alloc(eng->bands[i].block);
+      eng->bands[i].sc = &eng->scratches[i];
+    }
+  } else {
+    int maxb = 0;
+    for (auto& b : eng->bands) maxb = b.block > maxb ? b.block : maxb;
+    eng->scratches.resize(1);
+    eng->scratches[0].alloc(maxb);
+    for (auto& b : eng->bands) b.sc = &eng->scratches[0];
+  }
   eng->next = eng->bands.size();
   eng->remaining = 0;
   for (int i = 0; i + 1 < n_threads; ++i)

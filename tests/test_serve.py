@@ -40,14 +40,14 @@ def test_run_jobs_end_to_end(tmp_path):
         ]
     )
     dst = io.StringIO()
-    n_ok = run_jobs(
+    n_ok, n_fail = run_jobs(
         io.StringIO(jobs),
         dst,
         out_dir=str(tmp_path / "default_out"),
         band_edges=[0.0, 400.0, 1600.0],
         max_block_size=512,
     )
-    assert n_ok == 2
+    assert n_ok == 2 and n_fail == 3
     resps = [json.loads(line) for line in dst.getvalue().splitlines()]
     assert resps[0] == {"ok": True, "pong": True}
     assert resps[1]["ok"] and resps[1]["in"] == a
@@ -89,6 +89,23 @@ def test_serve_cli_roundtrip(tmp_path):
     lines = [json.loads(x) for x in proc.stdout.splitlines() if x.strip()]
     assert lines[0]["pong"] is True
     assert lines[1]["ok"] and os.path.exists(lines[1]["outputs"][0])
+
+
+def test_serve_exit_code_all_failed(tmp_path):
+    # A stream whose every job failed exits 1 so supervisors can tell;
+    # a healthy or empty stream exits 0 (the other tests cover that).
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "upmix_tpu.cli", "-", "--serve"],
+        input='{"in": "/nonexistent/x.wav"}\n',
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    assert proc.returncode == 1
+    assert not json.loads(proc.stdout.splitlines()[0])["ok"]
 
 
 def test_serve_requires_dash_input(tmp_path):

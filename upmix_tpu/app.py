@@ -435,16 +435,21 @@ def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
     "pong": true} (a readiness probe).  A failing job reports
     {"ok": false, "error": ...} on its own line; the server keeps going.
 
-    Returns the number of successfully processed jobs.
+    Returns (n_ok, n_failed).  The warm caches are bounded: at most 8
+    distinct configs (LRU), each holding at most 16 compiled length
+    variants (Upmixer.max_programs) — a long-lived server's memory stays
+    flat under arbitrary job streams.
 
     The reference has no serving story (single-shot main.py:25-165);
     this is the batch-serving counterpart of the real-time pipe mode.
     """
     import json as _json
     import time as _time
+    from collections import OrderedDict
 
-    cache: dict = {}
+    cache: OrderedDict = OrderedDict()
     n_ok = 0
+    n_fail = 0
     for line in src:
         line = line.strip()
         if not line:
@@ -469,6 +474,8 @@ def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
                     upmixer_cache=cache,
                     **offline_kwargs,
                 )
+                while len(cache) > 8:  # LRU bound on distinct configs
+                    cache.popitem(last=False)
                 resp = {
                     "ok": True,
                     "in": str(in_path),
@@ -478,6 +485,7 @@ def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
                 }
                 n_ok += 1
         except Exception as exc:  # job isolation: the server survives
+            n_fail += 1
             resp = {
                 "ok": False,
                 "in": job.get("in") if isinstance(job, dict) else None,
@@ -485,4 +493,4 @@ def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
             }
         dst.write(_json.dumps(resp) + "\n")
         dst.flush()
-    return n_ok
+    return n_ok, n_fail

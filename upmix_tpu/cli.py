@@ -207,7 +207,7 @@ def main(argv=None) -> int:
         # A job server sees arbitrary lengths: bucket them by default so a
         # fresh length rarely pays a fresh compile.
         serve_pad = args.pad_granularity if args.pad_granularity else 2**16
-        run_jobs(
+        n_ok, n_fail = run_jobs(
             _sys.stdin,
             _sys.stdout,
             out_dir=args.out_dir,
@@ -224,7 +224,10 @@ def main(argv=None) -> int:
             kernel=args.kernel,
             pad_granularity=serve_pad,
         )
-        return 0
+        # Exit status for supervisors: 0 when the stream was healthy
+        # (no jobs, or at least one success); 1 when jobs came in and
+        # every one of them failed.
+        return 1 if (n_fail and not n_ok) else 0
 
     if args.pipe:
         import sys as _sys

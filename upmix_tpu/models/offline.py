@@ -512,20 +512,35 @@ class Upmixer:
 
     Distinct input lengths trigger recompilation (static shapes are what
     lets XLA tile the FFTs and fuse the pipeline); `pad_granularity` rounds
-    lengths up to bound the number of compiled variants.
+    lengths up to bound the number of compiled variants, and the cache is
+    an LRU capped at `max_programs` so long-lived processes (the --serve
+    job server, notably) do not grow without bound.
     """
 
-    def __init__(self, config: UpmixConfig, pad_granularity: int = 1, kernel: str = "auto"):
+    def __init__(
+        self,
+        config: UpmixConfig,
+        pad_granularity: int = 1,
+        kernel: str = "auto",
+        max_programs: int = 16,
+    ):
+        from collections import OrderedDict
+
         self.config = config
         self.pad_granularity = max(1, int(pad_granularity))
         self.kernel = kernel
-        self._cache = {}
+        self.max_programs = max(1, int(max_programs))
+        self._cache = OrderedDict()
 
     def _compiled(self, n_padded: int):
         fn = self._cache.get(n_padded)
         if fn is None:
             fn = jax.jit(build_offline_fn(self.config, n_padded, self.kernel))
             self._cache[n_padded] = fn
+            while len(self._cache) > self.max_programs:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(n_padded)
         return fn
 
     def process(self, L, R):

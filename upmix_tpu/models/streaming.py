@@ -301,7 +301,7 @@ class StreamingUpmixer:
             # (nothing was donated), so the stream keeps its history.
             raise ValueError(
                 f"push_block expects two length-{self.hw_block_size} "
-                f"channels, got {x.shape[1]}"
+                f"channels; got stacked input shape {tuple(x.shape)}"
             )
         try:
             self.state, out = self._step(self.state, x)
