@@ -251,3 +251,73 @@ def test_streaming_random_config_fuzz():
         assert sl > 60.0, (
             f"trial {trial}: {sl:.1f} dB (edges={edges}, ov={overlap}, hw={hw})"
         )
+
+
+def test_batch_streaming_matches_independent_streams():
+    # B concurrent sessions through one vmapped dispatch must match B
+    # independent single-stream engines on the same blocks.
+    from upmix_tpu.models.streaming import BatchStreamingUpmixer
+
+    cfg = _stream_cfg()
+    B, n_blocks = 3, 10
+    rng = np.random.default_rng(31)
+    blocks = rng.standard_normal((n_blocks, B, 2, HW)).astype(np.float32) * 0.3
+
+    batch = BatchStreamingUpmixer(cfg, HW, n_streams=B)
+    got = [[] for _ in range(B)]
+    for t in range(n_blocks):
+        c, ls, rs = batch.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        for b in range(B):
+            got[b].append(np.stack([c[b], ls[b], rs[b]]))
+
+    for b in range(B):
+        eng = StreamingUpmixer(cfg, HW)
+        for t in range(n_blocks):
+            c, ls, rs = eng.push_block(blocks[t, b, 0], blocks[t, b, 1])
+            ref = np.stack([np.asarray(c), np.asarray(ls), np.asarray(rs)])
+            mine = np.asarray(got[b][t])
+            if np.abs(ref).max() > 0:
+                assert snr_db(ref, mine) > 80.0, f"stream {b} block {t}"
+            else:
+                np.testing.assert_allclose(mine, ref, atol=1e-6)
+
+
+def test_batch_streaming_slot_churn():
+    # Resetting one slot replays warmup for that stream only; the other
+    # slots are unaffected (bit-identical to an untouched run).
+    from upmix_tpu.models.streaming import BatchStreamingUpmixer
+
+    cfg = _stream_cfg()
+    B, n_blocks = 2, 12
+    rng = np.random.default_rng(32)
+    blocks = rng.standard_normal((n_blocks, B, 2, HW)).astype(np.float32) * 0.3
+
+    plain = BatchStreamingUpmixer(cfg, HW, n_streams=B)
+    plain_out = [plain.push_blocks(blk[:, 0], blk[:, 1]) for blk in blocks]
+
+    churn = BatchStreamingUpmixer(cfg, HW, n_streams=B)
+    half = n_blocks // 2
+    for blk in blocks[:half]:
+        churn.push_blocks(blk[:, 0], blk[:, 1])
+    churn.reset_streams([1])  # session on slot 1 ended; new one begins
+    outs = [churn.push_blocks(blk[:, 0], blk[:, 1]) for blk in blocks[half:]]
+
+    # Slot 0 continues bit-identically; slot 1 replays warmup (silence
+    # for warmup_blocks, since its history restarted from zeros).
+    for t, (c, ls, rs) in enumerate(outs):
+        np.testing.assert_array_equal(
+            np.asarray(c[0]), np.asarray(plain_out[half + t][0][0])
+        )
+        if t < churn.warmup_blocks - 1:
+            assert np.abs(np.asarray(c[1])).max() == 0.0
+
+
+def test_batch_streaming_bad_shape_raises():
+    from upmix_tpu.models.streaming import BatchStreamingUpmixer
+
+    cfg = _stream_cfg()
+    eng = BatchStreamingUpmixer(cfg, HW, n_streams=2)
+    with pytest.raises(ValueError, match="push_blocks"):
+        eng.push_blocks(np.zeros((2, HW - 1)), np.zeros((2, HW - 1)))
+    with pytest.raises(ValueError):
+        BatchStreamingUpmixer(cfg, HW, n_streams=0)

@@ -1,4 +1,4 @@
 from upmix_tpu.models.offline import Upmixer, upmix_offline
-from upmix_tpu.models.streaming import StreamingUpmixer
+from upmix_tpu.models.streaming import BatchStreamingUpmixer, StreamingUpmixer
 
-__all__ = ["Upmixer", "upmix_offline", "StreamingUpmixer"]
+__all__ = ["Upmixer", "upmix_offline", "StreamingUpmixer", "BatchStreamingUpmixer"]

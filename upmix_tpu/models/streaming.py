@@ -348,3 +348,76 @@ class StreamingUpmixer:
         if mix == "lcr":
             return lcr[0], lcr[1], lcr[2]
         raise ValueError(f"unknown mix {mix!r}; one of ('lcr', 'stereo_sum')")
+
+
+class BatchStreamingUpmixer:
+    """Many concurrent live streams on one device: the pure stream step
+    vmapped over a leading stream axis, so ONE dispatch per hardware
+    block serves every session (the multi-stream serving counterpart of
+    the single-stream engine; the reference serves exactly one stream,
+    bela/upmix.cpp:519).
+
+    All streams share one config and block size (that is what makes the
+    batch a single compiled program).  Sessions can start/stop at any
+    time: `reset_streams([i, ...])` zeroes those slots (each then replays
+    the engine's normal warmup), so a fixed-size pool of slots serves a
+    churning population of streams.
+
+    State is donated per step, like StreamingUpmixer — `snapshot()`
+    before the next push to checkpoint.
+    """
+
+    def __init__(self, config: UpmixConfig, hw_block_size: int, n_streams: int):
+        if n_streams < 1:
+            raise ValueError(f"n_streams must be >= 1, got {n_streams}")
+        self.config = config
+        self.hw_block_size = int(hw_block_size)
+        self.n_streams = int(n_streams)
+        self.warmup_blocks = stream_warmup_blocks(config)
+        step = build_stream_step(config, self.hw_block_size)
+        self._step = jax.jit(jax.vmap(step), donate_argnums=(0,))
+        one = init_stream_state(config, self.hw_block_size)
+        # All-zero init: broadcasting the fresh single-stream state is
+        # exact (it is zeros plus a zero counter).
+        self.state = jax.tree.map(
+            lambda a: jnp.zeros((self.n_streams,) + a.shape, a.dtype), one
+        )
+
+    def reset(self):
+        one = init_stream_state(self.config, self.hw_block_size)
+        self.state = jax.tree.map(
+            lambda a: jnp.zeros((self.n_streams,) + a.shape, a.dtype), one
+        )
+
+    def reset_streams(self, indices):
+        """Zero the given stream slots (ended sessions; slots re-warm)."""
+        idx = jnp.asarray(list(indices), jnp.int32)
+        self.state = jax.tree.map(
+            lambda a: a.at[idx].set(jnp.zeros_like(a[0])), self.state
+        )
+
+    def snapshot(self):
+        """Host-side copy safe to keep across pushes (state is donated)."""
+        import numpy as _np
+
+        return jax.tree.map(_np.asarray, self.state)
+
+    def push_blocks(self, in_l, in_r):
+        """One hardware block for EVERY stream: in_l/in_r [n_streams, hw]
+        -> (C, Ls, Rs), each [n_streams, hw]."""
+        x = jnp.stack(
+            [jnp.asarray(in_l, jnp.float32), jnp.asarray(in_r, jnp.float32)],
+            axis=1,
+        )  # [n_streams, 2, hw]
+        if x.shape != (self.n_streams, 2, self.hw_block_size):
+            raise ValueError(
+                f"push_blocks expects two [{self.n_streams}, "
+                f"{self.hw_block_size}] channel arrays; got stacked shape "
+                f"{tuple(x.shape)}"
+            )
+        try:
+            self.state, out = self._step(self.state, x)
+        except Exception:
+            self.reset()
+            raise
+        return out[:, 0], out[:, 1], out[:, 2]
