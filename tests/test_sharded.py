@@ -163,3 +163,36 @@ def test_seq_sharded_mm_with_pallas_parity():
     y = su.process_batch(x)
     for c in range(3):
         assert snr_db(ref[c], np.asarray(y[0, c])) > 60.0
+
+
+def test_batch_streaming_over_data_mesh():
+    # The multi-stream pool sharded over the 'data' axis: communication-
+    # free scale-out; results must match the unsharded pool bit-for-bit.
+    import numpy as np
+
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.streaming import BatchStreamingUpmixer
+    from upmix_tpu.parallel import make_mesh
+
+    HW = 256
+    cfg = UpmixConfig.streaming([0.0, 400.0, 1600.0], sr=8000.0, hw_block_size=HW)
+    B, n_blocks = 8, 8
+    rng = np.random.default_rng(7)
+    blocks = rng.standard_normal((n_blocks, B, 2, HW)).astype(np.float32) * 0.3
+
+    mesh = make_mesh({"data": 4})
+    sharded = BatchStreamingUpmixer(cfg, HW, n_streams=B, mesh=mesh)
+    plain = BatchStreamingUpmixer(cfg, HW, n_streams=B)
+    for blk in blocks:
+        a = sharded.push_blocks(blk[:, 0], blk[:, 1])
+        b = plain.push_blocks(blk[:, 0], blk[:, 1])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+    sharded.reset_streams([3])
+    a = sharded.push_blocks(blocks[0][:, 0], blocks[0][:, 1])
+    assert np.abs(np.asarray(a[0][3])).max() == 0.0  # slot 3 re-warming
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        BatchStreamingUpmixer(cfg, HW, n_streams=6, mesh=mesh)

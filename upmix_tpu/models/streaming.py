@@ -363,31 +363,65 @@ class BatchStreamingUpmixer:
     the engine's normal warmup), so a fixed-size pool of slots serves a
     churning population of streams.
 
+    Pass a `mesh` with a 'data' axis to shard the stream pool across
+    chips — streams are independent, so the scale-out is communication-
+    free (each chip serves n_streams/mesh.shape['data'] sessions; XLA
+    inserts no collectives).  n_streams must divide evenly.
+
     State is donated per step, like StreamingUpmixer — `snapshot()`
     before the next push to checkpoint.
     """
 
-    def __init__(self, config: UpmixConfig, hw_block_size: int, n_streams: int):
+    def __init__(
+        self,
+        config: UpmixConfig,
+        hw_block_size: int,
+        n_streams: int,
+        mesh=None,
+    ):
         if n_streams < 1:
             raise ValueError(f"n_streams must be >= 1, got {n_streams}")
         self.config = config
         self.hw_block_size = int(hw_block_size)
         self.n_streams = int(n_streams)
+        self.mesh = mesh
         self.warmup_blocks = stream_warmup_blocks(config)
         step = build_stream_step(config, self.hw_block_size)
+        self._shardings = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            d = mesh.shape.get("data", 1)
+            if self.n_streams % d:
+                raise ValueError(
+                    f"n_streams {self.n_streams} must divide evenly across "
+                    f"the mesh 'data' axis ({d})"
+                )
+            # Every pytree leaf (state arrays and the in/out blocks) has
+            # the stream axis leading; shard exactly that axis.
+            def shard_like(a):
+                spec = PartitionSpec("data", *([None] * (a.ndim - 1)))
+                return NamedSharding(mesh, spec)
+
+            self._shardings = shard_like
         self._step = jax.jit(jax.vmap(step), donate_argnums=(0,))
-        one = init_stream_state(config, self.hw_block_size)
+        self.state = self._fresh_state()
+
+    def _fresh_state(self):
+        one = init_stream_state(self.config, self.hw_block_size)
         # All-zero init: broadcasting the fresh single-stream state is
         # exact (it is zeros plus a zero counter).
-        self.state = jax.tree.map(
+        state = jax.tree.map(
             lambda a: jnp.zeros((self.n_streams,) + a.shape, a.dtype), one
         )
+        if self._shardings is not None:
+            state = jax.tree.map(
+                lambda a: jax.device_put(a, self._shardings(a)), state
+            )
+        return state
 
     def reset(self):
-        one = init_stream_state(self.config, self.hw_block_size)
-        self.state = jax.tree.map(
-            lambda a: jnp.zeros((self.n_streams,) + a.shape, a.dtype), one
-        )
+        self.state = self._fresh_state()
 
     def reset_streams(self, indices):
         """Zero the given stream slots (ended sessions; slots re-warm)."""
@@ -415,6 +449,8 @@ class BatchStreamingUpmixer:
                 f"{self.hw_block_size}] channel arrays; got stacked shape "
                 f"{tuple(x.shape)}"
             )
+        if self._shardings is not None:
+            x = jax.device_put(x, self._shardings(x))
         try:
             self.state, out = self._step(self.state, x)
         except Exception:
