@@ -44,6 +44,7 @@ def main():
         "profdot1": dict(prof="dot1"),  # bf16x3 dots -> single bf16 pass
         # EXACT-ALGEBRA variant: one division in the mask instead of two.
         "mask1div": dict(prof="1div"),
+        "proffold": dict(prof="fold"),  # skip OLA folds/merges (wrong output)
     }
 
     rng = np.random.default_rng(0)
@@ -110,6 +111,8 @@ def main():
             _pom._dot3l = _dot1l
         elif prof == "1div":
             _pup._mask_soa = _mask_soa_1div
+        elif prof == "fold":
+            _pom._PROF_NOFOLD = True
         if tile32k:
             import upmix_tpu.ops.pallas_omnibus as _po
             _orig = _po.make_omnibus_plan
@@ -148,6 +151,7 @@ def main():
         _pom._dot3 = _orig_dot3
         _pom._dot3l = _orig_dot3l
         _pup._mask_soa = _orig_soa
+        _pom._PROF_NOFOLD = False
         if prof is None or prof == "1div":  # 1div is exact algebra
             outputs[name] = np.stack([np.asarray(o[:65536]) for o in out])
 

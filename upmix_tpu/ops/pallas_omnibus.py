@@ -39,6 +39,10 @@ from upmix_tpu.ops.pallas_upmix import _dot_f32 as _dot3
 from upmix_tpu.ops.pallas_upmix import _mask_sum
 from upmix_tpu.ops.pallas_upmix import _split_bf16 as _bf16_pair
 
+# PROFILING knob (scripts/bench_omnibus_ab.py "proffold"): skip the
+# overlap-add folds/merges (WRONG OUTPUT) to attribute their cost.
+_PROF_NOFOLD = False
+
 
 @dataclass(frozen=True)
 class _DirectSub:
@@ -341,6 +345,8 @@ def _frames_of(xloc, B, H, tile):
 def _fold(rec3, B, H, K, M, tile, width):
     """rec3 [3, K*M, B] (group-major) -> folded [3, width] (width >= tile+B-H)."""
     rec = rec3.reshape(3, K, M * B)
+    if _PROF_NOFOLD:  # profiling only: 1 pad, no shifted adds
+        return jnp.pad(rec[:, 0], ((0, 0), (0, width - M * B)))
     spill_b = B - H
     total = tile + spill_b
     out = None
@@ -453,8 +459,13 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width):
             [y[:, o * N2 : (o + 1) * N2].reshape(1, glen) for o in range(3)],
             axis=0,
         )  # [3, glen]
+        if _PROF_NOFOLD:  # profiling only: drop the shifted pad-add
+            out = rec if out is None else out + rec
+            continue
         part = jnp.pad(rec, ((0, 0), (start, width - start - glen)))
         out = part if out is None else out + part
+    if _PROF_NOFOLD:
+        out = jnp.pad(out, ((0, 0), (0, width - out.shape[1])))
     return out
 
 
