@@ -259,3 +259,42 @@ print("TSAN-POOL-OK")
     assert r.returncode == 0 and "TSAN-POOL-OK" in r.stdout, (
         r.stdout[-500:] + r.stderr[-1500:]
     )
+
+
+def test_native_random_config_fuzz_vs_oracle():
+    # Bounded fuzz over edges/window/xover/rounding/threads: the native
+    # engine must hold >60 dB vs the streaming oracle on every draw
+    # (mirrors the JAX paths' fuzz coverage).
+    rng = np.random.default_rng(4242)
+    for trial in range(5):
+        sr = float(rng.choice([8000, 16000, 44100]))
+        n_edges = int(rng.integers(1, 4))
+        edges = [0.0] + sorted(
+            float(f) for f in rng.uniform(sr * 0.03, sr * 0.45, size=n_edges)
+        )
+        window = str(rng.choice(
+            ["blackman_harris", "sqrt_hann", "hann", "hamming"]
+        ))
+        xover = str(rng.choice(["raised_cosine", "hard_zero"]))
+        synthesis = str(rng.choice(["wola", "analysis"]))
+        rounding = str(rng.choice(["python", "cpp"]))
+        n_threads = int(rng.choice([1, 3]))
+        cfg = UpmixConfig.streaming(
+            edges, sr=sr, hw_block_size=HW, window=window, xover_mode=xover,
+            synthesis=synthesis, bin_rounding=rounding,
+        )
+        eng = native.NativeStreamingUpmixer(
+            edges, sr=sr, hw_block_size=HW, window=window, xover_mode=xover,
+            synthesis=synthesis, bin_rounding=rounding, n_threads=n_threads,
+        )
+        L, R = make_stereo(12 * HW, sr, seed=200 + trial)
+        L32, R32 = L.astype(np.float32), R.astype(np.float32)
+        ref_l, ref_r = oracle_stream_multiband(L32, R32, cfg, HW)
+        got_l, got_r = eng.process_signal(L32, R32, mix="stereo_sum")
+        desc = (
+            f"trial {trial} (sr={sr}, edges={edges}, {window}, {xover}, "
+            f"{synthesis}, {rounding}, nt={n_threads})"
+        )
+        if np.abs(ref_l).max() > 1e-7:
+            assert snr_db(ref_l, got_l) > 60.0, desc
+            assert snr_db(ref_r, got_r) > 60.0, desc
