@@ -1,0 +1,184 @@
+// upmix_cli — standalone native pipe filter (no Python, no TPU).
+//
+// The deployment artifact for hosts that need the upmixer as a plain
+// binary: raw interleaved float32 stereo on stdin -> processed float32
+// on stdout, identical semantics to the Python CLI's
+// `upmix-tpu - --pipe --engine native` (upmix_tpu/app.py::run_pipe):
+// latency-aligned by default (output frame i corresponds to input frame
+// i; len(out) == len(in)), --raw for the live-callback stream.
+//
+//   ffmpeg -i in.flac -f f32le -ac 2 - \
+//     | ./upmix_cli --sr 44100 \
+//     | ffmpeg -f f32le -ar 44100 -ac 2 -i - out.wav
+//
+// Build: make -C native cli
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
+                   int xover_mode, int synthesis, int rounding,
+                   double threshold_multi, double xo_fraction, int window,
+                   int n_threads);
+void upmix_destroy(void* h);
+int upmix_latency_blocks(void* h);
+int upmix_process_block(void* h, const float* inL, const float* inR,
+                        float* outC, float* outLs, float* outRs);
+}
+
+namespace {
+
+size_t read_exact(FILE* f, unsigned char* buf, size_t n) {
+  size_t got = 0;
+  while (got < n) {
+    size_t r = std::fread(buf + got, 1, n - got, f);
+    if (r == 0) break;
+    got += r;
+  }
+  return got;
+}
+
+int usage(const char* argv0) {
+  std::fprintf(
+      stderr,
+      "usage: %s --sr <rate> [--hw 2048] [--edges 0,500,2000,8000]\n"
+      "          [--mix stereo_sum|lcr] [--raw] [--threads 1]\n"
+      "          [--xover raised_cosine|hard_zero] [--window bh|sqrt_hann|"
+      "hann|blackman|hamming|rect]\n"
+      "          [--synthesis analysis|wola] [--rounding cpp|python]\n"
+      "raw float32 interleaved stereo: stdin -> stdout\n",
+      argv0);
+  return 2;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  double sr = 0.0;
+  int hw = 2048, n_threads = 1;
+  bool align = true;
+  std::string mix = "stereo_sum";
+  std::vector<double> edges = {0.0, 500.0, 2000.0, 8000.0};
+  int xover = 0, synthesis = 1, rounding = 1, window = 0;  // pipe defaults
+
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&](const char* what) -> const char* {
+      if (i + 1 >= argc) {
+        std::fprintf(stderr, "missing value for %s\n", what);
+        std::exit(2);
+      }
+      return argv[++i];
+    };
+    if (a == "--sr") sr = std::atof(next("--sr"));
+    else if (a == "--hw") hw = std::atoi(next("--hw"));
+    else if (a == "--threads") n_threads = std::atoi(next("--threads"));
+    else if (a == "--raw") align = false;
+    else if (a == "--mix") mix = next("--mix");
+    else if (a == "--edges") {
+      edges.clear();
+      std::string s = next("--edges");
+      size_t pos = 0;
+      while (pos < s.size()) {
+        size_t c = s.find(',', pos);
+        if (c == std::string::npos) c = s.size();
+        edges.push_back(std::atof(s.substr(pos, c - pos).c_str()));
+        pos = c + 1;
+      }
+    } else if (a == "--xover") {
+      xover = std::string(next("--xover")) == "hard_zero" ? 1 : 0;
+    } else if (a == "--synthesis") {
+      synthesis = std::string(next("--synthesis")) == "wola" ? 0 : 1;
+    } else if (a == "--rounding") {
+      rounding = std::string(next("--rounding")) == "python" ? 0 : 1;
+    } else if (a == "--window") {
+      std::string w = next("--window");
+      window = w == "sqrt_hann" ? 1 : w == "hann" ? 2 : w == "blackman" ? 3
+               : w == "hamming" ? 4 : w == "rect" ? 5 : 0;
+    } else {
+      return usage(argv[0]);
+    }
+  }
+  if (sr <= 0.0 || hw < 4) return usage(argv[0]);
+  if (mix != "stereo_sum" && mix != "lcr") return usage(argv[0]);
+
+  void* h = upmix_create(sr, hw, edges.data(), (int)edges.size(), xover,
+                         synthesis, rounding, 32.0, 0.25, window, n_threads);
+  if (!h) {
+    std::fprintf(stderr, "upmix_create failed (bad sr/hw/edges)\n");
+    return 1;
+  }
+  int warmup = upmix_latency_blocks(h);
+  long long to_skip = align ? (long long)(warmup - 1) * hw : 0;
+  long long emitted = 0, total_in = 0;
+  int out_ch = mix == "lcr" ? 3 : 2;
+
+  std::vector<unsigned char> raw((size_t)hw * 2 * 4);
+  std::vector<float> inL(hw), inR(hw), c(hw), ls(hw), rs(hw);
+  std::vector<float> out((size_t)hw * out_ch);
+
+  // Emit one processed block, honoring skip/limit (run_pipe semantics).
+  auto write_block = [&](long long limit) {
+    long long n = hw;
+    long long off = 0;
+    if (to_skip) {
+      long long k = to_skip < n ? to_skip : n;
+      off += k;
+      n -= k;
+      to_skip -= k;
+    }
+    if (limit >= 0 && n > limit - emitted) n = limit - emitted;
+    if (n <= 0) return;
+    for (long long i = 0; i < n; ++i) {
+      long long s = off + i;
+      if (out_ch == 2) {
+        out[i * 2] = ls[s] + 0.5f * c[s];
+        out[i * 2 + 1] = rs[s] + 0.5f * c[s];
+      } else {
+        out[i * 3] = c[s];
+        out[i * 3 + 1] = ls[s];
+        out[i * 3 + 2] = rs[s];
+      }
+    }
+    if (std::fwrite(out.data(), 4, (size_t)(n * out_ch), stdout) !=
+        (size_t)(n * out_ch)) {
+      std::exit(0);  // downstream closed (SIGPIPE semantics)
+    }
+    emitted += n;
+  };
+
+  for (;;) {
+    size_t got = read_exact(stdin, raw.data(), raw.size());
+    if (got == 0) break;
+    int n = (int)(got / 8);  // whole stereo f32 frames
+    const float* f = reinterpret_cast<const float*>(raw.data());
+    for (int i = 0; i < n; ++i) {
+      inL[i] = f[i * 2];
+      inR[i] = f[i * 2 + 1];
+    }
+    for (int i = n; i < hw; ++i) inL[i] = inR[i] = 0.0f;
+    total_in += n;
+    upmix_process_block(h, inL.data(), inR.data(), c.data(), ls.data(),
+                        rs.data());
+    // Only the final (partial) block can carry output past the input
+    // length; cap it there (exactly run_pipe's limit rule).
+    write_block(n < hw ? total_in : -1);
+    if (n < hw) break;
+  }
+  if (align) {
+    std::fill(inL.begin(), inL.end(), 0.0f);
+    std::fill(inR.begin(), inR.end(), 0.0f);
+    while (emitted < total_in) {
+      upmix_process_block(h, inL.data(), inR.data(), c.data(), ls.data(),
+                          rs.data());
+      write_block(total_in);
+    }
+  }
+  std::fflush(stdout);
+  upmix_destroy(h);
+  return 0;
+}

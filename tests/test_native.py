@@ -298,3 +298,41 @@ def test_native_random_config_fuzz_vs_oracle():
         if np.abs(ref_l).max() > 1e-7:
             assert snr_db(ref_l, got_l) > 60.0, desc
             assert snr_db(ref_r, got_r) > 60.0, desc
+
+
+def test_standalone_cli_binary_matches_python_pipe():
+    # The no-Python deployment binary (make -C native cli) must be
+    # BIT-identical to `upmix-tpu - --pipe --engine native` on the same
+    # raw stream (same engine, same alignment/drain semantics).
+    import io
+    import os
+    import sys
+
+    from upmix_tpu.app import run_pipe
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    binary = os.path.join(root, "native", "upmix_cli")
+    if not os.path.exists(binary):
+        mk = subprocess.run(["make", "-C", os.path.join(root, "native"), "cli"],
+                            capture_output=True)
+        if not os.path.exists(binary):
+            pytest.skip(f"binary build failed: {mk.stderr.decode()[-200:]}")
+
+    rng = np.random.default_rng(0)
+    n = 3001  # partial final block on purpose
+    x = (rng.standard_normal((n, 2)) * 0.3).astype("<f4")
+    raw = x.tobytes()
+
+    for mix, ch in (("stereo_sum", 2), ("lcr", 3)):
+        pyout = io.BytesIO()
+        run_pipe(io.BytesIO(raw), pyout, sr=SR, hw_block_size=HW,
+                 band_edges=list(EDGES), engine="native", mix=mix)
+        p = subprocess.run(
+            [binary, "--sr", str(int(SR)), "--hw", str(HW),
+             "--edges", ",".join(str(int(e)) for e in EDGES), "--mix", mix],
+            input=raw, capture_output=True, timeout=120)
+        assert p.returncode == 0, p.stderr
+        ref = np.frombuffer(pyout.getvalue(), "<f4")
+        got = np.frombuffer(p.stdout, "<f4")
+        assert len(got) == n * ch
+        np.testing.assert_array_equal(ref, got)
