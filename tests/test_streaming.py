@@ -321,3 +321,34 @@ def test_batch_streaming_bad_shape_raises():
         eng.push_blocks(np.zeros((2, HW - 1)), np.zeros((2, HW - 1)))
     with pytest.raises(ValueError):
         BatchStreamingUpmixer(cfg, HW, n_streams=0)
+
+
+def test_batch_streaming_checkpoint_roundtrip(tmp_path):
+    # The pool's state pytree is the checkpoint format, exactly like the
+    # single-stream engine: orbax round-trip + bit-identical resume.
+    from upmix_tpu.models.streaming import BatchStreamingUpmixer
+
+    orbax = pytest.importorskip("orbax.checkpoint")
+    import jax
+
+    cfg = _stream_cfg()
+    B, n_blocks = 2, 8
+    rng = np.random.default_rng(33)
+    blocks = rng.standard_normal((n_blocks, B, 2, HW)).astype(np.float32) * 0.3
+
+    pool = BatchStreamingUpmixer(cfg, HW, n_streams=B)
+    for blk in blocks[: n_blocks // 2]:
+        pool.push_blocks(blk[:, 0], blk[:, 1])
+    ckptr = orbax.PyTreeCheckpointer()
+    path = tmp_path / "pool_ckpt"
+    ckptr.save(path, pool.snapshot())
+
+    rest = [pool.push_blocks(blk[:, 0], blk[:, 1]) for blk in blocks[n_blocks // 2 :]]
+
+    pool2 = BatchStreamingUpmixer(cfg, HW, n_streams=B)
+    pool2.state = ckptr.restore(path)
+    rest2 = [pool2.push_blocks(blk[:, 0], blk[:, 1]) for blk in blocks[n_blocks // 2 :]]
+    for (a, b, c), (x, y, z) in zip(rest, rest2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(x))
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(z))

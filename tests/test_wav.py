@@ -135,3 +135,18 @@ def test_flac_roundtrip_via_soundfile(tmp_path):
     y, sr = read_wav(p)
     assert sr == 8000 and y.shape == (1000, 2)
     np.testing.assert_allclose(y[:, 0], x, atol=2e-4)
+
+
+def test_garbage_bytes_never_escape_valueerror(tmp_path):
+    # Property: arbitrary byte soup must produce ValueError (the
+    # documented contract), never ZeroDivisionError/struct.error/etc.
+    rng = np.random.default_rng(99)
+    p = tmp_path / "garbage.wav"
+    for trial in range(20):
+        n = int(rng.integers(0, 200))
+        body = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        if trial % 2:
+            body = b"RIFF" + body  # looks vaguely WAV-ish
+        p.write_bytes(body)
+        with pytest.raises(ValueError):
+            read_wav(p)
