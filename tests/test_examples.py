@@ -17,6 +17,7 @@ EXAMPLES = os.path.join(ROOT, "examples")
         "01_offline_upmix.py",
         "02_streaming_checkpoint.py",
         "03_multichip_sharded.py",
+        "04_serving.py",
     ],
 )
 def test_example_runs(script, tmp_path):
