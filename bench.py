@@ -80,13 +80,16 @@ def main():
         return float(np.asarray(out[0][0]))  # fetch forces completion
 
     run(WARMUP)
-    # MIN of 5 timed loops: the dev tunnel's noise arrives in multi-second
-    # BURSTS (measured same-day medians ranged 6.7-11.2 ms/iter on
-    # identical code), so a median can land entirely inside a burst; each
-    # loop is ~30 chained device applications, and the minimum loop is the
-    # one that ran in a calm window — noise only ever ADDS time.
+    # MIN of 7 timed loops, spaced ~3 s apart: the dev tunnel's noise
+    # arrives in multi-second BURSTS (measured same-day medians ranged
+    # 6.7-11.2 ms/iter on identical code), so a median can land entirely
+    # inside a burst; each loop is ~30 chained device applications, the
+    # spacing samples distinct noise windows, and the minimum loop is the
+    # one that ran in a calm window — transport noise only ever ADDS time.
     times = []
-    for _ in range(5):
+    for k in range(7):
+        if k:
+            time.sleep(3.0)
         t0 = time.perf_counter()
         run(ITERS)
         times.append((time.perf_counter() - t0) / (ITERS * INNER))

@@ -447,7 +447,16 @@ def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
     import time as _time
     from collections import OrderedDict
 
-    cache: OrderedDict = OrderedDict()
+    class _LruDict(OrderedDict):
+        # run_offline reads via .get: refresh recency on hits so the
+        # eviction below drops the LEAST-recently-used config, not the
+        # first-inserted one.
+        def get(self, key, default=None):
+            if key in self:
+                self.move_to_end(key)
+            return super().get(key, default)
+
+    cache: OrderedDict = _LruDict()
     n_ok = 0
     n_fail = 0
     for line in src:
