@@ -31,6 +31,7 @@ def test_run_jobs_end_to_end(tmp_path):
     jobs = "\n".join(
         [
             json.dumps({"cmd": "ping"}),
+            json.dumps({"cmd": "stats"}),
             json.dumps({"in": a, "out_dir": out1}),
             json.dumps({"in": str(tmp_path / "missing.wav")}),  # fails, isolated
             json.dumps({"in": b, "out_dir": out2, "export_mode": "split"}),
@@ -50,17 +51,18 @@ def test_run_jobs_end_to_end(tmp_path):
     assert n_ok == 2 and n_fail == 3
     resps = [json.loads(line) for line in dst.getvalue().splitlines()]
     assert resps[0] == {"ok": True, "pong": True}
-    assert resps[1]["ok"] and resps[1]["in"] == a
-    assert not resps[2]["ok"] and "missing" in resps[2]["error"]
-    assert resps[3]["ok"] and len(resps[3]["outputs"]) == 3  # split mode
-    assert not resps[4]["ok"] and "bogus_field" in resps[4]["error"]
-    assert not resps[5]["ok"]
-    assert len(resps) == 6
+    assert resps[1]["ok"] and resps[1]["configs_cached"] == 0
+    assert resps[2]["ok"] and resps[2]["in"] == a
+    assert not resps[3]["ok"] and "missing" in resps[3]["error"]
+    assert resps[4]["ok"] and len(resps[4]["outputs"]) == 3  # split mode
+    assert not resps[5]["ok"] and "bogus_field" in resps[5]["error"]
+    assert not resps[6]["ok"]
+    assert len(resps) == 7
     # The outputs really exist and decode.
-    for p in resps[1]["outputs"] + resps[3]["outputs"]:
+    for p in resps[2]["outputs"] + resps[4]["outputs"]:
         y, sr = read_wav(p, always_2d=True)
         assert sr == SR and len(y) > 0
-    assert resps[1]["audio_seconds"] == pytest.approx(4096 / SR, abs=1e-3)
+    assert resps[2]["audio_seconds"] == pytest.approx(4096 / SR, abs=1e-3)
 
 
 def test_serve_cli_roundtrip(tmp_path):

@@ -432,8 +432,9 @@ def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
     Job fields: {"in": path, "out_dir"?: str, "export_mode"?: str} — all
     other pipeline flags are process-wide (**offline_kwargs), keeping the
     compile cache effective.  {"cmd": "ping"} answers {"ok": true,
-    "pong": true} (a readiness probe).  A failing job reports
-    {"ok": false, "error": ...} on its own line; the server keeps going.
+    "pong": true} (a readiness probe); {"cmd": "stats"} reports job and
+    cache counters.  A failing job reports {"ok": false, "error": ...}
+    on its own line; the server keeps going.
 
     Returns (n_ok, n_failed).  The warm caches are bounded: at most 8
     distinct configs (LRU), each holding at most 16 compiled length
@@ -470,6 +471,16 @@ def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
                 raise ValueError("job must be a JSON object")
             if job.get("cmd") == "ping":
                 resp = {"ok": True, "pong": True}
+            elif job.get("cmd") == "stats":
+                resp = {
+                    "ok": True,
+                    "n_ok": n_ok,
+                    "n_failed": n_fail,
+                    "configs_cached": len(cache),
+                    "programs_cached": sum(
+                        len(u._cache) for u in cache.values()
+                    ),
+                }
             else:
                 unknown = set(job) - {"in", "out_dir", "export_mode"}
                 if unknown:
