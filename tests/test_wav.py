@@ -150,3 +150,21 @@ def test_garbage_bytes_never_escape_valueerror(tmp_path):
         p.write_bytes(body)
         with pytest.raises(ValueError):
             read_wav(p)
+
+
+def test_pcm8_read(tmp_path):
+    # 8-bit WAV PCM is unsigned with a 128 midpoint; reference reads it
+    # via libsndfile (main.py:43) — the built-in codec matches.
+    import struct
+
+    vals = np.array([0, 64, 128, 192, 255], np.uint8)
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    chunks = struct.pack("<4sI", b"fmt ", len(fmt_body)) + fmt_body
+    payload = vals.tobytes() + b"\x00"  # odd length -> pad byte
+    chunks += struct.pack("<4sI", b"data", len(vals)) + payload
+    raw = struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+    p = tmp_path / "u8.wav"
+    p.write_bytes(raw)
+    y, sr = read_wav(p)
+    assert sr == 8000
+    np.testing.assert_allclose(y, (vals.astype(np.float64) - 128) / 128)

@@ -8,7 +8,7 @@ IEEE float) and uses `soundfile` opportunistically when it is installed:
 non-WAV inputs (FLAC, AIFF, OGG, ...) are routed to soundfile, and raise
 a clear error telling the user to install it otherwise.
 
-Supported natively: PCM 16/24/32-bit, IEEE float32/float64,
+Supported natively: PCM 8(read)/16/24/32-bit, IEEE float32/float64,
 WAVE_FORMAT_EXTENSIBLE wrapping either, any channel count, arbitrary
 chunk order.
 """
@@ -82,7 +82,10 @@ def read_wav(path, always_2d: bool = False):
         raise ValueError(f"{path}: missing fmt/data chunk")
     tag, channels, sr, bits = fmt
 
-    if tag == _FMT_PCM and bits == 16:
+    if tag == _FMT_PCM and bits == 8:
+        # 8-bit WAV PCM is UNSIGNED with a 128 midpoint (RIFF spec).
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif tag == _FMT_PCM and bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 2.0**15
     elif tag == _FMT_PCM and bits == 24:
         b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
