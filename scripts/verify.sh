@@ -5,8 +5,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== native build =="
+echo "== native build (lib + standalone binary) =="
 make -C native
+make -C native cli
 
 echo "== test suite (CPU backend, 8-device virtual mesh) =="
 python -m pytest tests/ -q
