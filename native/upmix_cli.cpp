@@ -90,15 +90,29 @@ int main(int argc, char** argv) {
         pos = c + 1;
       }
     } else if (a == "--xover") {
-      xover = std::string(next("--xover")) == "hard_zero" ? 1 : 0;
+      std::string v = next("--xover");
+      if (v == "hard_zero") xover = 1;
+      else if (v == "raised_cosine") xover = 0;
+      else { std::fprintf(stderr, "unknown --xover %s\n", v.c_str()); return 2; }
     } else if (a == "--synthesis") {
-      synthesis = std::string(next("--synthesis")) == "wola" ? 0 : 1;
+      std::string v = next("--synthesis");
+      if (v == "wola") synthesis = 0;
+      else if (v == "analysis") synthesis = 1;
+      else { std::fprintf(stderr, "unknown --synthesis %s\n", v.c_str()); return 2; }
     } else if (a == "--rounding") {
-      rounding = std::string(next("--rounding")) == "python" ? 0 : 1;
+      std::string v = next("--rounding");
+      if (v == "python") rounding = 0;
+      else if (v == "cpp") rounding = 1;
+      else { std::fprintf(stderr, "unknown --rounding %s\n", v.c_str()); return 2; }
     } else if (a == "--window") {
       std::string w = next("--window");
-      window = w == "sqrt_hann" ? 1 : w == "hann" ? 2 : w == "blackman" ? 3
-               : w == "hamming" ? 4 : w == "rect" ? 5 : 0;
+      if (w == "bh" || w == "blackman_harris") window = 0;
+      else if (w == "sqrt_hann") window = 1;
+      else if (w == "hann") window = 2;
+      else if (w == "blackman") window = 3;
+      else if (w == "hamming") window = 4;
+      else if (w == "rect") window = 5;
+      else { std::fprintf(stderr, "unknown --window %s\n", w.c_str()); return 2; }
     } else {
       return usage(argv[0]);
     }

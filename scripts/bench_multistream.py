@@ -54,8 +54,10 @@ def main():
         blocks = jax.device_put(blocks)
 
         # Warm (compile), then time with a dependency chain + tiny fetch.
+        # (Fetch ONLY a scalar: outs is ~192 MB at B=128 and the tunnel
+        # moves ~0.1-1 MB/s.)
         st, outs = scan_blocks(state, blocks)
-        _ = float(np.asarray(outs).ravel()[0])
+        _ = float(np.asarray(outs.ravel()[0]))
         times = []
         for _i in range(3):
             t0 = time.perf_counter()

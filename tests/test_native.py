@@ -336,3 +336,22 @@ def test_standalone_cli_binary_matches_python_pipe():
         got = np.frombuffer(p.stdout, "<f4")
         assert len(got) == n * ch
         np.testing.assert_array_equal(ref, got)
+
+
+def test_standalone_cli_rejects_bad_enums():
+    import os
+    import sys as _sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    binary = os.path.join(root, "native", "upmix_cli")
+    if not os.path.exists(binary):
+        subprocess.run(["make", "-C", os.path.join(root, "native"), "cli"],
+                       capture_output=True)
+    if not os.path.exists(binary):
+        pytest.skip("binary unavailable")
+    for flag, val in (("--window", "hanning"), ("--xover", "hz"),
+                      ("--synthesis", "wol"), ("--rounding", "py"),
+                      ("--mix", "mono")):
+        p = subprocess.run([binary, "--sr", "8000", flag, val],
+                           input=b"", capture_output=True, timeout=60)
+        assert p.returncode == 2, (flag, val, p.returncode)

@@ -352,3 +352,15 @@ def test_batch_streaming_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(x))
         np.testing.assert_array_equal(np.asarray(b), np.asarray(y))
         np.testing.assert_array_equal(np.asarray(c), np.asarray(z))
+
+
+def test_batch_streaming_reset_bounds_checked():
+    from upmix_tpu.models.streaming import BatchStreamingUpmixer
+
+    cfg = _stream_cfg()
+    pool = BatchStreamingUpmixer(cfg, HW, n_streams=4)
+    with pytest.raises(ValueError, match="out of range"):
+        pool.reset_streams([4])
+    with pytest.raises(ValueError, match="out of range"):
+        pool.reset_streams([-1])
+    pool.reset_streams([0, 3])  # valid edges fine

@@ -425,7 +425,16 @@ class BatchStreamingUpmixer:
 
     def reset_streams(self, indices):
         """Zero the given stream slots (ended sessions; slots re-warm)."""
-        idx = jnp.asarray(list(indices), jnp.int32)
+        indices = [int(i) for i in indices]
+        bad = [i for i in indices if not 0 <= i < self.n_streams]
+        if bad:
+            # Silent out-of-range scatter drops / negative wrap-around
+            # would reset the WRONG live session — surface the
+            # bookkeeping bug instead.
+            raise ValueError(
+                f"stream indices {bad} out of range [0, {self.n_streams})"
+            )
+        idx = jnp.asarray(indices, jnp.int32)
         self.state = jax.tree.map(
             lambda a: a.at[idx].set(jnp.zeros_like(a[0])), self.state
         )
