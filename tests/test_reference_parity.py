@@ -249,6 +249,37 @@ def test_random_config_fuzz_vs_real_reference(ce):
             assert s_j > 60.0, f"JAX vs REAL reference {name}: {s_j:.1f} dB {desc}"
 
 
+def test_above_nyquist_edge_matches_reference(ce):
+    # The reference accepts a top edge ABOVE Nyquist (bins simply clamp
+    # and the upper fade is skipped since f_high >= sr/2,
+    # center_extraction.py:318); both the oracle and the JAX pipeline
+    # must track it.
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.offline import upmix_offline
+    from upmix_tpu.oracle import oracle_multiband
+
+    sr = 8000.0
+    edges = [0.0, 500.0, 6000.0]  # 6000 > Nyquist (4000)
+    L, R = make_stereo(5000, sr, seed=9)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    extractors = ce.chain_bands(
+        band_edges=list(edges),
+        overlap=0.75,
+        window_func=ce.make_blackman_harris,
+        sr=sr,
+        xover_mode="raised_cosine",
+    )
+    ref = ce.extract_center_left_right_multi_band_in_memory(L32, R32, sr, extractors)
+    cfg = UpmixConfig.make(edges, sr=sr)
+    got_o = oracle_multiband(L32, R32, cfg)
+    got_j = upmix_offline(L32, R32, cfg, kernel="mm")
+    for name, r, o, j in zip("C Ls Rs".split(), ref, got_o, got_j):
+        s_o = snr_db(np.asarray(r), np.asarray(o))
+        assert s_o > 100.0, f"oracle above-Nyquist {name}: {s_o:.1f} dB"
+        s_j = snr_db(np.asarray(r), np.asarray(j))
+        assert s_j > 60.0, f"JAX above-Nyquist {name}: {s_j:.1f} dB"
+
+
 @pytest.mark.parametrize("overlap", [0.6, 0.9])
 def test_jax_pipeline_matches_reference_arbitrary_overlap(ce, overlap):
     # Round-2 regression: non-divisible overlaps (hop not dividing block)

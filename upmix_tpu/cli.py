@@ -25,6 +25,13 @@ def build_parser() -> argparse.ArgumentParser:
         prog="upmix_tpu",
         description="TPU-native multi-band stereo→LCR upmixer",
     )
+    try:
+        from importlib.metadata import version as _pkg_version
+
+        _version = _pkg_version("upmix-tpu")
+    except Exception:
+        _version = "0.2.0 (uninstalled tree)"
+    p.add_argument("--version", action="version", version=f"upmix-tpu {_version}")
     p.add_argument("inputs", nargs="+", help="input WAV file(s)")
     p.add_argument("--out-dir", default="out", help="output directory (default: out)")
     p.add_argument(
