@@ -41,3 +41,13 @@ def test_parity_covers_all_package_modules():
             if base not in docs and rel not in docs:
                 missing.append(rel)
     assert not missing, f"modules undocumented in PARITY/DESIGN/README: {missing}"
+
+
+def test_baseline_md_script_references_exist():
+    # Every scripts/*.py evidence pointer in BASELINE.md must exist (the
+    # measured-results table must stay reproducible).
+    text = open(os.path.join(ROOT, "BASELINE.md")).read()
+    for mod in set(re.findall(r"scripts/[\w]+\.(?:py|sh)", text)):
+        assert os.path.exists(os.path.join(ROOT, mod)), (
+            f"BASELINE.md references missing {mod}"
+        )
