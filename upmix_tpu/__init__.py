@@ -10,7 +10,8 @@ mesh-sharded batch/long-input execution.
 Public surface:
   - config: UpmixConfig / BandSpec / chain_bands — band plumbing and sizing
   - models.offline: Upmixer — whole-file offline pipeline (the flagship path)
-  - models.streaming: StreamingUpmixer — block-based real-time engine
+  - models.streaming: StreamingUpmixer — block-based real-time engine;
+    BatchStreamingUpmixer — multi-stream serving pool (vmapped step)
   - io.wav: read_wav / write_wav — pure-NumPy WAV I/O
   - oracle: faithful NumPy re-derivation of the reference semantics (test oracle)
 """
@@ -46,7 +47,8 @@ __all__ = [
 def __getattr__(name):
     # Lazy heavyweight surfaces (importing them pulls in jax program
     # construction; keep bare `import upmix_tpu` light).
-    if name in ("Upmixer", "upmix_offline", "StreamingUpmixer"):
+    if name in ("Upmixer", "upmix_offline", "StreamingUpmixer",
+                "BatchStreamingUpmixer"):
         import upmix_tpu.models as _m
 
         return getattr(_m, name)
@@ -58,7 +60,7 @@ def __getattr__(name):
         from upmix_tpu.parallel import ShardedUpmixer
 
         return ShardedUpmixer
-    if name in ("run_offline", "run_streaming"):
+    if name in ("run_offline", "run_streaming", "run_pipe", "run_jobs"):
         import upmix_tpu.app as _a
 
         return getattr(_a, name)
