@@ -79,11 +79,16 @@ def test_serve_cli_roundtrip(tmp_path):
         [
             sys.executable, "-m", "upmix_tpu.cli", "-", "--serve",
             "--band-edges", "0,400,1600", "--max-block-size", "512",
+            # Override --serve's 64Ki length bucketing: this test checks
+            # the protocol, and compiling a 64Ki-sample program in a
+            # fresh subprocess can blow the timeout on a loaded 1-core
+            # CI box.
+            "--pad-granularity", "4096",
         ],
         input=jobs,
         capture_output=True,
         text=True,
-        timeout=300,
+        timeout=600,
         env=env,
         cwd=os.path.join(os.path.dirname(__file__), ".."),
     )
