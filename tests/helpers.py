@@ -40,3 +40,20 @@ def make_stereo(n: int, sr: float, seed: int = 0, kind: str = "mix"):
     else:
         raise ValueError(kind)
     return L.astype(np.float64), R.astype(np.float64)
+
+
+def cpu_child_env():
+    """Env for a subprocess that must run on the CPU backend: drop the
+    axon TPU activation vars (JAX_PLATFORMS alone does not override the
+    sitecustomize TPU registration — a child left on the TPU backend
+    both hangs when the tunnel is slow AND contends with any real-chip
+    process, which the tunnel serializes)."""
+    import os
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    return env

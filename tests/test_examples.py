@@ -21,7 +21,9 @@ EXAMPLES = os.path.join(ROOT, "examples")
     ],
 )
 def test_example_runs(script, tmp_path):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    from helpers import cpu_child_env
+
+    env = cpu_child_env()
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu'); "
         "import sys, runpy; sys.argv = [sys.argv[1], sys.argv[2]]; "

@@ -13,7 +13,7 @@ import pytest
 from upmix_tpu.app import run_jobs
 from upmix_tpu.io import read_wav, write_wav
 
-from helpers import make_stereo
+from helpers import cpu_child_env, make_stereo
 
 SR = 8000
 
@@ -66,7 +66,11 @@ def test_run_jobs_end_to_end(tmp_path):
 
 
 def test_serve_cli_roundtrip(tmp_path):
-    a = _wav(tmp_path / "in.wav", seed=3)
+    # Keep the subprocess's program TINY (one band, 2048 samples, pad
+    # bucketing overridden): the test drives the stdin/stdout protocol,
+    # and a fresh CPU subprocess pays jax import + an uncached compile —
+    # on a loaded single-core box that dominated the old timeout.
+    a = _wav(tmp_path / "in.wav", n=2048, seed=3)
     out = str(tmp_path / "srv_out")
     jobs = (
         json.dumps({"cmd": "ping"})
@@ -74,21 +78,17 @@ def test_serve_cli_roundtrip(tmp_path):
         + json.dumps({"in": a, "out_dir": out})
         + "\n"
     )
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = cpu_child_env()
     proc = subprocess.run(
         [
             sys.executable, "-m", "upmix_tpu.cli", "-", "--serve",
-            "--band-edges", "0,400,1600", "--max-block-size", "512",
-            # Override --serve's 64Ki length bucketing: this test checks
-            # the protocol, and compiling a 64Ki-sample program in a
-            # fresh subprocess can blow the timeout on a loaded 1-core
-            # CI box.
-            "--pad-granularity", "4096",
+            "--band-edges", "0,400", "--max-block-size", "256",
+            "--pad-granularity", "2048",
         ],
         input=jobs,
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=900,
         env=env,
         cwd=os.path.join(os.path.dirname(__file__), ".."),
     )
@@ -101,7 +101,7 @@ def test_serve_cli_roundtrip(tmp_path):
 def test_serve_exit_code_all_failed(tmp_path):
     # A stream whose every job failed exits 1 so supervisors can tell;
     # a healthy or empty stream exits 0 (the other tests cover that).
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = cpu_child_env()
     proc = subprocess.run(
         [sys.executable, "-m", "upmix_tpu.cli", "-", "--serve"],
         input='{"in": "/nonexistent/x.wav"}\n',
@@ -117,7 +117,7 @@ def test_serve_exit_code_all_failed(tmp_path):
 
 def test_serve_requires_dash_input(tmp_path):
     a = _wav(tmp_path / "x.wav")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = cpu_child_env()
     proc = subprocess.run(
         [sys.executable, "-m", "upmix_tpu.cli", a, "--serve"],
         capture_output=True,

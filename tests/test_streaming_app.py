@@ -180,15 +180,9 @@ def test_demo_entry(tmp_path, wav_path):
 
 
 def _cpu_child_env():
-    # A clean CPU child: drop the axon TPU activation vars (JAX_PLATFORMS
-    # alone does not override the sitecustomize TPU registration).
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))
-    }
-    env["JAX_PLATFORMS"] = "cpu"
-    return env
+    from helpers import cpu_child_env
+
+    return cpu_child_env()
 
 
 def _pipe_reference(L32, R32, sr, hw, edges):
