@@ -100,3 +100,28 @@ def test_upmixer_cache_and_padding():
     ref = oracle_multiband(L.astype(np.float32), R.astype(np.float32), cfg)
     for r, g in zip(ref, c1):
         assert snr_db(r, g) > 60.0
+
+
+def test_upmixer_program_cache_lru_bound():
+    # Long-lived processes (the --serve job server) must not accumulate
+    # compiled programs without bound: the per-length cache is an LRU
+    # capped at max_programs, and evicted lengths still recompute.
+    import numpy as np
+
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.offline import Upmixer
+
+    cfg = UpmixConfig.make([0.0, 400.0], sr=8000.0, max_block_size=256)
+    up = Upmixer(cfg, max_programs=2)
+    rng = np.random.default_rng(0)
+    outs = {}
+    for n in (1000, 1500, 2000):  # 3 lengths through a 2-slot cache
+        L = rng.standard_normal(n).astype(np.float32)
+        outs[n] = (L, up.process_np(L, 0.5 * L))
+    assert len(up._cache) == 2
+    assert 1000 not in up._cache  # least-recently-used length evicted
+    # An evicted length recomputes identically.
+    L, (c, ls, rs) = outs[1000][0], outs[1000][1]
+    c2, ls2, rs2 = up.process_np(L, 0.5 * L)
+    np.testing.assert_array_equal(c, c2)
+    np.testing.assert_array_equal(ls, ls2)
