@@ -45,6 +45,9 @@ def main():
         # EXACT-ALGEBRA variant: one division in the mask instead of two.
         "mask1div": dict(prof="1div"),
         "proffold": dict(prof="fold"),  # skip OLA folds/merges (wrong output)
+        # EXACT variant (f32 sum order differs, ~1e-7): scratch-accumulate
+        # folds instead of pad-to-width adds + merge concats.
+        "foldscratch": dict(prof="scratch"),
     }
 
     rng = np.random.default_rng(0)
@@ -113,6 +116,8 @@ def main():
             _pup._mask_soa = _mask_soa_1div
         elif prof == "fold":
             _pom._PROF_NOFOLD = True
+        elif prof == "scratch":
+            _pom._FOLD_SCRATCH = True
         if tile32k:
             import upmix_tpu.ops.pallas_omnibus as _po
             _orig = _po.make_omnibus_plan
@@ -152,7 +157,8 @@ def main():
         _pom._dot3l = _orig_dot3l
         _pup._mask_soa = _orig_soa
         _pom._PROF_NOFOLD = False
-        if prof is None or prof == "1div":  # 1div is exact algebra
+        _pom._FOLD_SCRATCH = False
+        if prof is None or prof in ("1div", "scratch"):  # exact variants
             outputs[name] = np.stack([np.asarray(o[:65536]) for o in out])
 
         times = []

@@ -125,3 +125,32 @@ def test_upmixer_program_cache_lru_bound():
     c2, ls2, rs2 = up.process_np(L, 0.5 * L)
     np.testing.assert_array_equal(c, c2)
     np.testing.assert_array_equal(ls, ls2)
+
+
+def test_omnibus_scratch_fold_matches_default():
+    # The scratch-accumulate fold dataflow (A/B knob _FOLD_SCRATCH) must
+    # stay numerically equivalent to the pad-add fold (same arithmetic,
+    # different f32 summation order -> allclose, not bit-equal).
+    import numpy as np
+
+    import upmix_tpu.ops.pallas_omnibus as pom
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.offline import _plan_buckets
+
+    cfg = UpmixConfig.make([0.0, 400.0, 1600.0], sr=8000.0, max_block_size=512)
+    chunk = 4096
+    plan, _ = pom.make_omnibus_plan(_plan_buckets(cfg, chunk), chunk, min_tile=0)
+    assert plan is not None
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, chunk + plan.halo)).astype(np.float32)
+    try:
+        pom._FOLD_SCRATCH = False
+        a = pom.omnibus_lcr(x, plan, interpret=True)
+        pom._FOLD_SCRATCH = True
+        b = pom.omnibus_lcr(x, plan, interpret=True)
+    finally:
+        pom._FOLD_SCRATCH = False
+    for ya, yb in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(ya), np.asarray(yb), atol=2e-6, rtol=0
+        )

@@ -43,6 +43,13 @@ from upmix_tpu.ops.pallas_upmix import _split_bf16 as _bf16_pair
 # overlap-add folds/merges (WRONG OUTPUT) to attribute their cost.
 _PROF_NOFOLD = False
 
+# Scratch-accumulate folds (A/B knob "foldscratch"): every sub adds its
+# per-start/group flats IN PLACE into one [3, tile+halo] VMEM scratch at
+# static offsets, replacing the per-start pad-to-width + full-width adds
+# and the cross-sub merge concats.  Exact same arithmetic, different
+# dataflow.  Must be set BEFORE plans/kernels are built.
+_FOLD_SCRATCH = False
+
 
 @dataclass(frozen=True)
 class _DirectSub:
@@ -342,6 +349,16 @@ def _frames_of(xloc, B, H, tile):
     return chans, K, M
 
 
+def _fold_store(work, rec3, B, H, K, M):
+    """Scratch-accumulate fold: add each group's flat [3, M*B] into the
+    shared work ref at its static offset g*H."""
+    rec = rec3.reshape(3, K, M * B)
+    glen = M * B
+    for g in range(K):
+        off = g * H
+        work[:, off : off + glen] += rec[:, g]
+
+
 def _fold(rec3, B, H, K, M, tile, width):
     """rec3 [3, K*M, B] (group-major) -> folded [3, width] (width >= tile+B-H)."""
     rec = rec3.reshape(3, K, M * B)
@@ -358,7 +375,7 @@ def _fold(rec3, B, H, K, M, tile, width):
     return out
 
 
-def _direct_tile(sub: _DirectSub, xloc, refs, tile, width):
+def _direct_tile(sub: _DirectSub, xloc, refs, tile, width, work=None):
     wf_hi, wf_lo, wi_hi, wi_lo, g_ref = refs
     B, H = sub.B, sub.H
     Kb = sub.gains.shape[1]
@@ -383,6 +400,9 @@ def _direct_tile(sub: _DirectSub, xloc, refs, tile, width):
         axis=0,
     )  # [3F, 2Kb]
     rec = _dot3(s, wi_hi[...], wi_lo[...])  # [3F, B] (sw folded)
+    if work is not None:
+        _fold_store(work, rec.reshape(3, F, B), B, H, K, M)
+        return None
     return _fold(rec.reshape(3, F, B), B, H, K, M, tile, width)
 
 
@@ -396,7 +416,7 @@ def _dot3l(a_hi, a_lo, b):
     return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
 
 
-def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width):
+def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
     """One tile's contribution from a batched block-diagonal 2-stage sub.
 
     Per group g: glen = M*B samples at offset g*H, reshaped [M*N1, 128]
@@ -459,17 +479,22 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width):
             [y[:, o * N2 : (o + 1) * N2].reshape(1, glen) for o in range(3)],
             axis=0,
         )  # [3, glen]
+        if work is not None:
+            work[:, start : start + glen] += rec
+            continue
         if _PROF_NOFOLD:  # profiling only: drop the shifted pad-add
             out = rec if out is None else out + rec
             continue
         part = jnp.pad(rec, ((0, 0), (start, width - start - glen)))
         out = part if out is None else out + part
+    if work is not None:
+        return None
     if _PROF_NOFOLD:
         out = jnp.pad(out, ((0, 0), (0, width - out.shape[1])))
     return out
 
 
-def _build_kernel(plan: OmnibusPlan):
+def _build_kernel(plan: OmnibusPlan, fold_scratch: bool = False):
     tile, halo, n_tiles = plan.tile, plan.halo, plan.n_tiles
     n_views = plan.n_views
     subs = plan.subs
@@ -483,6 +508,7 @@ def _build_kernel(plan: OmnibusPlan):
             sub_refs.append(refs[pos : pos + c])
             pos += c
         out_ref, spill_ref, acc = refs[pos], refs[pos + 1], refs[pos + 2]
+        work = refs[pos + 3] if fold_scratch else None
 
         i = pl.program_id(1)
 
@@ -505,6 +531,29 @@ def _build_kernel(plan: OmnibusPlan):
         order = sorted(
             range(len(subs)), key=lambda k: -(subs[k].B - subs[k].H)
         )
+        if fold_scratch:
+            # Scratch-accumulate dataflow: one zero-fill, then every sub
+            # adds its flats in place at static offsets — no per-start
+            # pad-to-width, no cross-sub merge concats.
+            work[...] = jnp.zeros_like(work)
+            for k in order:
+                sub, srefs = subs[k], sub_refs[k]
+                if isinstance(sub, _DirectSub):
+                    _direct_tile(sub, xloc, srefs, tile, None, work=work)
+                else:
+                    _bd_tile(sub, xloc, srefs, tile, None, work=work)
+            total = work[...]
+            total = jnp.concatenate(
+                [total[:, :halo] + acc[...], total[:, halo:]], axis=1
+            )
+            out_ref[0] = total[:, :tile]
+            acc[...] = total[:, tile:]
+
+            @pl.when(i == n_tiles - 1)
+            def _():
+                spill_ref[0] = total[:, tile:]
+
+            return
         total = None
         for k in order:
             sub, srefs = subs[k], sub_refs[k]
@@ -570,8 +619,11 @@ def omnibus_lcr_batch(x: jnp.ndarray, plan: OmnibusPlan, interpret: bool = False
             pl.BlockSpec(w.shape, lambda s, i, z=zeros: z, memory_space=pltpu.VMEM)
         )
 
+    scratch = [pltpu.VMEM((3, halo), jnp.float32)]
+    if _FOLD_SCRATCH:
+        scratch.append(pltpu.VMEM((3, tile + halo), jnp.float32))
     call = pl.pallas_call(
-        _build_kernel(plan),
+        _build_kernel(plan, fold_scratch=_FOLD_SCRATCH),
         grid=(n_seg, plan.n_tiles),
         in_specs=in_specs,
         out_specs=(
@@ -582,7 +634,7 @@ def omnibus_lcr_batch(x: jnp.ndarray, plan: OmnibusPlan, interpret: bool = False
             jax.ShapeDtypeStruct((n_seg, 3, plan.chunk), jnp.float32),
             jax.ShapeDtypeStruct((n_seg, 3, halo), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((3, halo), jnp.float32)],
+        scratch_shapes=scratch,
         # With big subs aboard (weights + per-frame transients for a
         # B > tile frame) the kernel needs ~19 MB of scoped VMEM — above
         # the 16 MB default, comfortably under the v5e core's capacity.
