@@ -51,3 +51,15 @@ def test_baseline_md_script_references_exist():
         assert os.path.exists(os.path.join(ROOT, mod)), (
             f"BASELINE.md references missing {mod}"
         )
+
+
+def test_scripts_parse():
+    # Every evidence/bench script must at least stay syntactically valid
+    # (they are run manually on the chip, so nothing else imports them).
+    import ast
+
+    sdir = os.path.join(ROOT, "scripts")
+    for fn in sorted(os.listdir(sdir)):
+        if fn.endswith(".py"):
+            src = open(os.path.join(sdir, fn)).read()
+            ast.parse(src, filename=fn)
