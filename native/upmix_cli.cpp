@@ -55,6 +55,29 @@ int usage(const char* argv0) {
   return 2;
 }
 
+// Strict numeric parsing: atof/atoi silently return 0 on garbage, which
+// would turn "--edges foo" into an edge at 0 Hz; reject instead, matching
+// the enum flags' strictness.
+double parse_num(const char* what, const char* s) {
+  char* end = nullptr;
+  double v = std::strtod(s, &end);
+  if (end == s || *end != '\0') {
+    std::fprintf(stderr, "bad numeric value for %s: %s\n", what, s);
+    std::exit(2);
+  }
+  return v;
+}
+
+long parse_int(const char* what, const char* s) {
+  char* end = nullptr;
+  long v = std::strtol(s, &end, 10);
+  if (end == s || *end != '\0') {
+    std::fprintf(stderr, "bad integer value for %s: %s\n", what, s);
+    std::exit(2);
+  }
+  return v;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -74,9 +97,9 @@ int main(int argc, char** argv) {
       }
       return argv[++i];
     };
-    if (a == "--sr") sr = std::atof(next("--sr"));
-    else if (a == "--hw") hw = std::atoi(next("--hw"));
-    else if (a == "--threads") n_threads = std::atoi(next("--threads"));
+    if (a == "--sr") sr = parse_num("--sr", next("--sr"));
+    else if (a == "--hw") hw = (int)parse_int("--hw", next("--hw"));
+    else if (a == "--threads") n_threads = (int)parse_int("--threads", next("--threads"));
     else if (a == "--raw") align = false;
     else if (a == "--mix") mix = next("--mix");
     else if (a == "--edges") {
@@ -86,7 +109,7 @@ int main(int argc, char** argv) {
       while (pos < s.size()) {
         size_t c = s.find(',', pos);
         if (c == std::string::npos) c = s.size();
-        edges.push_back(std::atof(s.substr(pos, c - pos).c_str()));
+        edges.push_back(parse_num("--edges", s.substr(pos, c - pos).c_str()));
         pos = c + 1;
       }
     } else if (a == "--xover") {

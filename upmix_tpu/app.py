@@ -419,7 +419,7 @@ def run_offline(
 
 
 def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
-             **offline_kwargs) -> int:
+             **offline_kwargs) -> "tuple[int, int]":
     """Line-delimited JSON job server: the persistent-process serving mode.
 
     Reads one JSON object per line from `src` and writes one JSON result
@@ -487,15 +487,21 @@ def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
                     raise ValueError(f"unknown job fields {sorted(unknown)}")
                 in_path = job["in"]
                 t0 = _time.perf_counter()
-                result = run_offline(
-                    in_path,
-                    out_dir=job.get("out_dir", out_dir),
-                    export_mode=job.get("export_mode", export_mode),
-                    upmixer_cache=cache,
-                    **offline_kwargs,
-                )
-                while len(cache) > 8:  # LRU bound on distinct configs
-                    cache.popitem(last=False)
+                try:
+                    result = run_offline(
+                        in_path,
+                        out_dir=job.get("out_dir", out_dir),
+                        export_mode=job.get("export_mode", export_mode),
+                        upmixer_cache=cache,
+                        **offline_kwargs,
+                    )
+                finally:
+                    # run_offline inserts the Upmixer before processing, so
+                    # enforce the bound even when the job fails — a stream of
+                    # failing jobs at distinct sample rates must not grow the
+                    # cache past the documented limit.
+                    while len(cache) > 8:  # LRU bound on distinct configs
+                        cache.popitem(last=False)
                 resp = {
                     "ok": True,
                     "in": str(in_path),

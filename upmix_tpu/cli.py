@@ -30,7 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
 
         _version = _pkg_version("upmix-tpu")
     except Exception:
-        _version = "0.2.0 (uninstalled tree)"
+        # Uninstalled tree: read the single source of truth instead of a
+        # hardcoded string that would drift from pyproject.toml.
+        from upmix_tpu import __version__ as _pkg_fallback
+
+        _version = f"{_pkg_fallback} (uninstalled tree)"
     p.add_argument("--version", action="version", version=f"upmix-tpu {_version}")
     p.add_argument("inputs", nargs="+", help="input WAV file(s)")
     p.add_argument("--out-dir", default="out", help="output directory (default: out)")
@@ -194,6 +198,8 @@ def parse_edges(text: str):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     edges = parse_edges(args.band_edges)
+    if args.pad_granularity is not None and args.pad_granularity < 1:
+        raise SystemExit("error: --pad-granularity must be >= 1")
 
     if not args.no_compile_cache:
         from upmix_tpu.utils.cache import enable_compilation_cache
@@ -213,7 +219,7 @@ def main(argv=None) -> int:
             raise SystemExit("error: --serve reads jobs from stdin; pass '-'")
         # A job server sees arbitrary lengths: bucket them by default so a
         # fresh length rarely pays a fresh compile.
-        serve_pad = args.pad_granularity if args.pad_granularity else 2**16
+        serve_pad = args.pad_granularity if args.pad_granularity is not None else 2**16
         n_ok, n_fail = run_jobs(
             _sys.stdin,
             _sys.stdout,
@@ -324,7 +330,7 @@ def main(argv=None) -> int:
             bin_rounding=args.bin_rounding or "python",
             subtype=args.subtype,
             kernel=args.kernel,
-            pad_granularity=args.pad_granularity or 1,
+            pad_granularity=args.pad_granularity if args.pad_granularity is not None else 1,
             upmixer_cache=upmixer_cache,
             verbose=args.verbose,
         )
