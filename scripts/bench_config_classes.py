@@ -2,9 +2,14 @@
 
 The headline bench covers the reference's default 6-band 44.1 kHz
 config; this sweep records the realtime factor for the other config
-classes users actually run, proving the perf story generalizes.  Uses
-min-of-3 spaced loops per class (tunnel noise is bursty); the persistent
-compile cache makes re-runs cheap.
+classes users actually run, proving the perf story generalizes.
+
+Protocol (round 3): INTERLEAVED min-of-visits — every class is visited
+VISITS times round-robin, so a multi-second tunnel-noise burst degrades
+one visit of every class instead of every visit of one class (round 2's
+sequential loops misattributed burst noise as per-class slowdowns, e.g.
+hard_zero "slower" than raised_cosine).  INNER applications are chained
+per dispatch to amortize the ~1 ms tunnel RPC, matching bench.py.
 
     python scripts/bench_config_classes.py
 """
@@ -18,7 +23,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(os.environ.get("BENCH_SAMPLES", 2**21))
-ITERS = int(os.environ.get("BENCH_ITERS", 10))
+ITERS = int(os.environ.get("BENCH_ITERS", 3))
+INNER = max(1, int(os.environ.get("BENCH_INNER", 10)))
+VISITS = int(os.environ.get("BENCH_VISITS", 5))
 
 
 def classes():
@@ -65,16 +72,19 @@ def main():
     R = jnp.asarray(rng.standard_normal(N), jnp.float32)
     L, R = jax.device_put((L, R))
 
+    entries = []
     for name, cfg, sr in classes():
         base_fn = build_offline_fn(cfg, N)
 
         def step(L, R, seed, base_fn=base_fn):
-            c, ls, rs = base_fn(L + seed, R - seed)
-            return c, ls, rs, c[0] * 1e-6
+            for _ in range(INNER):
+                c, ls, rs = base_fn(L + seed, R - seed)
+                seed = c[0] * 1e-6
+            return c, ls, rs, seed
 
         fn = jax.jit(step)
 
-        def run(iters):
+        def run(iters, fn=fn):
             seed = jnp.zeros((), jnp.float32)
             out = None
             for _ in range(iters):
@@ -85,18 +95,23 @@ def main():
         t0 = time.perf_counter()
         run(1)
         compile_s = time.perf_counter() - t0
-        times = []
-        for k in range(3):
-            if k:
-                time.sleep(2.0)
+        entries.append({"name": name, "sr": sr, "run": run,
+                        "compile_s": compile_s, "times": []})
+
+    for v in range(VISITS):
+        for e in entries:
             t0 = time.perf_counter()
-            run(ITERS)
-            times.append((time.perf_counter() - t0) / ITERS)
-        ms = min(times) * 1e3
-        rt = (N / sr) / min(times)
+            e["run"](ITERS)
+            e["times"].append((time.perf_counter() - t0) / (ITERS * INNER))
+        time.sleep(1.0)
+
+    for e in entries:
+        ms = min(e["times"]) * 1e3
+        rt = (N / e["sr"]) / min(e["times"])
+        allv = " ".join(f"{t*1e3:.2f}" for t in e["times"])
         print(
-            f"{name:28s} {ms:7.2f} ms/iter  {rt:8.1f}x realtime "
-            f"(compile+warm {compile_s:.1f}s)"
+            f"{e['name']:28s} {ms:7.2f} ms/iter  {rt:8.1f}x realtime "
+            f"(compile+warm {e['compile_s']:.1f}s; visits [{allv}])"
         )
 
 

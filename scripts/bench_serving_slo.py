@@ -1,0 +1,151 @@
+"""Serving latency SLO evidence: per-block percentiles + job-burst walls.
+
+Round 2 recorded serving THROUGHPUT only (21.3 us/block/stream at B=128
+in a scan); the real-time deadline (42.7 ms per 2048-sample block at
+48 kHz — reference README.md:26-27, 65) is a p100 constraint on the
+dispatch path, so this script measures what a serving operator needs:
+
+  1. BatchStreamingUpmixer per-block WALL time distribution (p50 / p95 /
+     p99 / max) at B = 1 / 32 / 128, driven through the real
+     `push_blocks` entry point (one dispatch per block, donated state) —
+     NOT the scan, which hides dispatch and transport jitter.
+  2. Job-server wall-time distribution under a 50-job burst with mixed
+     lengths (3 length buckets at the --serve default 64 Ki granularity).
+
+Caveat recorded with the numbers: on this dev environment every dispatch
+crosses the tunnel (~1-2 ms RPC + multi-second noise BURSTS); production
+latency on a host-attached chip is bounded by the same device program
+but without the transport tail.
+
+    python scripts/bench_serving_slo.py            # pool phase
+    SLO_JOBS=1 python scripts/bench_serving_slo.py # job-server burst ONLY
+    (one phase per invocation: the pool phase holds the TPU claim in this
+    process, and the serve subprocess needs it for itself — the tunnel
+    serializes clients)
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SR = 48000.0
+HW = 2048
+EDGES = [0.0, 500.0, 2000.0, 8000.0]
+N_BLOCKS = int(os.environ.get("SLO_BLOCKS", 300))
+BATCHES = tuple(
+    int(b) for b in os.environ.get("SLO_BATCHES", "1,32,128").split(",")
+)
+DEADLINE_MS = HW / SR * 1e3  # 42.67 ms
+
+
+def pct(xs, q):
+    return float(np.percentile(np.asarray(xs), q))
+
+
+def pool_phase():
+    import jax
+
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.streaming import BatchStreamingUpmixer
+    from upmix_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = UpmixConfig.streaming(EDGES, sr=SR, hw_block_size=HW)
+    rng = np.random.default_rng(0)
+
+    print(f"deadline: {DEADLINE_MS:.2f} ms/block ({HW} @ {SR:.0f} Hz)")
+    for B in BATCHES:
+        pool = BatchStreamingUpmixer(cfg, HW, n_streams=B)
+        blocks = [
+            rng.standard_normal((B, HW)).astype(np.float32) for _ in range(8)
+        ]
+        # Warmup: compile + the 4-block readiness latency.
+        for i in range(6):
+            out = pool.push_blocks(blocks[i % 8], -blocks[i % 8])
+        jax.block_until_ready(out)
+
+        walls = []
+        for i in range(N_BLOCKS):
+            blk = blocks[i % 8]
+            t0 = time.perf_counter()
+            c, ls, rs = pool.push_blocks(blk, -blk)
+            # Per-block latency must include result availability: fetch
+            # one scalar (what a serving loop handing audio to a client
+            # would do; full-block fetch adds transport, measured
+            # separately below).
+            float(np.asarray(c[0, 0]))
+            walls.append((time.perf_counter() - t0) * 1e3)
+        # Full-block fetch variant: what the operator actually ships out.
+        walls_full = []
+        for i in range(min(N_BLOCKS, 100)):
+            blk = blocks[i % 8]
+            t0 = time.perf_counter()
+            c, ls, rs = pool.push_blocks(blk, -blk)
+            np.asarray(c)
+            walls_full.append((time.perf_counter() - t0) * 1e3)
+        over = sum(1 for w in walls if w > DEADLINE_MS)
+        print(
+            f"B={B:4d}: scalar-fetch p50 {pct(walls,50):6.2f}  "
+            f"p95 {pct(walls,95):6.2f}  p99 {pct(walls,99):6.2f}  "
+            f"max {max(walls):7.2f} ms  "
+            f"(>deadline: {over}/{len(walls)}); "
+            f"full-fetch p50 {pct(walls_full,50):6.2f}  "
+            f"p99 {pct(walls_full,99):6.2f} ms",
+            flush=True,
+        )
+
+
+def jobs_phase():
+    from upmix_tpu.io import write_wav
+
+    tmp = tempfile.mkdtemp(prefix="slo_jobs_")
+    rng = np.random.default_rng(1)
+    jobs = []
+    # 3 length buckets at the 64 Ki --serve granularity; 50 jobs mixed.
+    lengths = [40_000, 100_000, 180_000]
+    for i in range(50):
+        n = lengths[i % 3] + int(rng.integers(0, 5000))
+        x = 0.3 * rng.standard_normal((n, 2)).astype(np.float32)
+        path = os.path.join(tmp, f"in_{i:02d}.wav")
+        write_wav(path, x, 44100)
+        jobs.append({"in": path, "out_dir": os.path.join(tmp, "out")})
+
+    t_start = time.perf_counter()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "upmix_tpu.cli", "-", "--serve"],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        text=True,
+        cwd=REPO,
+    )
+    payload = "".join(json.dumps(j) + "\n" for j in jobs)
+    out, _ = proc.communicate(payload, timeout=3600)
+    total = time.perf_counter() - t_start
+    walls = []
+    for line in out.splitlines():
+        r = json.loads(line)
+        assert r.get("ok"), r
+        walls.append(r["wall_s"] * 1e3)
+    warm = walls[6:]  # first jobs pay compiles (one per length bucket)
+    print(
+        f"50-job burst: total {total:.1f}s (incl. {len(walls) - len(warm)} "
+        f"compile-paying jobs); warm wall p50 {pct(warm,50):6.0f}  "
+        f"p95 {pct(warm,95):6.0f}  p99 {pct(warm,99):6.0f}  "
+        f"max {max(warm):6.0f} ms",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    if os.environ.get("SLO_JOBS"):
+        jobs_phase()
+    else:
+        pool_phase()

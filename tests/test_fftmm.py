@@ -343,6 +343,65 @@ def test_omnibus_plan_classification():
     assert big.R < big.n1 and big.R % 8 == 0
 
 
+def test_omnibus_big_hop_grows_tile():
+    # overlap 0.5 halves the hop count but pushes the 65536 bucket's hop
+    # (32768) past the 16384 tile cap; round 2 dropped that bucket to a
+    # separate XLA chain, which ate the entire 2x frame-count win.  The
+    # tile must GROW to the big hop instead, keeping every bucket in the
+    # one omnibus launch.
+    from upmix_tpu.models.offline import _plan_buckets
+    from upmix_tpu.ops.pallas_omnibus import make_omnibus_plan
+
+    cfg = UpmixConfig.make(
+        [0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0], sr=44100.0, overlap=0.5
+    )
+    plans = _plan_buckets(cfg, 2**18)
+    op, leftover = make_omnibus_plan(plans, 2**18)
+    assert leftover == []
+    assert op.tile == 32768 and op.halo == 32768 and op.n_views == 2
+    kinds = {s.B: type(s).__name__ for s in op.subs}
+    assert kinds[65536] == "_TwoStageBdSub"
+    # Small-bucket kron waste stays bounded: M*B <= 16384 still holds.
+    for s in op.subs:
+        if type(s).__name__ == "_TwoStageBdSub" and s.B <= 16384:
+            assert s.M * s.B <= 16384
+
+
+def test_omnibus_grown_tile_parity():
+    # Numerical parity of the grown-tile geometry at miniature scale: the
+    # 512 bucket at overlap 0.5 has hop 256 > tile_cap 128, so the tile
+    # grows to 256 and the bucket folds through one lookahead view.
+    from upmix_tpu.models.offline import _bucket_fold_mm, _plan_buckets
+    from upmix_tpu.ops.pallas_omnibus import make_omnibus_plan, omnibus_lcr
+
+    cfg = UpmixConfig.make(
+        [0.0, 2000.0], sr=8000.0, max_block_size=512, overlap=0.5
+    )
+    chunk = 1024
+    plans = _plan_buckets(cfg, chunk)
+    assert sorted(p.block_size for p in plans) == [128, 512]
+    op, leftover = make_omnibus_plan(plans, chunk, tile_cap=128, min_tile=0)
+    assert leftover == []
+    assert op.tile == 256 and op.halo == 256 and op.n_views == 2
+    big = next(s for s in op.subs if s.B == 512)
+    assert type(big).__name__ == "_TwoStageBdSub" and big.M == 1
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, chunk + op.halo)).astype(np.float32)
+    main, spill = omnibus_lcr(jnp.asarray(x), op, interpret=True)
+
+    ref = None
+    for p in plans:
+        K = p.block_size // p.hop_size
+        F = chunk // p.hop_size
+        T = (F + K - 1) * p.hop_size
+        contrib = np.asarray(_bucket_fold_mm(p, jnp.asarray(x[:, :T]), F))
+        contrib = np.pad(contrib, ((0, 0), (0, chunk + op.halo - T)))
+        ref = contrib if ref is None else ref + contrib
+    got = np.concatenate([np.asarray(main), np.asarray(spill)], axis=1)
+    assert snr_db(ref, got) > 80.0
+
+
 def test_omnibus_bigblock_multiview_parity():
     # A bucket whose BLOCK exceeds the omnibus tile rides extra lookahead
     # input views (round 2); check the multi-view fold against the plain

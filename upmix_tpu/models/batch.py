@@ -95,10 +95,28 @@ class BatchUpmixer:
         y = np.asarray(y)
         return [y[i, :, : lengths[i]] for i in range(len(lengths))]
 
-    def process_files(self, arrays_iter):
-        """Pipeline an iterable of [2, n] arrays through fixed-size batches,
-        overlapping host prep with device compute.  Yields [3, n] results
-        in order."""
+    def process_files(self, arrays_iter, pipeline: bool = False):
+        """Run an iterable of [2, n] arrays through fixed-size batches,
+        yielding [3, n] results in order.
+
+        `pipeline=True` keeps one batch in flight: the next batch's host
+        prep + upload overlaps the device computing the current one.
+        That only wins on direct-attached devices with host cores to
+        spare; MEASURED on this project's single-core tunneled
+        environment it is a net LOSS (0.76-0.81x of sequential — the
+        in-flight batch's transfers contend with the compute stream), so
+        the default is the sequential submit+collect path (DESIGN.md §7).
+        """
+        if not pipeline:
+            chunk = []
+            for a in arrays_iter:
+                chunk.append(np.asarray(a, np.float32))
+                if len(chunk) == self.batch_size:
+                    yield from self.collect(self.submit(chunk))
+                    chunk = []
+            if chunk:
+                yield from self.collect(self.submit(chunk))
+            return
         pending = None
         chunk = []
         for a in arrays_iter:

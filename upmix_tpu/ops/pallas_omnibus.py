@@ -154,6 +154,7 @@ def make_omnibus_plan(
     include_big: bool = True,
     min_tile: int = 4096,
     tile_pref: int | None = None,
+    big_hop_cap: int = 32768,
 ):
     """Build the omnibus plan from offline _BucketPlan records.
 
@@ -193,8 +194,12 @@ def make_omnibus_plan(
             continue
         if B > tile_cap:
             # Big bucket: frames span multiple tiles (extra lookahead
-            # views).  Needs hop | tile and hop <= tile.
-            if include_big and H <= tile_cap:
+            # views).  Needs hop | tile and hop <= tile; a hop above
+            # tile_cap (e.g. 65536 at overlap 0.5 -> hop 32768) GROWS the
+            # tile to the hop rather than dropping the bucket — round 2
+            # measured a dropped 65536 bucket's separate XLA chain eating
+            # the entire 2x frame-count win of overlap 0.5.
+            if include_big and H <= big_hop_cap:
                 picked.append(("big", p))
             else:
                 leftover.append(p)
@@ -224,7 +229,13 @@ def make_omnibus_plan(
             tile *= 2
     # (Every big bucket's hop is folded into the LCM above, so hop | tile
     # and hop <= tile hold by construction for all picked buckets.)
-    if tile > tile_cap or tile < min_tile:
+    # Big hops above tile_cap raise the effective cap: the grown tile only
+    # carries the buckets that forced it (small-bucket M stays capped by
+    # the M*B <= 16384 rule below, so the kron waste does not grow).
+    tile_cap_eff = max(
+        [tile_cap] + [p.hop_size for kind, p in picked if kind == "big"]
+    )
+    if tile > tile_cap_eff or tile < min_tile:
         # min_tile: Mosaic rejects the fold's offset concats for small
         # tiles on real hardware ("result/input offset mismatch on
         # non-concat dimension"; measured boundary: tile >= 4096 compiles,
