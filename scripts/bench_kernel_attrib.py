@@ -1,0 +1,163 @@
+"""Complete in-kernel cost attribution of the omnibus launch (round 3).
+
+DESIGN.md §4c left ~45% of tile time as unattributed "structural"
+VPU/layout work.  This harness decomposes the WHOLE kernel with
+leave-one-out profiling variants (each skips one class of work — wrong
+output, profiling only) plus per-sub leave-one-out plan subsets, all
+measured INTERLEAVED round-robin (min-of-visits per variant) so tunnel
+noise bursts cannot masquerade as component costs.
+
+Times the raw omnibus_lcr at chunk 2^21 (no scan, one launch of 128
+tiles) — the same object bench.py's device time is 97% made of.
+
+    python scripts/bench_kernel_attrib.py            # variant pass
+    ATTRIB_SUBS=1 python scripts/bench_kernel_attrib.py  # plan subsets
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SR = 44100.0
+EDGES = (0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0)
+N = 2**21
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
+VISITS = int(os.environ.get("BENCH_VISITS", 6))
+
+
+def build_timer(plan, omnibus_lcr, x, jax, jnp):
+    need = plan.chunk + (plan.n_views - 1) * plan.tile
+    xin = x[:, :need]
+
+    def step(xin, seed, plan=plan):
+        return omnibus_lcr(xin + seed, plan)
+
+    fn = jax.jit(step)
+
+    def run(iters):
+        seed = jnp.zeros((), jnp.float32)
+        out = None
+        for _ in range(iters):
+            out = fn(xin, seed)
+            seed = out[0][0, 0] * 1e-6
+        return float(np.asarray(out[0][0, 0]))
+
+    return run
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import upmix_tpu.ops.pallas_omnibus as pom
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.offline import _plan_buckets
+    from upmix_tpu.ops.pallas_omnibus import make_omnibus_plan, omnibus_lcr
+    from upmix_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    config = UpmixConfig.make(list(EDGES), sr=SR)
+    all_plans = _plan_buckets(config, N)
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        jnp.asarray(rng.standard_normal((2, N + 3 * 16384)), jnp.float32)
+    )
+
+    import jax as _jax
+
+    def _dot1(a, b_hi, b_lo):
+        return _jax.lax.dot(
+            a.astype(jnp.bfloat16), b_hi, preferred_element_type=jnp.float32
+        )
+
+    def _dot1l(a_hi, a_lo, b):
+        return _jax.lax.dot(
+            a_hi, b.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+
+    def _mask_cheap(slre, slim, srre, srim, gains_list):
+        c_re = c_im = l_re = l_im = r_re = r_im = 0.0
+        for g in gains_list:
+            glre, glim = slre * g, slim * g
+            grre, grim = srre * g, srim * g
+            cre, cim = 0.5 * (glre + grre), 0.5 * (glim + grim)
+            c_re, c_im = c_re + cre, c_im + cim
+            l_re, l_im = l_re + (glre - cre), l_im + (glim - cim)
+            r_re, r_im = r_re + (grre - cre), r_im + (grim - cim)
+        return c_re, c_im, l_re, l_im, r_re, r_im
+
+    orig_dot3, orig_dot3l, orig_mask = pom._dot3, pom._dot3l, pom._mask_sum
+
+    if os.environ.get("ATTRIB_SUBS"):
+        variants = [("all", {})]
+        for p in all_plans:
+            variants.append((f"drop-{p.block_size}",
+                             {"drop": p.block_size}))
+    else:
+        variants = [
+            ("full", {}),
+            ("nodot23", {"dot1": True}),  # bf16x3 -> 1 MXU pass
+            ("nomasksd", {"mask": True}),  # mask sqrt/div removed
+            ("nowin", {"flag": "_PROF_NOWIN"}),
+            ("notw", {"flag": "_PROF_NOTW"}),
+            ("noregroup", {"flag": "_PROF_NOREGROUP"}),
+            ("nofold", {"flag": "_PROF_NOFOLD"}),
+        ]
+
+    runs = {}
+    for name, kw in variants:
+        plans = all_plans
+        if "drop" in kw:
+            plans = [p for p in all_plans if p.block_size != kw["drop"]]
+        if kw.get("dot1"):
+            pom._dot3, pom._dot3l = _dot1, _dot1l
+        if kw.get("mask"):
+            pom._mask_sum = _mask_cheap
+        if "flag" in kw:
+            setattr(pom, kw["flag"], True)
+        try:
+            plan, leftover = make_omnibus_plan(plans, N)
+            assert not leftover, leftover
+            run = build_timer(plan, omnibus_lcr, x, jax, jnp)
+            t0 = time.perf_counter()
+            run(1)
+            compile_s = time.perf_counter() - t0
+        finally:
+            pom._dot3, pom._dot3l, pom._mask_sum = (
+                orig_dot3, orig_dot3l, orig_mask
+            )
+            for f in ("_PROF_NOWIN", "_PROF_NOTW", "_PROF_NOREGROUP",
+                      "_PROF_NOFOLD"):
+                setattr(pom, f, False)
+        runs[name] = {"run": run, "times": [], "compile_s": compile_s,
+                      "n_tiles": plan.n_tiles}
+
+    for v in range(VISITS):
+        for name in runs:
+            e = runs[name]
+            t0 = time.perf_counter()
+            e["run"](ITERS)
+            e["times"].append((time.perf_counter() - t0) / ITERS)
+        time.sleep(1.0)
+
+    base_key = "full" if "full" in runs else "all"
+    base = min(runs[base_key]["times"]) if base_key in runs else None
+    for name, e in runs.items():
+        ms = min(e["times"]) * 1e3
+        per_tile = ms * 1e3 / e["n_tiles"]
+        delta = ""
+        if base is not None and name != base_key:
+            d = (base - min(e["times"])) * 1e3
+            delta = f"  saves {d:+6.2f} ms ({d / (base * 1e3) * 100:+5.1f}%)"
+        allv = " ".join(f"{t*1e3:.2f}" for t in e["times"])
+        print(f"{name:10s} {ms:7.2f} ms ({per_tile:5.1f} us/tile)"
+              f"{delta}  visits [{allv}]", flush=True)
+
+
+if __name__ == "__main__":
+    main()

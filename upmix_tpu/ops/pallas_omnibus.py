@@ -43,6 +43,14 @@ from upmix_tpu.ops.pallas_upmix import _split_bf16 as _bf16_pair
 # overlap-add folds/merges (WRONG OUTPUT) to attribute their cost.
 _PROF_NOFOLD = False
 
+# More PROFILING-ONLY knobs (scripts/bench_kernel_attrib.py) — each skips
+# one class of in-kernel work (WRONG OUTPUT) so interleaved A/B runs can
+# attribute the kernel's cost structure.  All must be False in production;
+# they are read at trace time, like _PROF_NOFOLD.
+_PROF_NOWIN = False  # skip analysis/synthesis window multiplies (BD subs)
+_PROF_NOTW = False  # skip twiddle rotations (BD subs, both directions)
+_PROF_NOREGROUP = False  # skip the q1/q2 inverse-lane regroup concats
+
 # Scratch-accumulate folds (A/B knob "foldscratch"): every sub adds its
 # per-start/group flats IN PLACE into one [3, tile+halo] VMEM scratch at
 # static offsets, replacing the per-start pad-to-width + full-width adds
@@ -453,11 +461,16 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
                 xloc[1, start : start + glen].reshape(rows_t, N2),
             ],
             axis=1,
-        ) * aw2[...]  # [rows_t, 2*N2]
+        )  # [rows_t, 2*N2]
+        if not _PROF_NOWIN:
+            Z = Z * aw2[...]
         As = _dot3l(w1s_hi[...], w1s_lo[...], Z)  # [2*rows, 2*N2]
         a_re, a_im = As[:rows], As[rows:]
-        b_re = a_re * twr2[...] - a_im * twi2[...]
-        b_im = a_re * twi2[...] + a_im * twr2[...]
+        if _PROF_NOTW:  # profiling only: skip the twiddle rotation
+            b_re, b_im = a_re, a_im
+        else:
+            b_re = a_re * twr2[...] - a_im * twi2[...]
+            b_im = a_re * twi2[...] + a_im * twr2[...]
         p1 = _dot3(b_re, d2b_hi[...], d2b_lo[...])  # [rows, 4C]
         p2 = _dot3(b_im, d2b_hi[...], d2b_lo[...])
         sl = (p1[:, :C] - p2[:, C : 2 * C], p1[:, C : 2 * C] + p2[:, :C])
@@ -476,16 +489,24 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
         q2 = _dot3(S_im, e2b_hi[...], e2b_lo[...])
         # Per output o the lane block is [o*2N2, (o+1)*2N2) with re then im
         # halves; regroup into u_re/u_im of 3*N2 lanes each.
-        q1_re = jnp.concatenate([q1[:, o * 2 * N2 : o * 2 * N2 + N2] for o in range(3)], axis=1)
-        q1_im = jnp.concatenate([q1[:, o * 2 * N2 + N2 : (o + 1) * 2 * N2] for o in range(3)], axis=1)
-        q2_re = jnp.concatenate([q2[:, o * 2 * N2 : o * 2 * N2 + N2] for o in range(3)], axis=1)
-        q2_im = jnp.concatenate([q2[:, o * 2 * N2 + N2 : (o + 1) * 2 * N2] for o in range(3)], axis=1)
-        t_re = q1_re - q2_im
-        t_im = q1_im + q2_re
-        u_re = t_re * twr3[...] + t_im * twi3[...]
-        u_im = t_im * twr3[...] - t_re * twi3[...]
+        if _PROF_NOREGROUP:  # profiling only: skip the 12-slice regroup
+            t_re, t_im = q1[:, : 3 * N2], q2[:, : 3 * N2]
+        else:
+            q1_re = jnp.concatenate([q1[:, o * 2 * N2 : o * 2 * N2 + N2] for o in range(3)], axis=1)
+            q1_im = jnp.concatenate([q1[:, o * 2 * N2 + N2 : (o + 1) * 2 * N2] for o in range(3)], axis=1)
+            q2_re = jnp.concatenate([q2[:, o * 2 * N2 : o * 2 * N2 + N2] for o in range(3)], axis=1)
+            q2_im = jnp.concatenate([q2[:, o * 2 * N2 + N2 : (o + 1) * 2 * N2] for o in range(3)], axis=1)
+            t_re = q1_re - q2_im
+            t_im = q1_im + q2_re
+        if _PROF_NOTW:
+            u_re, u_im = t_re, t_im
+        else:
+            u_re = t_re * twr3[...] + t_im * twi3[...]
+            u_im = t_im * twr3[...] - t_re * twi3[...]
         u = jnp.concatenate([u_re, u_im], axis=0)  # [2*rows, 3*N2]
-        y = _dot3l(w1i_hi[...], w1i_lo[...], u) * sw3[...]  # [rows_t, 3*N2]
+        y = _dot3l(w1i_hi[...], w1i_lo[...], u)  # [rows_t, 3*N2]
+        if not _PROF_NOWIN:
+            y = y * sw3[...]
         rec = jnp.concatenate(
             [y[:, o * N2 : (o + 1) * N2].reshape(1, glen) for o in range(3)],
             axis=0,
