@@ -96,7 +96,12 @@ def main():
     sec_per_iter = min(times)
     audio_sec = N_SAMPLES / SR
     realtime_factor = audio_sec / sec_per_iter
+    median_factor = audio_sec / sorted(times)[len(times) // 2]
 
+    # value = min-of-7 (the calm-window estimate; transport noise only
+    # ever ADDS time).  median_* records the same run's median loop so
+    # cross-round comparisons can use either estimator (round 1 reported
+    # median-of-3; round 2+ report min-of-7 — VERDICT r2 weak #4).
     print(
         json.dumps(
             {
@@ -104,6 +109,8 @@ def main():
                 "value": round(realtime_factor, 2),
                 "unit": "audio_sec/sec/chip",
                 "vs_baseline": round(realtime_factor / TARGET_REALTIME, 4),
+                "estimator": "min_of_7_loops",
+                "median_value": round(median_factor, 2),
             }
         )
     )

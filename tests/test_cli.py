@@ -82,6 +82,13 @@ def test_cli_missing_file(tmp_path):
         main([str(tmp_path / "nope.wav"), "--out-dir", str(tmp_path)])
 
 
+def test_cli_pad_granularity_zero_rejected(tmp_path):
+    # Explicit 0 must be an error, not truthiness-coerced to the default.
+    path = _input(tmp_path)
+    with pytest.raises(SystemExit, match="pad-granularity"):
+        main([str(path), "--pad-granularity", "0"])
+
+
 def test_compilation_cache_helper(tmp_path, monkeypatch):
     from upmix_tpu.utils.cache import enable_compilation_cache
 

@@ -65,6 +65,41 @@ def test_run_jobs_end_to_end(tmp_path):
     assert resps[2]["audio_seconds"] == pytest.approx(4096 / SR, abs=1e-3)
 
 
+def test_run_jobs_cache_bounded_under_failing_jobs(tmp_path):
+    # run_offline inserts the Upmixer into the warm cache BEFORE
+    # processing; a stream of jobs that all fail (after insertion) at
+    # distinct sample rates must still leave the cache within its
+    # documented 8-config bound (the eviction runs in a finally block).
+    import numpy as np
+
+    from upmix_tpu.io import write_wav
+
+    jobs = []
+    for i, sr in enumerate([8000, 11025, 16000, 22050, 24000, 32000,
+                            44100, 48000, 88200, 96000]):
+        p = tmp_path / f"in_{i}.wav"
+        write_wav(str(p), np.zeros((512, 2), np.float32), sr)
+        # out_dir is an existing FILE -> export fails after the Upmixer
+        # (and its config cache entry) was created.
+        blocker = tmp_path / f"blocker_{i}"
+        blocker.write_text("not a directory")
+        jobs.append(json.dumps({"in": str(p), "out_dir": str(blocker)}))
+
+    # Wrap run_jobs to observe its internal cache via the stats command.
+    jobs.append(json.dumps({"cmd": "stats"}))
+    dst = io.StringIO()
+    n_ok, n_fail = run_jobs(
+        io.StringIO("\n".join(jobs)),
+        dst,
+        band_edges=[0.0, 1000.0],
+        max_block_size=256,
+    )
+    resps = [json.loads(line) for line in dst.getvalue().splitlines()]
+    stats = resps[-1]
+    assert n_ok == 0 and n_fail == 10
+    assert stats["ok"] and stats["configs_cached"] <= 8, stats
+
+
 def test_serve_cli_roundtrip(tmp_path):
     # Keep the subprocess's program TINY (one band, 2048 samples, pad
     # bucketing overridden): the test drives the stdin/stdout protocol,
