@@ -25,8 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SR = 44100.0
 EDGES = (0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0)
 N = 2**21
-ITERS = int(os.environ.get("BENCH_ITERS", 20))
-VISITS = int(os.environ.get("BENCH_VISITS", 6))
+ITERS = int(os.environ.get("BENCH_ITERS", 4))
+INNER = int(os.environ.get("BENCH_INNER", 10))  # launches chained/dispatch
+VISITS = int(os.environ.get("BENCH_VISITS", 8))
 
 
 def build_timer(plan, omnibus_lcr, x, jax, jnp):
@@ -34,7 +35,13 @@ def build_timer(plan, omnibus_lcr, x, jax, jnp):
     xin = x[:, :need]
 
     def step(xin, seed, plan=plan):
-        return omnibus_lcr(xin + seed, plan)
+        # INNER chained launches per dispatch: the ~1 ms tunnel RPC per
+        # dispatch would otherwise be ~15% of the measurement and its
+        # jitter would swamp the variant deltas.
+        for _ in range(INNER):
+            main, spill = omnibus_lcr(xin + seed, plan)
+            seed = main[0, 0] * 1e-6
+        return main, spill, seed
 
     fn = jax.jit(step)
 
@@ -43,7 +50,7 @@ def build_timer(plan, omnibus_lcr, x, jax, jnp):
         out = None
         for _ in range(iters):
             out = fn(xin, seed)
-            seed = out[0][0, 0] * 1e-6
+            seed = out[2]
         return float(np.asarray(out[0][0, 0]))
 
     return run
@@ -142,7 +149,7 @@ def main():
             e = runs[name]
             t0 = time.perf_counter()
             e["run"](ITERS)
-            e["times"].append((time.perf_counter() - t0) / ITERS)
+            e["times"].append((time.perf_counter() - t0) / (ITERS * INNER))
         time.sleep(1.0)
 
     base_key = "full" if "full" in runs else "all"
