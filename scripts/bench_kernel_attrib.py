@@ -87,6 +87,18 @@ def main():
             a_hi, b.astype(jnp.bfloat16), preferred_element_type=jnp.float32
         )
 
+    def _dot0(a, b_hi, b_lo):
+        # No MXU at all (shape-correct zeros that still depend on the
+        # inputs, so nothing upstream is dead-code-eliminated).
+        return jnp.zeros((a.shape[0], b_hi.shape[1]), jnp.float32) + (
+            a[:, :1] * 0.0 + b_hi[:1, :].astype(jnp.float32) * 0.0
+        )
+
+    def _dot0l(a_hi, a_lo, b):
+        return jnp.zeros((a_hi.shape[0], b.shape[1]), jnp.float32) + (
+            a_hi[:, :1].astype(jnp.float32) * 0.0 + b[:1, :] * 0.0
+        )
+
     def _mask_cheap(slre, slim, srre, srim, gains_list):
         c_re = c_im = l_re = l_im = r_re = r_im = 0.0
         for g in gains_list:
@@ -109,6 +121,10 @@ def main():
         variants = [
             ("full", {}),
             ("nodot23", {"dot1": True}),  # bf16x3 -> 1 MXU pass
+            ("nodot", {"dot0": True}),  # ALL MXU work removed
+            # EXACT candidate (not a profiling variant): same products in
+            # 2 MXU invocations instead of 3 on the big BD dots.
+            ("dotpaired", {"flag": "_DOT_PAIRED"}),
             ("nomasksd", {"mask": True}),  # mask sqrt/div removed
             ("nowin", {"flag": "_PROF_NOWIN"}),
             ("notw", {"flag": "_PROF_NOTW"}),
@@ -123,6 +139,8 @@ def main():
             plans = [p for p in all_plans if p.block_size != kw["drop"]]
         if kw.get("dot1"):
             pom._dot3, pom._dot3l = _dot1, _dot1l
+        if kw.get("dot0"):
+            pom._dot3, pom._dot3l = _dot0, _dot0l
         if kw.get("mask"):
             pom._mask_sum = _mask_cheap
         if "flag" in kw:
@@ -139,7 +157,7 @@ def main():
                 orig_dot3, orig_dot3l, orig_mask
             )
             for f in ("_PROF_NOWIN", "_PROF_NOTW", "_PROF_NOREGROUP",
-                      "_PROF_NOFOLD"):
+                      "_PROF_NOFOLD", "_DOT_PAIRED"):
                 setattr(pom, f, False)
         runs[name] = {"run": run, "times": [], "compile_s": compile_s,
                       "n_tiles": plan.n_tiles}

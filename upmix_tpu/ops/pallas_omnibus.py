@@ -58,6 +58,17 @@ _PROF_NOREGROUP = False  # skip the q1/q2 inverse-lane regroup concats
 # dataflow.  Must be set BEFORE plans/kernels are built.
 _FOLD_SCRATCH = False
 
+# Paired-pass bf16x3 dots (A/B knob "dotpaired"): compute the SAME three
+# partial products (hi*hi, hi*lo, lo*hi) in TWO MXU invocations instead
+# of three, by pre-concatenating the weight hi/lo halves along the
+# non-contracting axis (constants — zero runtime concat).  Exact same
+# MACs and products; only the invocation count and the f32 add order
+# change (~1e-7).  Applied to the four large block-diagonal dots whose
+# slice boundaries are lane/sublane aligned; the tiny d2b (4C lanes) and
+# direct-sub dots keep the 3-pass form.  Must be set BEFORE plans are
+# built (make_bd_sub stores the paired weight layouts).
+_DOT_PAIRED = False
+
 
 @dataclass(frozen=True)
 class _DirectSub:
@@ -338,6 +349,14 @@ def make_bd_sub(p, M: int, starts: tuple) -> _TwoStageBdSub:
     w1i_hi, w1i_lo = _bf16_pair(w1i)
     d2b_hi, d2b_lo = _bf16_pair(d2b)
     e2b_hi, e2b_lo = _bf16_pair(e2b)
+    if _DOT_PAIRED:
+        # Paired layouts: *_hi carries [hi ; lo] stacked on the
+        # NON-contracting axis (rows for left weights, lanes for right
+        # weights); *_lo carries the plain hi half (consumed by the
+        # activation-lo pass).  See _DOT_PAIRED.
+        w1s_hi, w1s_lo = np.concatenate([w1s_hi, w1s_lo], axis=0), w1s_hi
+        w1i_hi, w1i_lo = np.concatenate([w1i_hi, w1i_lo], axis=0), w1i_hi
+        e2b_hi, e2b_lo = np.concatenate([e2b_hi, e2b_lo], axis=1), e2b_hi
     rep = lambda a, lanes=1: np.tile(np.asarray(a, np.float32), (M, lanes))
     gains_rep = np.stack(
         [np.tile(permute_half_bins(rp, g)[:R], (M, 1)) for g in p.gains]
@@ -435,6 +454,31 @@ def _dot3l(a_hi, a_lo, b):
     return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
 
 
+def _dot3l_paired(a_pair, a_hi, b):
+    """Paired-pass form of _dot3l (see _DOT_PAIRED): a_pair = [hi ; lo]
+    rows-stacked constant; ONE tall dot computes hi*b_hi and lo*b_hi,
+    summed by a row-half add, plus one dot for hi*b_lo.  Identical
+    products, 2 MXU invocations instead of 3."""
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda x, y: jax.lax.dot(x, y, preferred_element_type=jnp.float32)
+    q = d(a_pair, b_hi)  # [2M, N]
+    m = a_pair.shape[0] // 2
+    return q[:m] + q[m:] + d(a_hi, b_lo)
+
+
+def _dot3_paired(a, b_pair, b_hi):
+    """Paired-pass form of _dot3: b_pair = [hi | lo] lane-concatenated
+    constant; ONE wide dot computes a_hi*b_hi and a_hi*b_lo side by side,
+    summed by a lane-half add, plus one dot for a_lo*b_hi."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda x, y: jax.lax.dot(x, y, preferred_element_type=jnp.float32)
+    p = d(a_hi, b_pair)  # [M, 2N]
+    n = b_pair.shape[1] // 2
+    return p[:, :n] + p[:, n:] + d(a_lo, b_hi)
+
+
 def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
     """One tile's contribution from a batched block-diagonal 2-stage sub.
 
@@ -464,7 +508,10 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
         )  # [rows_t, 2*N2]
         if not _PROF_NOWIN:
             Z = Z * aw2[...]
-        As = _dot3l(w1s_hi[...], w1s_lo[...], Z)  # [2*rows, 2*N2]
+        if _DOT_PAIRED:
+            As = _dot3l_paired(w1s_hi[...], w1s_lo[...], Z)
+        else:
+            As = _dot3l(w1s_hi[...], w1s_lo[...], Z)  # [2*rows, 2*N2]
         a_re, a_im = As[:rows], As[rows:]
         if _PROF_NOTW:  # profiling only: skip the twiddle rotation
             b_re, b_im = a_re, a_im
@@ -485,8 +532,12 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
         w = winv[...]
         S_re = jnp.concatenate([c_re * w, l_re * w, r_re * w], axis=1)  # [rows, 3C]
         S_im = jnp.concatenate([c_im * w, l_im * w, r_im * w], axis=1)
-        q1 = _dot3(S_re, e2b_hi[...], e2b_lo[...])  # [rows, 6*N2]
-        q2 = _dot3(S_im, e2b_hi[...], e2b_lo[...])
+        if _DOT_PAIRED:
+            q1 = _dot3_paired(S_re, e2b_hi[...], e2b_lo[...])
+            q2 = _dot3_paired(S_im, e2b_hi[...], e2b_lo[...])
+        else:
+            q1 = _dot3(S_re, e2b_hi[...], e2b_lo[...])  # [rows, 6*N2]
+            q2 = _dot3(S_im, e2b_hi[...], e2b_lo[...])
         # Per output o the lane block is [o*2N2, (o+1)*2N2) with re then im
         # halves; regroup into u_re/u_im of 3*N2 lanes each.
         if _PROF_NOREGROUP:  # profiling only: skip the 12-slice regroup
@@ -504,7 +555,10 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
             u_re = t_re * twr3[...] + t_im * twi3[...]
             u_im = t_im * twr3[...] - t_re * twi3[...]
         u = jnp.concatenate([u_re, u_im], axis=0)  # [2*rows, 3*N2]
-        y = _dot3l(w1i_hi[...], w1i_lo[...], u)  # [rows_t, 3*N2]
+        if _DOT_PAIRED:
+            y = _dot3l_paired(w1i_hi[...], w1i_lo[...], u)
+        else:
+            y = _dot3l(w1i_hi[...], w1i_lo[...], u)  # [rows_t, 3*N2]
         if not _PROF_NOWIN:
             y = y * sw3[...]
         rec = jnp.concatenate(
