@@ -122,9 +122,12 @@ def main():
             ("full", {}),
             ("nodot23", {"dot1": True}),  # bf16x3 -> 1 MXU pass
             ("nodot", {"dot0": True}),  # ALL MXU work removed
-            # EXACT candidate (not a profiling variant): same products in
-            # 2 MXU invocations instead of 3 on the big BD dots.
+            # EXACT candidates (not profiling variants): same products,
+            # fewer MXU invocations.
             ("dotpaired", {"flag": "_DOT_PAIRED"}),
+            ("dotstacked", {"flag": "_DOT_STACKED"}),
+            ("dotboth", {"flags": ("_DOT_PAIRED", "_DOT_STACKED")}),
+            ("notiny", {"flag": "_PROF_NOTINY"}),  # tiny stage-2 dots out
             ("nomasksd", {"mask": True}),  # mask sqrt/div removed
             ("nowin", {"flag": "_PROF_NOWIN"}),
             ("notw", {"flag": "_PROF_NOTW"}),
@@ -145,6 +148,8 @@ def main():
             pom._mask_sum = _mask_cheap
         if "flag" in kw:
             setattr(pom, kw["flag"], True)
+        for f in kw.get("flags", ()):
+            setattr(pom, f, True)
         try:
             plan, leftover = make_omnibus_plan(plans, N)
             assert not leftover, leftover
@@ -157,7 +162,8 @@ def main():
                 orig_dot3, orig_dot3l, orig_mask
             )
             for f in ("_PROF_NOWIN", "_PROF_NOTW", "_PROF_NOREGROUP",
-                      "_PROF_NOFOLD", "_DOT_PAIRED"):
+                      "_PROF_NOFOLD", "_PROF_NOTINY", "_DOT_PAIRED",
+                      "_DOT_STACKED"):
                 setattr(pom, f, False)
         runs[name] = {"run": run, "times": [], "compile_s": compile_s,
                       "n_tiles": plan.n_tiles}

@@ -50,6 +50,7 @@ _PROF_NOFOLD = False
 _PROF_NOWIN = False  # skip analysis/synthesis window multiplies (BD subs)
 _PROF_NOTW = False  # skip twiddle rotations (BD subs, both directions)
 _PROF_NOREGROUP = False  # skip the q1/q2 inverse-lane regroup concats
+_PROF_NOTINY = False  # skip the tiny-K/N stage-2 dots (p12/q12, BD subs)
 
 # Scratch-accumulate folds (A/B knob "foldscratch"): every sub adds its
 # per-start/group flats IN PLACE into one [3, tile+halo] VMEM scratch at
@@ -57,6 +58,13 @@ _PROF_NOREGROUP = False  # skip the q1/q2 inverse-lane regroup concats
 # and the cross-sub merge concats.  Exact same arithmetic, different
 # dataflow.  Must be set BEFORE plans/kernels are built.
 _FOLD_SCRATCH = False
+
+# Stacked-activation dots (A/B knob "dotstacked", composes with
+# _DOT_PAIRED): q1/q2 (and p1/p2) share their weight matrices, so the
+# re/im activations ride ONE row-stacked dot instead of two — identical
+# products, half the invocations, one extra [2*rows, N] concat each.
+# Trace-time flag like the others.
+_DOT_STACKED = False
 
 # Paired-pass bf16x3 dots (A/B knob "dotpaired"): compute the SAME three
 # partial products (hi*hi, hi*lo, lo*hi) in TWO MXU invocations instead
@@ -518,8 +526,18 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
         else:
             b_re = a_re * twr2[...] - a_im * twi2[...]
             b_im = a_re * twi2[...] + a_im * twr2[...]
-        p1 = _dot3(b_re, d2b_hi[...], d2b_lo[...])  # [rows, 4C]
-        p2 = _dot3(b_im, d2b_hi[...], d2b_lo[...])
+        if _PROF_NOTINY:  # profiling only: fabricate p1/p2 without the
+            # [.., 2N2] x [2N2, 4C] stage-2 dots (lane-broadcast fill)
+            p1 = jnp.zeros((rows, 4 * C), jnp.float32) + b_re[:, :1]
+            p2 = jnp.zeros((rows, 4 * C), jnp.float32) + b_im[:, :1]
+        elif _DOT_STACKED:  # p1/p2 share d2b: one row-stacked dot
+            p12 = _dot3(
+                jnp.concatenate([b_re, b_im], axis=0), d2b_hi[...], d2b_lo[...]
+            )  # [2*rows, 4C]
+            p1, p2 = p12[:rows], p12[rows:]
+        else:
+            p1 = _dot3(b_re, d2b_hi[...], d2b_lo[...])  # [rows, 4C]
+            p2 = _dot3(b_im, d2b_hi[...], d2b_lo[...])
         sl = (p1[:, :C] - p2[:, C : 2 * C], p1[:, C : 2 * C] + p2[:, :C])
         sr = (
             p1[:, 2 * C : 3 * C] - p2[:, 3 * C :],
@@ -532,7 +550,18 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
         w = winv[...]
         S_re = jnp.concatenate([c_re * w, l_re * w, r_re * w], axis=1)  # [rows, 3C]
         S_im = jnp.concatenate([c_im * w, l_im * w, r_im * w], axis=1)
-        if _DOT_PAIRED:
+        if _PROF_NOTINY:  # profiling only: fabricate q1/q2 without the
+            # [.., 3C] x [3C, 6N2] stage-B dots
+            q1 = jnp.zeros((rows, 6 * N2), jnp.float32) + S_re[:, :1]
+            q2 = jnp.zeros((rows, 6 * N2), jnp.float32) + S_im[:, :1]
+        elif _DOT_STACKED:  # q1/q2 share e2b: one row-stacked dot
+            S_all = jnp.concatenate([S_re, S_im], axis=0)  # [2*rows, 3C]
+            if _DOT_PAIRED:
+                q12 = _dot3_paired(S_all, e2b_hi[...], e2b_lo[...])
+            else:
+                q12 = _dot3(S_all, e2b_hi[...], e2b_lo[...])
+            q1, q2 = q12[:rows], q12[rows:]
+        elif _DOT_PAIRED:
             q1 = _dot3_paired(S_re, e2b_hi[...], e2b_lo[...])
             q2 = _dot3_paired(S_im, e2b_hi[...], e2b_lo[...])
         else:
