@@ -157,6 +157,10 @@ def main():
             t0 = time.perf_counter()
             run(1)
             compile_s = time.perf_counter() - t0
+        except Exception as exc:  # Mosaic can reject a variant's layout
+            print(f"{name:10s} COMPILE FAILED: {type(exc).__name__}: "
+                  f"{str(exc)[:160]}", flush=True)
+            continue
         finally:
             pom._dot3, pom._dot3l, pom._mask_sum = (
                 orig_dot3, orig_dot3l, orig_mask

@@ -527,9 +527,12 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
             b_re = a_re * twr2[...] - a_im * twi2[...]
             b_im = a_re * twi2[...] + a_im * twr2[...]
         if _PROF_NOTINY:  # profiling only: fabricate p1/p2 without the
-            # [.., 2N2] x [2N2, 4C] stage-2 dots (lane-broadcast fill)
-            p1 = jnp.zeros((rows, 4 * C), jnp.float32) + b_re[:, :1]
-            p2 = jnp.zeros((rows, 4 * C), jnp.float32) + b_im[:, :1]
+            # [.., 2N2] x [2N2, 4C] stage-2 dots.  Lane-slices of the
+            # existing wide tensors, NOT zeros+broadcast: fresh tiny-lane
+            # layouts crash Mosaic's vector layout pass on real hardware
+            # ("limits[i] <= dim(i)" SIGABRT).
+            p1 = b_re[:, : 4 * C] * 0.5
+            p2 = b_im[:, : 4 * C] * 0.5
         elif _DOT_STACKED:  # p1/p2 share d2b: one row-stacked dot
             p12 = _dot3(
                 jnp.concatenate([b_re, b_im], axis=0), d2b_hi[...], d2b_lo[...]
@@ -551,9 +554,16 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
         S_re = jnp.concatenate([c_re * w, l_re * w, r_re * w], axis=1)  # [rows, 3C]
         S_im = jnp.concatenate([c_im * w, l_im * w, r_im * w], axis=1)
         if _PROF_NOTINY:  # profiling only: fabricate q1/q2 without the
-            # [.., 3C] x [3C, 6N2] stage-B dots
-            q1 = jnp.zeros((rows, 6 * N2), jnp.float32) + S_re[:, :1]
-            q2 = jnp.zeros((rows, 6 * N2), jnp.float32) + S_im[:, :1]
+            # [.., 3C] x [3C, 6N2] stage-B dots (wide-tensor concats keep
+            # the layouts Mosaic already handles; see p1/p2 note)
+            q1 = jnp.concatenate([b_re, b_re, b_re], axis=1)  # [rows, 6N2]
+            q2 = jnp.concatenate([b_im, b_im, b_im], axis=1)
+            # Keep the mask chain live (else DCE removes it and the
+            # variant conflates tiny-dots with the whole mask): a full
+            # reduction to scalar is layout-safe.
+            s_dep = (jnp.sum(S_re) + jnp.sum(S_im)) * 1e-30
+            q1 = q1 + s_dep
+            q2 = q2 + s_dep
         elif _DOT_STACKED:  # q1/q2 share e2b: one row-stacked dot
             S_all = jnp.concatenate([S_re, S_im], axis=0)  # [2*rows, 3C]
             if _DOT_PAIRED:
