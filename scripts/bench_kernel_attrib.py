@@ -125,8 +125,7 @@ def main():
             # EXACT candidates (not profiling variants): same products,
             # fewer MXU invocations.
             ("dotpaired", {"flag": "_DOT_PAIRED"}),
-            ("dotstacked", {"flag": "_DOT_STACKED"}),
-            ("dotboth", {"flags": ("_DOT_PAIRED", "_DOT_STACKED")}),
+            ("dotpadn", {"flag": "_DOT_PADN"}),
             ("notiny", {"flag": "_PROF_NOTINY"}),  # tiny stage-2 dots out
             ("nomasksd", {"mask": True}),  # mask sqrt/div removed
             ("nowin", {"flag": "_PROF_NOWIN"}),
@@ -167,7 +166,7 @@ def main():
             )
             for f in ("_PROF_NOWIN", "_PROF_NOTW", "_PROF_NOREGROUP",
                       "_PROF_NOFOLD", "_PROF_NOTINY", "_DOT_PAIRED",
-                      "_DOT_STACKED"):
+                      "_DOT_STACKED", "_DOT_PADN"):
                 setattr(pom, f, False)
         runs[name] = {"run": run, "times": [], "compile_s": compile_s,
                       "n_tiles": plan.n_tiles}

@@ -66,6 +66,15 @@ _FOLD_SCRATCH = False
 # Trace-time flag like the others.
 _DOT_STACKED = False
 
+# Pad the tiny stage-2 dots to native lane width (A/B knob "dotpadn",
+# EXACT): the p dots' output (4C <= 24 lanes) and the q dots' input
+# (3C <= 18 lanes) are far below the 128-lane native width; this knob
+# zero-pads d2b's columns and e2b's rows to 128 (weights — free) and
+# widens S_re/S_im with a zero block, probing whether the measured ~1 ms
+# tiny-dot cost (notiny variant) is sub-native-lane layout penalty
+# (padding helps) or per-invocation latency (it doesn't).
+_DOT_PADN = False
+
 # Paired-pass bf16x3 dots (A/B knob "dotpaired"): compute the SAME three
 # partial products (hi*hi, hi*lo, lo*hi) in TWO MXU invocations instead
 # of three, by pre-concatenating the weight hi/lo halves along the
@@ -353,6 +362,14 @@ def make_bd_sub(p, M: int, starts: tuple) -> _TwoStageBdSub:
     e2 = np.concatenate([rp.e2r, rp.e2i], axis=1)  # [C, 2N2]
     d2b = np.kron(np.eye(2, dtype=np.float32), d2)  # [2N2, 4C]
     e2b = np.kron(np.eye(3, dtype=np.float32), e2)  # [3C, 6N2]
+    if _DOT_PADN:
+        # Zero-pad the narrow dimensions to the native 128 lanes (exact:
+        # the extra p columns are ignored and the extra q rows multiply
+        # the zero block appended to S_re/S_im).  See _DOT_PADN.
+        if d2b.shape[1] < 128:
+            d2b = np.pad(d2b, ((0, 0), (0, 128 - d2b.shape[1])))
+        if e2b.shape[0] < 128:
+            e2b = np.pad(e2b, ((0, 128 - e2b.shape[0]), (0, 0)))
     w1s_hi, w1s_lo = _bf16_pair(w1s)
     w1i_hi, w1i_lo = _bf16_pair(w1i)
     d2b_hi, d2b_lo = _bf16_pair(d2b)
@@ -501,7 +518,7 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
     B, H, N2, M = sub.B, sub.H, sub.n2, sub.M
     rows_t = M * sub.n1  # time-domain rows
     rows = M * sub.R  # spectral rows (stage-1 restricted to kept bins)
-    C = sub.e2b_hi.shape[0] // 3
+    C = sub.gains_rep.shape[2]  # kept columns (e2b rows may be padded)
     glen = M * B
     gains_list = [g_ref[b] for b in range(sub.gains_rep.shape[0])]
     out = None
@@ -543,16 +560,24 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
             p2 = _dot3(b_im, d2b_hi[...], d2b_lo[...])
         sl = (p1[:, :C] - p2[:, C : 2 * C], p1[:, C : 2 * C] + p2[:, :C])
         sr = (
-            p1[:, 2 * C : 3 * C] - p2[:, 3 * C :],
-            p1[:, 3 * C :] + p2[:, 2 * C : 3 * C],
+            p1[:, 2 * C : 3 * C] - p2[:, 3 * C : 4 * C],
+            p1[:, 3 * C : 4 * C] + p2[:, 2 * C : 3 * C],
         )
         c_re, c_im, l_re, l_im, r_re, r_im = _mask_sum(
             sl[0], sl[1], sr[0], sr[1], gains_list
         )
         # Inverse: the three outputs in the lanes of one chain.
         w = winv[...]
-        S_re = jnp.concatenate([c_re * w, l_re * w, r_re * w], axis=1)  # [rows, 3C]
-        S_im = jnp.concatenate([c_im * w, l_im * w, r_im * w], axis=1)
+        s_parts_re = [c_re * w, l_re * w, r_re * w]
+        s_parts_im = [c_im * w, l_im * w, r_im * w]
+        if _DOT_PADN and 3 * C < 128:
+            # Widen to the padded e2b's 128 rows with a zero block (the
+            # padded weight rows are zero, so the product is exact).
+            zpad = jnp.zeros((rows, 128 - 3 * C), jnp.float32)
+            s_parts_re.append(zpad)
+            s_parts_im.append(zpad)
+        S_re = jnp.concatenate(s_parts_re, axis=1)  # [rows, 3C (+pad)]
+        S_im = jnp.concatenate(s_parts_im, axis=1)
         if _PROF_NOTINY:  # profiling only: fabricate q1/q2 without the
             # [.., 3C] x [3C, 6N2] stage-B dots (wide-tensor concats keep
             # the layouts Mosaic already handles; see p1/p2 note)
