@@ -402,6 +402,41 @@ def test_omnibus_grown_tile_parity():
     assert snr_db(ref, got) > 80.0
 
 
+def test_omnibus_dot_knob_parity():
+    # The exact-rewrite knobs (_DOT_PAIRED: hi/lo weight halves ride one
+    # taller/wider MXU invocation; _DOT_PADN: tiny stage-2 dots zero-
+    # padded to native lane width) must reproduce the default kernel to
+    # float32 tolerance in interpret mode.
+    import upmix_tpu.ops.pallas_omnibus as pom
+    from upmix_tpu.models.offline import _plan_buckets
+    from upmix_tpu.ops.pallas_omnibus import make_omnibus_plan, omnibus_lcr
+
+    cfg = UpmixConfig.make(
+        [0.0, 100.0, 400.0, 1600.0], sr=8000.0, max_block_size=512
+    )
+    chunk = 2048
+    plans = _plan_buckets(cfg, chunk)
+    base, _ = make_omnibus_plan(plans, chunk, min_tile=0, direct_weight_limit=0)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        rng.standard_normal((2, chunk + (base.n_views - 1) * base.tile)),
+        jnp.float32,
+    )
+    ref = np.asarray(omnibus_lcr(x, base, interpret=True)[0])
+    for knob in ("_DOT_PAIRED", "_DOT_PADN"):
+        setattr(pom, knob, True)
+        try:
+            plan, lo = make_omnibus_plan(
+                plans, chunk, min_tile=0, direct_weight_limit=0
+            )
+            assert not lo
+            out = np.asarray(omnibus_lcr(x, plan, interpret=True)[0])
+        finally:
+            setattr(pom, knob, False)
+        rel = np.abs(ref - out).max() / (np.abs(ref).max() + 1e-12)
+        assert rel < 1e-5, f"{knob}: rel {rel:.2e}"
+
+
 def test_omnibus_bigblock_multiview_parity():
     # A bucket whose BLOCK exceeds the omnibus tile rides extra lookahead
     # input views (round 2); check the multi-view fold against the plain

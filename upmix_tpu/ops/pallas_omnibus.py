@@ -66,6 +66,12 @@ _FOLD_SCRATCH = False
 # Trace-time flag like the others.
 _DOT_STACKED = False
 
+# p-only stacking (A/B knob "dotstackp"): stack just p1/p2, whose input
+# concat is WIDE ([rows, 2N2] blocks — cheap), leaving q1/q2 unstacked
+# (their [rows, 3C] tiny-lane concat is what made full dotstacked a
+# wash).
+_DOT_STACKED_P = False
+
 # Pad the tiny stage-2 dots to native lane width (A/B knob "dotpadn",
 # EXACT): the p dots' output (4C <= 24 lanes) and the q dots' input
 # (3C <= 18 lanes) are far below the 128-lane native width; this knob
@@ -550,7 +556,7 @@ def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
             # ("limits[i] <= dim(i)" SIGABRT).
             p1 = b_re[:, : 4 * C] * 0.5
             p2 = b_im[:, : 4 * C] * 0.5
-        elif _DOT_STACKED:  # p1/p2 share d2b: one row-stacked dot
+        elif _DOT_STACKED or _DOT_STACKED_P:  # p1/p2 share d2b: one row-stacked dot
             p12 = _dot3(
                 jnp.concatenate([b_re, b_im], axis=0), d2b_hi[...], d2b_lo[...]
             )  # [2*rows, 4C]
