@@ -127,6 +127,8 @@ def main():
             ("dotpaired", {"flag": "_DOT_PAIRED"}),
             ("dotpadn", {"flag": "_DOT_PADN"}),
             ("dotstackp", {"flag": "_DOT_STACKED_P"}),
+            ("lanestack", {"flag": "_LANE_STACK"}),
+            ("lanestackpad", {"flags": ("_LANE_STACK", "_DOT_PADN")}),
             ("notiny", {"flag": "_PROF_NOTINY"}),  # tiny stage-2 dots out
             ("nomasksd", {"mask": True}),  # mask sqrt/div removed
             ("nowin", {"flag": "_PROF_NOWIN"}),
@@ -167,7 +169,8 @@ def main():
             )
             for f in ("_PROF_NOWIN", "_PROF_NOTW", "_PROF_NOREGROUP",
                       "_PROF_NOFOLD", "_PROF_NOTINY", "_DOT_PAIRED",
-                      "_DOT_STACKED", "_DOT_STACKED_P", "_DOT_PADN"):
+                      "_DOT_STACKED", "_DOT_STACKED_P", "_DOT_PADN",
+                      "_LANE_STACK"):
                 setattr(pom, f, False)
         runs[name] = {"run": run, "times": [], "compile_s": compile_s,
                       "n_tiles": plan.n_tiles}

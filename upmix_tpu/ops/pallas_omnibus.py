@@ -72,6 +72,18 @@ _DOT_STACKED = False
 # wash).
 _DOT_STACKED_P = False
 
+# Lane-stacked starts (A/B knob "lanestack", EXACT): a multi-start BD
+# sub runs ONE dot chain for ALL its starts — each start's frame columns
+# ride the LANES (Z_all = [Z_s0 | Z_s1 | ...]), the start-independent
+# left weights (w1s, w1i) apply unchanged at S-fold width, and the
+# narrow stage-2/stage-B weights become block-diagonal I_S ⊗ d2b / e2b
+# with quantity-major column permutations so the mask slices stay
+# contiguous.  Identical products; MXU invocations per sub drop from
+# 18*S to 18 (the measured ~1 ms tiny-dot cost is per-invocation —
+# notiny/dotpadn variants).  Elementwise constants are pre-tiled S-fold
+# (a few MB of extra VMEM).  Must be set BEFORE plans are built.
+_LANE_STACK = False
+
 # Pad the tiny stage-2 dots to native lane width (A/B knob "dotpadn",
 # EXACT): the p dots' output (4C <= 24 lanes) and the q dots' input
 # (3C <= 18 lanes) are far below the 128-lane native width; this knob
@@ -156,6 +168,11 @@ class _TwoStageBdSub:
     w1i_hi: np.ndarray  # [M*N1, 2*M*R] bf16: [I⊗d1r[:R].T | I⊗d1i[:R].T]
     w1i_lo: np.ndarray
     gains_rep: np.ndarray  # [nb, M*R, C] f32
+    # Lane-stacked starts (see _LANE_STACK): S > 1 means ALL starts ride
+    # one dot chain with start-major lane blocks; elementwise constants
+    # above arrive pre-tiled S-fold, d2b/e2b arrive as permuted
+    # block-diagonals, and gains_rep's last axis is S*C.
+    lane_stack: int = 1
 
     @property
     def arrays(self):
@@ -368,6 +385,31 @@ def make_bd_sub(p, M: int, starts: tuple) -> _TwoStageBdSub:
     e2 = np.concatenate([rp.e2r, rp.e2i], axis=1)  # [C, 2N2]
     d2b = np.kron(np.eye(2, dtype=np.float32), d2)  # [2N2, 4C]
     e2b = np.kron(np.eye(3, dtype=np.float32), e2)  # [3C, 6N2]
+    C = e2b.shape[0] // 3
+    N2 = rp.n2
+    S = len(starts) if (_LANE_STACK and len(starts) > 1) else 1
+    if S > 1:
+        # Lane-stacked starts (see _LANE_STACK): block-diagonal stage-2
+        # with QUANTITY-major columns (all starts' re_L block, then im_L,
+        # re_R, im_R) so the mask slices stay contiguous at S*C width...
+        d2p = np.zeros((S * 2 * N2, S * 4 * C), np.float32)
+        for s in range(S):
+            for o in range(4):
+                d2p[
+                    s * 2 * N2 : (s + 1) * 2 * N2,
+                    o * S * C + s * C : o * S * C + (s + 1) * C,
+                ] = d2b[:, o * C : (o + 1) * C]
+        # ...and stage-B with quantity-major rows, start-major output
+        # columns (each start's 6N2 block keeps the standard re/im
+        # interleave so the per-start regroup code is unchanged).
+        e2p = np.zeros((3 * S * C, S * 6 * N2), np.float32)
+        for s in range(S):
+            for o in range(3):
+                e2p[
+                    o * S * C + s * C : o * S * C + (s + 1) * C,
+                    s * 6 * N2 + o * 2 * N2 : s * 6 * N2 + (o + 1) * 2 * N2,
+                ] = e2b[o * C : (o + 1) * C, o * 2 * N2 : (o + 1) * 2 * N2]
+        d2b, e2b = d2p, e2p
     if _DOT_PADN:
         # Zero-pad the narrow dimensions to the native 128 lanes (exact:
         # the extra p columns are ignored and the extra q rows multiply
@@ -389,21 +431,25 @@ def make_bd_sub(p, M: int, starts: tuple) -> _TwoStageBdSub:
         w1i_hi, w1i_lo = np.concatenate([w1i_hi, w1i_lo], axis=0), w1i_hi
         e2b_hi, e2b_lo = np.concatenate([e2b_hi, e2b_lo], axis=1), e2b_hi
     rep = lambda a, lanes=1: np.tile(np.asarray(a, np.float32), (M, lanes))
+    # With lane-stacked starts the elementwise constants repeat S-fold on
+    # the lanes (start-major blocks), matching the stacked activations.
+    st = lambda a: np.tile(a, (1, S)) if S > 1 else a
     gains_rep = np.stack(
-        [np.tile(permute_half_bins(rp, g)[:R], (M, 1)) for g in p.gains]
+        [np.tile(permute_half_bins(rp, g)[:R], (M, S)) for g in p.gains]
     ).astype(np.float32)
     aw = np.asarray(p.analysis_window, np.float32).reshape(n1, rp.n2)
     sw = np.asarray(p.synthesis_window, np.float32).reshape(n1, rp.n2)
     return _TwoStageBdSub(
         B=B, H=p.hop_size, n1=n1, n2=rp.n2, M=M, starts=tuple(starts), R=R,
-        aw2=rep(aw, 2), sw3=rep(sw, 3),
+        aw2=st(rep(aw, 2)), sw3=st(rep(sw, 3)),
         w1s_hi=w1s_hi, w1s_lo=w1s_lo,
-        twr2=rep(rp.twr[:R], 2), twi2=rep(rp.twi[:R], 2),
+        twr2=st(rep(rp.twr[:R], 2)), twi2=st(rep(rp.twi[:R], 2)),
         d2b_hi=d2b_hi, d2b_lo=d2b_lo, e2b_hi=e2b_hi, e2b_lo=e2b_lo,
-        twr3=rep(rp.twr[:R], 3), twi3=rep(rp.twi[:R], 3),
-        winv_rep=rep(rp.winv[:R]),
+        twr3=st(rep(rp.twr[:R], 3)), twi3=st(rep(rp.twi[:R], 3)),
+        winv_rep=st(rep(rp.winv[:R])),
         w1i_hi=w1i_hi, w1i_lo=w1i_lo,
         gains_rep=gains_rep,
+        lane_stack=S,
     )
 
 
@@ -508,6 +554,116 @@ def _dot3_paired(a, b_pair, b_hi):
     p = d(a_hi, b_pair)  # [M, 2N]
     n = b_pair.shape[1] // 2
     return p[:, :n] + p[:, n:] + d(a_lo, b_hi)
+
+
+def _bd_tile_ls(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
+    """Lane-stacked variant of _bd_tile (see _LANE_STACK): ONE dot chain
+    carries every start, with start-major lane blocks throughout.  Same
+    products as the per-start loop; 18 MXU invocations per sub instead
+    of 18 per start."""
+    (aw2, sw3, w1s_hi, w1s_lo, twr2, twi2, d2b_hi, d2b_lo, e2b_hi, e2b_lo,
+     twr3, twi3, winv, w1i_hi, w1i_lo, g_ref) = refs
+    B, H, N2, M, S = sub.B, sub.H, sub.n2, sub.M, sub.lane_stack
+    rows_t = M * sub.n1
+    rows = M * sub.R
+    Cw = sub.gains_rep.shape[2]  # = S * C
+    C1 = Cw // S
+    glen = M * B
+    gains_list = [g_ref[b] for b in range(sub.gains_rep.shape[0])]
+
+    # Stacked input: per start [Z_L | Z_R], starts major — matches the
+    # S-fold tiling of every elementwise constant.
+    zparts = []
+    for start in sub.starts:
+        zparts.append(xloc[0, start : start + glen].reshape(rows_t, N2))
+        zparts.append(xloc[1, start : start + glen].reshape(rows_t, N2))
+    Z = jnp.concatenate(zparts, axis=1)  # [rows_t, S*2N2]
+    if not _PROF_NOWIN:
+        Z = Z * aw2[...]
+    if _DOT_PAIRED:
+        As = _dot3l_paired(w1s_hi[...], w1s_lo[...], Z)
+    else:
+        As = _dot3l(w1s_hi[...], w1s_lo[...], Z)  # [2*rows, S*2N2]
+    a_re, a_im = As[:rows], As[rows:]
+    if _PROF_NOTW:
+        b_re, b_im = a_re, a_im
+    else:
+        b_re = a_re * twr2[...] - a_im * twi2[...]
+        b_im = a_re * twi2[...] + a_im * twr2[...]
+    p1 = _dot3(b_re, d2b_hi[...], d2b_lo[...])  # [rows, 4*Cw (+pad)]
+    p2 = _dot3(b_im, d2b_hi[...], d2b_lo[...])
+    sl = (p1[:, :Cw] - p2[:, Cw : 2 * Cw], p1[:, Cw : 2 * Cw] + p2[:, :Cw])
+    sr = (
+        p1[:, 2 * Cw : 3 * Cw] - p2[:, 3 * Cw : 4 * Cw],
+        p1[:, 3 * Cw : 4 * Cw] + p2[:, 2 * Cw : 3 * Cw],
+    )
+    c_re, c_im, l_re, l_im, r_re, r_im = _mask_sum(
+        sl[0], sl[1], sr[0], sr[1], gains_list
+    )
+    w = winv[...]
+    s_parts_re = [c_re * w, l_re * w, r_re * w]
+    s_parts_im = [c_im * w, l_im * w, r_im * w]
+    if _DOT_PADN and 3 * Cw < 128:
+        zpad = jnp.zeros((rows, 128 - 3 * Cw), jnp.float32)
+        s_parts_re.append(zpad)
+        s_parts_im.append(zpad)
+    S_re = jnp.concatenate(s_parts_re, axis=1)  # [rows, 3*Cw (+pad)]
+    S_im = jnp.concatenate(s_parts_im, axis=1)
+    if _DOT_PAIRED:
+        q1 = _dot3_paired(S_re, e2b_hi[...], e2b_lo[...])
+        q2 = _dot3_paired(S_im, e2b_hi[...], e2b_lo[...])
+    else:
+        q1 = _dot3(S_re, e2b_hi[...], e2b_lo[...])  # [rows, S*6N2]
+        q2 = _dot3(S_im, e2b_hi[...], e2b_lo[...])
+    # Regroup across starts: (s, o)-major N2 slices — the layout the
+    # S-fold tiled twr3/twi3 constants expect.
+    def regroup(q, off):
+        return jnp.concatenate(
+            [
+                q[:, s * 6 * N2 + o * 2 * N2 + off : s * 6 * N2 + o * 2 * N2 + off + N2]
+                for s in range(S)
+                for o in range(3)
+            ],
+            axis=1,
+        )
+
+    if _PROF_NOREGROUP:
+        t_re, t_im = q1[:, : 3 * S * N2], q2[:, : 3 * S * N2]
+    else:
+        t_re = regroup(q1, 0) - regroup(q2, N2)
+        t_im = regroup(q1, N2) + regroup(q2, 0)
+    if _PROF_NOTW:
+        u_re, u_im = t_re, t_im
+    else:
+        u_re = t_re * twr3[...] + t_im * twi3[...]
+        u_im = t_im * twr3[...] - t_re * twi3[...]
+    u = jnp.concatenate([u_re, u_im], axis=0)  # [2*rows, S*3N2]
+    if _DOT_PAIRED:
+        y = _dot3l_paired(w1i_hi[...], w1i_lo[...], u)
+    else:
+        y = _dot3l(w1i_hi[...], w1i_lo[...], u)  # [rows_t, S*3N2]
+    if not _PROF_NOWIN:
+        y = y * sw3[...]
+    out = None
+    for si, start in enumerate(sub.starts):
+        ys = y[:, si * 3 * N2 : (si + 1) * 3 * N2]
+        rec = jnp.concatenate(
+            [ys[:, o * N2 : (o + 1) * N2].reshape(1, glen) for o in range(3)],
+            axis=0,
+        )  # [3, glen]
+        if work is not None:
+            work[:, start : start + glen] += rec
+            continue
+        if _PROF_NOFOLD:
+            out = rec if out is None else out + rec
+            continue
+        part = jnp.pad(rec, ((0, 0), (start, width - start - glen)))
+        out = part if out is None else out + part
+    if work is not None:
+        return None
+    if _PROF_NOFOLD:
+        out = jnp.pad(out, ((0, 0), (0, width - out.shape[1])))
+    return out
 
 
 def _bd_tile(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
@@ -696,6 +852,8 @@ def _build_kernel(plan: OmnibusPlan, fold_scratch: bool = False):
                 sub, srefs = subs[k], sub_refs[k]
                 if isinstance(sub, _DirectSub):
                     _direct_tile(sub, xloc, srefs, tile, None, work=work)
+                elif sub.lane_stack > 1:
+                    _bd_tile_ls(sub, xloc, srefs, tile, None, work=work)
                 else:
                     _bd_tile(sub, xloc, srefs, tile, None, work=work)
             total = work[...]
@@ -720,6 +878,8 @@ def _build_kernel(plan: OmnibusPlan, fold_scratch: bool = False):
             w_nat = min(w_nat, tile + halo)
             if isinstance(sub, _DirectSub):
                 contrib = _direct_tile(sub, xloc, srefs, tile, w_nat)
+            elif not isinstance(sub, _DirectSub) and sub.lane_stack > 1:
+                contrib = _bd_tile_ls(sub, xloc, srefs, tile, w_nat)
             else:
                 contrib = _bd_tile(sub, xloc, srefs, tile, w_nat)
             if total is None:
