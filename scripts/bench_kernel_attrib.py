@@ -111,6 +111,10 @@ def main():
         return c_re, c_im, l_re, l_im, r_re, r_im
 
     orig_dot3, orig_dot3l, orig_mask = pom._dot3, pom._dot3l, pom._mask_sum
+    _FLAGS = ("_PROF_NOWIN", "_PROF_NOTW", "_PROF_NOREGROUP",
+              "_PROF_NOFOLD", "_PROF_NOTINY", "_DOT_PAIRED",
+              "_DOT_STACKED", "_DOT_STACKED_P", "_DOT_PADN", "_LANE_STACK")
+    flag_defaults = {f: getattr(pom, f) for f in _FLAGS}
 
     if os.environ.get("ATTRIB_SUBS"):
         variants = [("all", {})]
@@ -127,8 +131,8 @@ def main():
             ("dotpaired", {"flag": "_DOT_PAIRED"}),
             ("dotpadn", {"flag": "_DOT_PADN"}),
             ("dotstackp", {"flag": "_DOT_STACKED_P"}),
-            ("lanestack", {"flag": "_LANE_STACK"}),
-            ("lanestackpad", {"flags": ("_LANE_STACK", "_DOT_PADN")}),
+            # _LANE_STACK defaults ON since round 3; A/B the off state.
+            ("nolanestack", {"flag_off": "_LANE_STACK"}),
             ("notiny", {"flag": "_PROF_NOTINY"}),  # tiny stage-2 dots out
             ("nomasksd", {"mask": True}),  # mask sqrt/div removed
             ("nowin", {"flag": "_PROF_NOWIN"}),
@@ -150,6 +154,8 @@ def main():
             pom._mask_sum = _mask_cheap
         if "flag" in kw:
             setattr(pom, kw["flag"], True)
+        if "flag_off" in kw:
+            setattr(pom, kw["flag_off"], False)
         for f in kw.get("flags", ()):
             setattr(pom, f, True)
         try:
@@ -167,11 +173,8 @@ def main():
             pom._dot3, pom._dot3l, pom._mask_sum = (
                 orig_dot3, orig_dot3l, orig_mask
             )
-            for f in ("_PROF_NOWIN", "_PROF_NOTW", "_PROF_NOREGROUP",
-                      "_PROF_NOFOLD", "_PROF_NOTINY", "_DOT_PAIRED",
-                      "_DOT_STACKED", "_DOT_STACKED_P", "_DOT_PADN",
-                      "_LANE_STACK"):
-                setattr(pom, f, False)
+            for f, v in flag_defaults.items():
+                setattr(pom, f, v)
         runs[name] = {"run": run, "times": [], "compile_s": compile_s,
                       "n_tiles": plan.n_tiles}
 

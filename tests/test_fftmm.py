@@ -423,8 +423,14 @@ def test_omnibus_dot_knob_parity():
         jnp.float32,
     )
     ref = np.asarray(omnibus_lcr(x, base, interpret=True)[0])
-    for knob in ("_DOT_PAIRED", "_DOT_PADN"):
-        setattr(pom, knob, True)
+    # _LANE_STACK defaults ON; check the OFF (per-start loop) state too.
+    for knob, value in (
+        ("_DOT_PAIRED", True),
+        ("_DOT_PADN", True),
+        ("_LANE_STACK", False),
+    ):
+        saved = getattr(pom, knob)
+        setattr(pom, knob, value)
         try:
             plan, lo = make_omnibus_plan(
                 plans, chunk, min_tile=0, direct_weight_limit=0
@@ -432,9 +438,9 @@ def test_omnibus_dot_knob_parity():
             assert not lo
             out = np.asarray(omnibus_lcr(x, plan, interpret=True)[0])
         finally:
-            setattr(pom, knob, False)
+            setattr(pom, knob, saved)
         rel = np.abs(ref - out).max() / (np.abs(ref).max() + 1e-12)
-        assert rel < 1e-5, f"{knob}: rel {rel:.2e}"
+        assert rel < 1e-5, f"{knob}={value}: rel {rel:.2e}"
 
 
 def test_omnibus_bigblock_multiview_parity():

@@ -72,17 +72,20 @@ _DOT_STACKED = False
 # wash).
 _DOT_STACKED_P = False
 
-# Lane-stacked starts (A/B knob "lanestack", EXACT): a multi-start BD
-# sub runs ONE dot chain for ALL its starts — each start's frame columns
-# ride the LANES (Z_all = [Z_s0 | Z_s1 | ...]), the start-independent
-# left weights (w1s, w1i) apply unchanged at S-fold width, and the
-# narrow stage-2/stage-B weights become block-diagonal I_S ⊗ d2b / e2b
-# with quantity-major column permutations so the mask slices stay
-# contiguous.  Identical products; MXU invocations per sub drop from
-# 18*S to 18 (the measured ~1 ms tiny-dot cost is per-invocation —
-# notiny/dotpadn variants).  Elementwise constants are pre-tiled S-fold
-# (a few MB of extra VMEM).  Must be set BEFORE plans are built.
-_LANE_STACK = False
+# Lane-stacked starts (DEFAULT ON since round 3, EXACT): a multi-start
+# BD sub runs ONE dot chain for ALL its starts — each start's frame
+# columns ride the LANES (Z_all = [Z_s0 | Z_s1 | ...]), the
+# start-independent left weights (w1s, w1i) apply unchanged at S-fold
+# width, and the narrow stage-2/stage-B weights become block-diagonal
+# I_S ⊗ d2b / e2b with quantity-major column permutations so the mask
+# slices stay contiguous.  Identical products; the per-tile count of
+# serial MXU→VPU→MXU chains drops from 9 to 3 — MEASURED +9.2% end to
+# end (5.59 vs 6.16 ms, interleaved min-of-visits; the ~1 ms `notiny`
+# cost is chain LATENCY, not invocation throughput — the dotpaired/
+# dotpadn/dotstackp probes each measured a wash).  Elementwise
+# constants pre-tile S-fold (a few MB of extra VMEM).  Read at
+# plan-build time.
+_LANE_STACK = True
 
 # Pad the tiny stage-2 dots to native lane width (A/B knob "dotpadn",
 # EXACT): the p dots' output (4C <= 24 lanes) and the q dots' input
