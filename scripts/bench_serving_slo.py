@@ -62,11 +62,29 @@ def pool_phase():
     rng = np.random.default_rng(0)
 
     print(f"deadline: {DEADLINE_MS:.2f} ms/block ({HW} @ {SR:.0f} Hz)")
+
+    # Transport floor: the tunnel's round-trip time for a trivial
+    # dispatch+fetch — every per-block number below includes >= 1 RTT
+    # (the result fetch) that a host-attached deployment would not pay.
+    one = jax.device_put(np.ones((8, 128), np.float32))
+    tiny = jax.jit(lambda a: a.sum())
+    float(np.asarray(tiny(one)))
+    rtts = []
+    for _ in range(60):
+        t0 = time.perf_counter()
+        float(np.asarray(tiny(one)))
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    print(f"transport RTT floor (trivial dispatch+fetch): "
+          f"p50 {pct(rtts,50):.2f}  p95 {pct(rtts,95):.2f} ms", flush=True)
+
     for B in BATCHES:
         pool = BatchStreamingUpmixer(cfg, HW, n_streams=B)
         blocks = [
             rng.standard_normal((B, HW)).astype(np.float32) for _ in range(8)
         ]
+        # Device-resident copies: the serving loop variant where the
+        # audio source is already on-device (or the host is attached).
+        dblocks = [jax.device_put(b) for b in blocks]
         # Warmup: compile + the 4-block readiness latency.
         for i in range(6):
             out = pool.push_blocks(blocks[i % 8], -blocks[i % 8])
@@ -77,12 +95,19 @@ def pool_phase():
             blk = blocks[i % 8]
             t0 = time.perf_counter()
             c, ls, rs = pool.push_blocks(blk, -blk)
-            # Per-block latency must include result availability: fetch
-            # one scalar (what a serving loop handing audio to a client
-            # would do; full-block fetch adds transport, measured
-            # separately below).
+            # Result availability: fetch one scalar (a serving loop
+            # handing audio onward must wait for the block).
             float(np.asarray(c[0, 0]))
             walls.append((time.perf_counter() - t0) * 1e3)
+        # Device-resident input variant: isolates the per-block H2D
+        # upload from the dispatch+compute+fetch path.
+        walls_dev = []
+        for i in range(N_BLOCKS):
+            blk = dblocks[i % 8]
+            t0 = time.perf_counter()
+            c, ls, rs = pool.push_blocks(blk, -blk)
+            float(np.asarray(c[0, 0]))
+            walls_dev.append((time.perf_counter() - t0) * 1e3)
         # Full-block fetch variant: what the operator actually ships out.
         walls_full = []
         for i in range(min(N_BLOCKS, 100)):
@@ -93,10 +118,11 @@ def pool_phase():
             walls_full.append((time.perf_counter() - t0) * 1e3)
         over = sum(1 for w in walls if w > DEADLINE_MS)
         print(
-            f"B={B:4d}: scalar-fetch p50 {pct(walls,50):6.2f}  "
+            f"B={B:4d}: host-input p50 {pct(walls,50):6.2f}  "
             f"p95 {pct(walls,95):6.2f}  p99 {pct(walls,99):6.2f}  "
-            f"max {max(walls):7.2f} ms  "
-            f"(>deadline: {over}/{len(walls)}); "
+            f"max {max(walls):7.2f} ms (>deadline: {over}/{len(walls)}); "
+            f"device-input p50 {pct(walls_dev,50):6.2f}  "
+            f"p99 {pct(walls_dev,99):6.2f}; "
             f"full-fetch p50 {pct(walls_full,50):6.2f}  "
             f"p99 {pct(walls_full,99):6.2f} ms",
             flush=True,
