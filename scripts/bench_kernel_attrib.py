@@ -113,7 +113,8 @@ def main():
     orig_dot3, orig_dot3l, orig_mask = pom._dot3, pom._dot3l, pom._mask_sum
     _FLAGS = ("_PROF_NOWIN", "_PROF_NOTW", "_PROF_NOREGROUP",
               "_PROF_NOFOLD", "_PROF_NOTINY", "_DOT_PAIRED",
-              "_DOT_STACKED", "_DOT_STACKED_P", "_DOT_PADN", "_LANE_STACK")
+              "_DOT_STACKED", "_DOT_STACKED_P", "_DOT_PADN", "_LANE_STACK",
+              "_E2_HALVES")
     flag_defaults = {f: getattr(pom, f) for f in _FLAGS}
 
     if os.environ.get("ATTRIB_SUBS"):
@@ -133,6 +134,7 @@ def main():
             ("dotstackp", {"flag": "_DOT_STACKED_P"}),
             # _LANE_STACK defaults ON since round 3; A/B the off state.
             ("nolanestack", {"flag_off": "_LANE_STACK"}),
+            ("e2halves", {"flag": "_E2_HALVES"}),
             ("notiny", {"flag": "_PROF_NOTINY"}),  # tiny stage-2 dots out
             ("nomasksd", {"mask": True}),  # mask sqrt/div removed
             ("nowin", {"flag": "_PROF_NOWIN"}),

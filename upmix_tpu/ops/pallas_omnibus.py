@@ -72,6 +72,15 @@ _DOT_STACKED = False
 # wash).
 _DOT_STACKED_P = False
 
+# E2 halves layout (A/B knob "e2halves", EXACT, lane-stacked subs only):
+# order the stage-B output columns [all-re | all-im] (s-major 3N2 blocks
+# inside each half) so the inverse regroup becomes FOUR half-slices with
+# zero concats, replacing the (s,o)-major 12*S-slice regroup.  Round 2
+# measured this relayout SLOWER on the per-start path; the lane-stacked
+# noregroup variant measures 0.33 ms (5.9%), which is the evidence that
+# justifies re-trying it in the new geometry.
+_E2_HALVES = False
+
 # Lane-stacked starts (DEFAULT ON since round 3, EXACT): a multi-start
 # BD sub runs ONE dot chain for ALL its starts — each start's frame
 # columns ride the LANES (Z_all = [Z_s0 | Z_s1 | ...]), the
@@ -402,16 +411,23 @@ def make_bd_sub(p, M: int, starts: tuple) -> _TwoStageBdSub:
                     s * 2 * N2 : (s + 1) * 2 * N2,
                     o * S * C + s * C : o * S * C + (s + 1) * C,
                 ] = d2b[:, o * C : (o + 1) * C]
-        # ...and stage-B with quantity-major rows, start-major output
-        # columns (each start's 6N2 block keeps the standard re/im
-        # interleave so the per-start regroup code is unchanged).
+        # ...and stage-B with quantity-major rows.  Column order: default
+        # is start-major 6N2 blocks with the standard per-output re/im
+        # interleave; _E2_HALVES instead emits [all-re | all-im] halves
+        # (s-major 3N2 blocks inside each) so the regroup is 4 slices.
         e2p = np.zeros((3 * S * C, S * 6 * N2), np.float32)
         for s in range(S):
             for o in range(3):
-                e2p[
-                    o * S * C + s * C : o * S * C + (s + 1) * C,
-                    s * 6 * N2 + o * 2 * N2 : s * 6 * N2 + (o + 1) * 2 * N2,
-                ] = e2b[o * C : (o + 1) * C, o * 2 * N2 : (o + 1) * 2 * N2]
+                blk = e2b[o * C : (o + 1) * C, o * 2 * N2 : (o + 1) * 2 * N2]
+                row = slice(o * S * C + s * C, o * S * C + (s + 1) * C)
+                if _E2_HALVES:
+                    re0 = s * 3 * N2 + o * N2
+                    im0 = S * 3 * N2 + s * 3 * N2 + o * N2
+                    e2p[row, re0 : re0 + N2] = blk[:, :N2]
+                    e2p[row, im0 : im0 + N2] = blk[:, N2:]
+                else:
+                    col0 = s * 6 * N2 + o * 2 * N2
+                    e2p[row, col0 : col0 + 2 * N2] = blk
         d2b, e2b = d2p, e2p
     if _DOT_PADN:
         # Zero-pad the narrow dimensions to the native 128 lanes (exact:
@@ -632,6 +648,11 @@ def _bd_tile_ls(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
 
     if _PROF_NOREGROUP:
         t_re, t_im = q1[:, : 3 * S * N2], q2[:, : 3 * S * N2]
+    elif _E2_HALVES:
+        # [all-re | all-im] halves: zero concats, four half-slices.
+        h = 3 * S * N2
+        t_re = q1[:, :h] - q2[:, h:]
+        t_im = q1[:, h:] + q2[:, :h]
     else:
         t_re = regroup(q1, 0) - regroup(q2, N2)
         t_im = regroup(q1, N2) + regroup(q2, 0)
