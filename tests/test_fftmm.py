@@ -443,6 +443,50 @@ def test_omnibus_dot_knob_parity():
         assert rel < 1e-5, f"{knob}={value}: rel {rel:.2e}"
 
 
+def test_omnibus_lane_stack_plan_invariants():
+    # Lane-stacked subs (default on): multi-start BD subs must carry
+    # S-fold-tiled elementwise constants and permuted block-diagonal
+    # stage-2/stage-B weights; single-start subs stay untouched.
+    from upmix_tpu.models.offline import _plan_buckets
+    from upmix_tpu.ops.pallas_omnibus import _TwoStageBdSub, make_omnibus_plan
+
+    cfg = UpmixConfig.make(
+        [0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0], sr=44100.0
+    )
+    plans = _plan_buckets(cfg, 2**18)
+    op, leftover = make_omnibus_plan(plans, 2**18)
+    assert leftover == []
+    bd = {s.B: s for s in op.subs if isinstance(s, _TwoStageBdSub)}
+    big = bd[65536]
+    assert big.lane_stack == 1 and len(big.starts) == 1
+    for B in (16384, 4096):
+        s = bd[B]
+        S = s.lane_stack
+        assert S == len(s.starts) > 1
+        rows_t, rows = s.M * s.n1, s.M * s.R
+        C = s.gains_rep.shape[2] // S
+        # Constants tiled S-fold on lanes; weights block-diagonal.
+        assert s.aw2.shape == (rows_t, S * 2 * s.n2)
+        assert s.sw3.shape == (rows_t, S * 3 * s.n2)
+        assert s.twr2.shape == (rows, S * 2 * s.n2)
+        assert s.d2b_hi.shape == (S * 2 * s.n2, S * 4 * C)
+        assert s.e2b_hi.shape == (3 * S * C, S * 6 * s.n2)
+        # Stage-1/inverse weights are NOT stacked (start-independent).
+        assert s.w1s_hi.shape == (2 * rows, rows_t)
+        assert s.w1i_hi.shape == (rows_t, 2 * rows)
+        # The d2 block-diagonal's quantity-major columns: each start's
+        # block lands at [o*S*C + s*C, ...] and rows outside the start's
+        # lane block are zero.
+        d2 = np.asarray(s.d2b_hi, np.float32)
+        for si in range(S):
+            other = np.delete(
+                d2[:, si * C : si * C + C],  # quantity 0, start si cols
+                np.s_[si * 2 * s.n2 : (si + 1) * 2 * s.n2],
+                axis=0,
+            )
+            assert np.abs(other).max() == 0.0
+
+
 def test_omnibus_bigblock_multiview_parity():
     # A bucket whose BLOCK exceeds the omnibus tile rides extra lookahead
     # input views (round 2); check the multi-view fold against the plain
