@@ -114,7 +114,7 @@ def main():
     _FLAGS = ("_PROF_NOWIN", "_PROF_NOTW", "_PROF_NOREGROUP",
               "_PROF_NOFOLD", "_PROF_NOTINY", "_DOT_PAIRED",
               "_DOT_STACKED", "_DOT_STACKED_P", "_DOT_PADN", "_LANE_STACK",
-              "_E2_HALVES")
+              "_E2_HALVES", "_E2_SPLIT4")
     flag_defaults = {f: getattr(pom, f) for f in _FLAGS}
 
     if os.environ.get("ATTRIB_SUBS"):
@@ -134,7 +134,7 @@ def main():
             ("dotstackp", {"flag": "_DOT_STACKED_P"}),
             # _LANE_STACK defaults ON since round 3; A/B the off state.
             ("nolanestack", {"flag_off": "_LANE_STACK"}),
-            ("e2halves", {"flag": "_E2_HALVES"}),
+            ("e2split4", {"flag": "_E2_SPLIT4"}),
             ("notiny", {"flag": "_PROF_NOTINY"}),  # tiny stage-2 dots out
             ("nomasksd", {"mask": True}),  # mask sqrt/div removed
             ("nowin", {"flag": "_PROF_NOWIN"}),

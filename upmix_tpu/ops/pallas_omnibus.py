@@ -72,6 +72,13 @@ _DOT_STACKED = False
 # wash).
 _DOT_STACKED_P = False
 
+# E2 split-4 (A/B knob "e2split4", EXACT, lane-stacked subs only): the
+# _E2_HALVES weight layout consumed as FOUR separate dots whose weight
+# halves are ref-sliced (VMEM loads), so each dot's OUTPUT is already
+# t-layout — no result slicing (what made e2halves slower), no concats.
+# Same MACs; +6 MXU invocations (measured free).
+_E2_SPLIT4 = False
+
 # E2 halves layout (A/B knob "e2halves", EXACT, lane-stacked subs only):
 # order the stage-B output columns [all-re | all-im] (s-major 3N2 blocks
 # inside each half) so the inverse regroup becomes FOUR half-slices with
@@ -420,7 +427,7 @@ def make_bd_sub(p, M: int, starts: tuple) -> _TwoStageBdSub:
             for o in range(3):
                 blk = e2b[o * C : (o + 1) * C, o * 2 * N2 : (o + 1) * 2 * N2]
                 row = slice(o * S * C + s * C, o * S * C + (s + 1) * C)
-                if _E2_HALVES:
+                if _E2_HALVES or _E2_SPLIT4:
                     re0 = s * 3 * N2 + o * N2
                     im0 = S * 3 * N2 + s * 3 * N2 + o * N2
                     e2p[row, re0 : re0 + N2] = blk[:, :N2]
@@ -628,7 +635,20 @@ def _bd_tile_ls(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
         s_parts_im.append(zpad)
     S_re = jnp.concatenate(s_parts_re, axis=1)  # [rows, 3*Cw (+pad)]
     S_im = jnp.concatenate(s_parts_im, axis=1)
-    if _DOT_PAIRED:
+    if _E2_SPLIT4:
+        # Four dots from weight-half REF slices: outputs land directly in
+        # t-layout (no result slicing, no concats).
+        h = 3 * S * N2
+        ehr, elr = e2b_hi[:, :h], e2b_lo[:, :h]
+        ehi, eli = e2b_hi[:, h:], e2b_lo[:, h:]
+        q1r = _dot3(S_re, ehr, elr)
+        q1i = _dot3(S_re, ehi, eli)
+        q2r = _dot3(S_im, ehr, elr)
+        q2i = _dot3(S_im, ehi, eli)
+        t_re = q1r - q2i
+        t_im = q1i + q2r
+        q1 = q2 = None
+    elif _DOT_PAIRED:
         q1 = _dot3_paired(S_re, e2b_hi[...], e2b_lo[...])
         q2 = _dot3_paired(S_im, e2b_hi[...], e2b_lo[...])
     else:
@@ -646,7 +666,9 @@ def _bd_tile_ls(sub: _TwoStageBdSub, xloc, refs, tile, width, work=None):
             axis=1,
         )
 
-    if _PROF_NOREGROUP:
+    if _E2_SPLIT4:
+        pass  # t_re/t_im already produced in final layout above
+    elif _PROF_NOREGROUP:
         t_re, t_im = q1[:, : 3 * S * N2], q2[:, : 3 * S * N2]
     elif _E2_HALVES:
         # [all-re | all-im] halves: zero concats, four half-slices.
