@@ -521,6 +521,56 @@ def test_omnibus_bigblock_multiview_parity():
     assert snr_db(ref, got) > 80.0
 
 
+def test_omnibus_lane_stack_random_fuzz():
+    # Randomized 2-stage lane-stacked geometries (interpret mode): force
+    # every bucket onto the block-diagonal path (direct_weight_limit=0)
+    # so multi-start subs exercise the S-fold lane stacking, and compare
+    # the raw omnibus against the per-bucket grouped-framing reference.
+    from upmix_tpu.models.offline import _bucket_fold_mm, _plan_buckets
+    from upmix_tpu.ops.pallas_omnibus import make_omnibus_plan, omnibus_lcr
+
+    rng = np.random.default_rng(55)
+    for trial in range(3):
+        sr = float(rng.choice([8000, 16000, 44100]))
+        edges = [0.0] + sorted(
+            float(f) for f in rng.uniform(sr * 0.03, sr * 0.4, size=2)
+        )
+        if edges[2] - edges[1] < sr * 0.02:
+            continue
+        max_block = int(rng.choice([512, 1024]))
+        cfg = UpmixConfig.make(edges, sr=sr, max_block_size=max_block)
+        unit = 1
+        for b in cfg.bands:
+            unit = unit * b.block_size // np.gcd(unit, b.block_size)
+        chunk = 4 * unit
+        plans = _plan_buckets(cfg, chunk)
+        op, leftover = make_omnibus_plan(
+            plans, chunk, min_tile=0, direct_weight_limit=0
+        )
+        assert leftover == []
+        assert any(
+            getattr(s, "lane_stack", 1) > 1 for s in op.subs
+        ), f"trial {trial}: no lane-stacked sub (edges={edges}, mb={max_block})"
+        x = rng.standard_normal((2, chunk + (op.n_views - 1) * op.tile))
+        x = x.astype(np.float32)
+        main, spill = omnibus_lcr(jnp.asarray(x), op, interpret=True)
+        ref = None
+        for p in plans:
+            K = p.block_size // p.hop_size
+            F = chunk // p.hop_size
+            T = (F + K - 1) * p.hop_size
+            contrib = np.asarray(_bucket_fold_mm(p, jnp.asarray(x[:, :T]), F))
+            contrib = np.pad(
+                contrib, ((0, 0), (0, chunk + op.halo - T))
+            )
+            ref = contrib if ref is None else ref + contrib
+        got = np.concatenate(
+            [np.asarray(main), np.asarray(spill[:, : op.halo])], axis=1
+        )
+        s = snr_db(ref, got)
+        assert s > 80.0, f"trial {trial}: {s:.1f} dB (edges={edges})"
+
+
 def test_omnibus_random_config_fuzz():
     # Bounded fuzz of the full pallas path (interpret mode): random edges,
     # rates, caps, and xover modes through the single-launch omnibus must
