@@ -199,16 +199,36 @@ def _bucket_pass_block(plan: _StreamBucketPlan, history: jnp.ndarray, ola: jnp.n
         )  # [3, P, n_bins]
         rec = jnp.fft.irfft(summed, n=B) * jnp.asarray(plan.synthesis_window)
 
-    # Sequential OLA over the passes (carried accumulator, as in
-    # upmix.cpp:145-162 / center_extraction.py:391-407).
-    def ola_step(accum, rec_p):
-        accum = accum + rec_p
-        emit = accum[:, :H]
-        accum = jnp.concatenate([accum[:, H:], jnp.zeros((3, H), jnp.float32)], axis=1)
-        return accum, emit
-
-    new_ola, hops = jax.lax.scan(ola_step, ola, jnp.moveaxis(rec, 1, 0))
-    out = jnp.moveaxis(hops, 0, 1).reshape(3, P * H)  # [3, hw]
+    # OLA over the passes as a STATIC fold (same math as the reference's
+    # sequential accumulator, upmix.cpp:145-162 / ce.py:391-407, but with
+    # the P dependent scan steps replaced by a tree of shifted adds —
+    # round 3: the scan's 1+2+8+32 sequential tiny steps per block were
+    # the serving pool's bottleneck).  Pass p lands at offset p*H in a
+    # length (P-1)*H + B buffer; the carried accumulator adds at 0; the
+    # first P*H samples emit and the remainder (zero-extended by H) is
+    # the new accumulator.
+    L = (P - 1) * H + B
+    K = B // H
+    if P % K == 0 and P > 1:
+        # Group trick: passes p ≡ g (mod K) are non-overlapping and
+        # contiguous -> K shifted adds of flat [3, (P//K)*B] groups.
+        M = P // K
+        acc = None
+        for g in range(K):
+            flat = rec[:, g::K].reshape(3, M * B)
+            part = jnp.pad(flat, ((0, 0), (g * H, L - g * H - M * B)))
+            acc = part if acc is None else acc + part
+    else:
+        acc = None
+        for p in range(P):
+            part = jnp.pad(rec[:, p], ((0, 0), (p * H, L - p * H - B)))
+            acc = part if acc is None else acc + part
+    acc = jnp.concatenate([acc[:, :B] + ola, acc[:, B:]], axis=1)
+    out = acc[:, : P * H]  # [3, hw]
+    # acc tail has length L - P*H = B - H; extend by H zeros -> [3, B].
+    new_ola = jnp.concatenate(
+        [acc[:, P * H :], jnp.zeros((3, H), jnp.float32)], axis=1
+    )
     return out, new_ola
 
 
