@@ -364,3 +364,108 @@ def test_batch_streaming_reset_bounds_checked():
     with pytest.raises(ValueError, match="out of range"):
         pool.reset_streams([-1])
     pool.reset_streams([0, 3])  # valid edges fine
+
+
+# ---------------------------------------------------------------------------
+# PallasStreamPool: the single-launch serving-pool kernel
+# (ops/pallas_pool.py), run in interpret mode on CPU.
+# ---------------------------------------------------------------------------
+
+
+def test_pallas_pool_matches_xla_pool():
+    # The pallas pool kernel (row-stacked direct-DFT + in-kernel fold)
+    # must match the vmapped XLA engine block-for-block, including the
+    # warmup silence, at bf16x3 precision (>80 dB).
+    from upmix_tpu.models.streaming import BatchStreamingUpmixer, PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks = 8, 10
+    rng = np.random.default_rng(41)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    ref = BatchStreamingUpmixer(cfg, HW, n_streams=S)
+    pool = PallasStreamPool(cfg, HW, n_streams=S, group=8)
+    for t in range(n_blocks):
+        rc, rls, rrs = ref.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        pc, pls, prs = pool.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        want = np.stack([np.asarray(rc), np.asarray(rls), np.asarray(rrs)])
+        got = np.stack([np.asarray(pc), np.asarray(pls), np.asarray(prs)])
+        if t < pool.warmup_blocks - 1:
+            assert np.abs(got).max() == 0.0, f"block {t} not silent in warmup"
+        if np.abs(want).max() > 0:
+            assert snr_db(want, got) > 80.0, f"block {t}"
+
+
+def test_pallas_pool_multi_group_slot_churn():
+    # n_streams > group exercises the grid (several groups per launch);
+    # resetting one slot replays warmup there and leaves others
+    # bit-identical.
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks = 16, 12
+    rng = np.random.default_rng(42)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    plain = PallasStreamPool(cfg, HW, n_streams=S, group=8)
+    plain_out = [plain.push_blocks(blk[:, 0], blk[:, 1]) for blk in blocks]
+
+    churn = PallasStreamPool(cfg, HW, n_streams=S, group=8)
+    half = n_blocks // 2
+    for blk in blocks[:half]:
+        churn.push_blocks(blk[:, 0], blk[:, 1])
+    churn.reset_streams([9])
+    outs = [churn.push_blocks(blk[:, 0], blk[:, 1]) for blk in blocks[half:]]
+    for t, (c, ls, rs) in enumerate(outs):
+        np.testing.assert_array_equal(
+            np.asarray(c[0]), np.asarray(plain_out[half + t][0][0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(c[15]), np.asarray(plain_out[half + t][0][15])
+        )
+        if t < churn.warmup_blocks - 1:
+            assert np.abs(np.asarray(c[9])).max() == 0.0
+
+
+def test_pallas_pool_snapshot_resume():
+    # snapshot() is the checkpoint format: restoring into a fresh pool
+    # resumes bit-identically.
+    import jax
+    import jax.numpy as jnp
+
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks = 8, 8
+    rng = np.random.default_rng(43)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    pool = PallasStreamPool(cfg, HW, n_streams=S)
+    for blk in blocks[: n_blocks // 2]:
+        pool.push_blocks(blk[:, 0], blk[:, 1])
+    snap = pool.snapshot()
+    rest = [pool.push_blocks(blk[:, 0], blk[:, 1]) for blk in blocks[n_blocks // 2 :]]
+
+    pool2 = PallasStreamPool(cfg, HW, n_streams=S)
+    pool2.state = jax.tree.map(jnp.asarray, snap)
+    rest2 = [pool2.push_blocks(blk[:, 0], blk[:, 1]) for blk in blocks[n_blocks // 2 :]]
+    for (a, b, c), (x, y, z) in zip(rest, rest2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(x))
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(z))
+
+
+def test_pallas_pool_rejects_ineligible():
+    from upmix_tpu.models.streaming import PallasStreamPool
+    from upmix_tpu.ops.pallas_pool import make_pool_plan
+
+    cfg = _stream_cfg()
+    # n_streams not a multiple of the group size.
+    with pytest.raises(ValueError, match="not eligible"):
+        PallasStreamPool(cfg, HW, n_streams=12, group=8)
+    # A bucket whose direct weights exceed the bake bound.
+    assert make_pool_plan(cfg, HW, 8, weight_limit=1024) is None
+    # Bad block shape is rejected before dispatch.
+    pool = PallasStreamPool(cfg, HW, n_streams=8)
+    with pytest.raises(ValueError, match="push_blocks"):
+        pool.push_blocks(np.zeros((8, HW - 1)), np.zeros((8, HW - 1)))

@@ -370,6 +370,136 @@ class StreamingUpmixer:
         raise ValueError(f"unknown mix {mix!r}; one of ('lcr', 'stereo_sum')")
 
 
+class PallasStreamPool:
+    """Serving pool on the pallas pool kernel (ops/pallas_pool.py): one
+    launch per hardware block serves every stream, G streams per grid
+    step with row-stacked layouts.
+
+    Same public surface as BatchStreamingUpmixer (push_blocks /
+    reset_streams / snapshot) but its OWN state layout (channel-major
+    histories, per-bucket LCR accumulators, per-stream block counters).
+    Requires every bucket to be direct-DFT eligible — construction
+    raises ValueError otherwise (use BatchStreamingUpmixer).
+    """
+
+    def __init__(
+        self,
+        config: UpmixConfig,
+        hw_block_size: int,
+        n_streams: int,
+        group: int = 16,
+        interpret: bool | None = None,
+    ):
+        from upmix_tpu.ops.pallas_pool import make_pool_plan, pool_step_lcr
+
+        self.config = config
+        self.hw_block_size = hw = int(hw_block_size)
+        self.n_streams = int(n_streams)
+        self.warmup_blocks = stream_warmup_blocks(config)
+        plan = make_pool_plan(config, hw, self.n_streams, group=group)
+        if plan is None:
+            raise ValueError(
+                "config not eligible for the pallas pool kernel (a bucket's "
+                "direct-DFT weights are too wide, or n_streams is not a "
+                "multiple of the group size); use BatchStreamingUpmixer"
+            )
+        self.plan = plan
+        self._interpret = (
+            jax.default_backend() == "cpu" if interpret is None else interpret
+        )
+        warmup = self.warmup_blocks
+
+        def step(state, x):  # x [S, 2, hw]
+            histL = jnp.concatenate(
+                [state["histL"][:, hw:], x[:, 0, :]], axis=1
+            )
+            histR = jnp.concatenate(
+                [state["histR"][:, hw:], x[:, 1, :]], axis=1
+            )
+            t = state["t"] + 1
+            olas = tuple(
+                tuple(state["ola"][str(b.B)][o] for o in range(3))
+                for b in plan.buckets
+            )
+            (oc, ols, ors), new_olas = pool_step_lcr(
+                histL, histR, olas, plan, interpret=self._interpret
+            )
+            ready = (t >= warmup)[:, None]
+            zero = jnp.zeros_like(oc)
+            out = (
+                jnp.where(ready, oc, zero),
+                jnp.where(ready, ols, zero),
+                jnp.where(ready, ors, zero),
+            )
+            ola_state = {}
+            for bi, b in enumerate(plan.buckets):
+                ola_state[str(b.B)] = tuple(
+                    jnp.where(ready, new_olas[bi][o], olas[bi][o])
+                    for o in range(3)
+                )
+            return (
+                {"histL": histL, "histR": histR, "t": t, "ola": ola_state},
+                out,
+            )
+
+        self._step = jax.jit(step, donate_argnums=(0,))
+        self.state = self._fresh_state()
+
+    def _fresh_state(self):
+        S, W = self.n_streams, self.plan.window
+        return {
+            "histL": jnp.zeros((S, W), jnp.float32),
+            "histR": jnp.zeros((S, W), jnp.float32),
+            "t": jnp.zeros((S,), jnp.int32),
+            "ola": {
+                str(b.B): tuple(
+                    jnp.zeros((S, b.B), jnp.float32) for _ in range(3)
+                )
+                for b in self.plan.buckets
+            },
+        }
+
+    def reset(self):
+        self.state = self._fresh_state()
+
+    def reset_streams(self, indices):
+        indices = [int(i) for i in indices]
+        bad = [i for i in indices if not 0 <= i < self.n_streams]
+        if bad:
+            raise ValueError(
+                f"stream indices {bad} out of range [0, {self.n_streams})"
+            )
+        idx = jnp.asarray(indices, jnp.int32)
+        self.state = jax.tree.map(
+            lambda a: a.at[idx].set(jnp.zeros_like(a[0])), self.state
+        )
+
+    def snapshot(self):
+        import numpy as _np
+
+        return jax.tree.map(_np.asarray, self.state)
+
+    def push_blocks(self, in_l, in_r):
+        """One hardware block for EVERY stream: [n_streams, hw] x2 ->
+        (C, Ls, Rs) each [n_streams, hw]."""
+        x = jnp.stack(
+            [jnp.asarray(in_l, jnp.float32), jnp.asarray(in_r, jnp.float32)],
+            axis=1,
+        )
+        if x.shape != (self.n_streams, 2, self.hw_block_size):
+            raise ValueError(
+                f"push_blocks expects two [{self.n_streams}, "
+                f"{self.hw_block_size}] channel arrays; got stacked shape "
+                f"{tuple(x.shape)}"
+            )
+        try:
+            self.state, out = self._step(self.state, x)
+        except Exception:
+            self.reset()
+            raise
+        return out
+
+
 class BatchStreamingUpmixer:
     """Many concurrent live streams on one device: the pure stream step
     vmapped over a leading stream axis, so ONE dispatch per hardware

@@ -1,0 +1,282 @@
+"""Pallas serving-pool kernel: one launch per hardware block for ALL streams.
+
+The XLA serving pool (models/streaming.py::BatchStreamingUpmixer) costs
+~450-500 µs of per-step scan machinery plus big-bucket marginals at
+~5-7% MFU (DESIGN.md §6 probe — scripts/bench_pool_probe.py); both are
+XLA-structural.  This kernel processes G streams per grid step with
+every tensor ROW-stacked across streams (channel- and output-major
+refs, so no single-row slicing anywhere — f32 sublane alignment holds
+whenever G is a multiple of 8):
+
+  per bucket (all buckets must be direct-DFT eligible):
+    Z   = [2*P*G, B]   rows (channel, pass, stream) from P wide slices
+    s2  = bf16x3 dot against the [B, 2K] direct weight pair
+    mask on [P*G, K], band-summed
+    rec = bf16x3 dot against [2K, B]   -> [3*P*G, B]
+    fold: static shifted adds per pass -> out [G, hw], ola carry [G, B]
+
+State layout (NATIVE to this engine — not the XLA engine's pytree):
+  histL/histR [S, 4*hw] (channel-major), per-bucket olaC/olaLs/olaRs
+  [S, B].  The engine wrapper owns warmup gating and history shifting
+  (cheap XLA ops); the kernel is stateless per call.
+
+Reference analog: bela/upmix.cpp:474-493 (per-block multiband process),
+one kernel launch serving every concurrent session.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from upmix_tpu.config import UpmixConfig, bucket_bands
+from upmix_tpu.ops.dftmm import make_direct_plan
+from upmix_tpu.ops.gains import band_gain_curve
+from upmix_tpu.ops.pallas_upmix import _dot_f32 as _dot3
+from upmix_tpu.ops.pallas_upmix import _mask_sum, _split_bf16
+from upmix_tpu.ops.windows import design_wola_synthesis_window, make_window
+
+
+@dataclass(frozen=True)
+class _PoolBucket:
+    B: int
+    H: int
+    P: int  # passes per hw block
+    wf_hi: np.ndarray  # [B, 2K] bf16
+    wf_lo: np.ndarray
+    wi_hi: np.ndarray  # [2K, B] bf16
+    wi_lo: np.ndarray
+    gains: np.ndarray  # [nb, K] f32
+
+    @property
+    def arrays(self):
+        return (self.wf_hi, self.wf_lo, self.wi_hi, self.wi_lo, self.gains)
+
+
+@dataclass(frozen=True)
+class PoolPlan:
+    hw: int
+    window: int  # shared history length = warmup * hw
+    n_streams: int
+    group: int  # streams per grid step
+    buckets: tuple
+
+    def arrays(self):
+        out = []
+        for b in self.buckets:
+            out.extend(b.arrays)
+        return out
+
+
+def make_pool_plan(
+    config: UpmixConfig,
+    hw_block_size: int,
+    n_streams: int,
+    group: int = 16,
+    weight_limit: int = 8 << 20,
+):
+    """Build the pool-kernel plan, or return None when a bucket is not
+    direct-DFT eligible (the caller falls back to the XLA engine)."""
+    from upmix_tpu.models.streaming import stream_warmup_blocks
+
+    warmup = stream_warmup_blocks(config)
+    hw = int(hw_block_size)
+    group = max(8, min(group, n_streams))
+    if n_streams % group:
+        return None
+    buckets = []
+    for block_size, bands in bucket_bands(config.bands).items():
+        hop = bands[0].hop_size
+        if hw % hop or block_size % hop:
+            return None
+        gains = np.stack([band_gain_curve(b, dtype=np.float32) for b in bands])
+        nz = np.nonzero(gains.max(axis=0))[0]
+        if not len(nz):
+            continue  # dead bucket contributes nothing
+        lo, hi = int(nz[0]), int(nz[-1])
+        if block_size * 2 * (hi - lo + 1) * 4 > weight_limit:
+            return None  # support too wide to bake — XLA engine instead
+        aw = make_window(config.window, block_size)
+        if config.synthesis == "wola":
+            sw = design_wola_synthesis_window(aw, config.overlap)
+        else:
+            sw = aw
+        dplan = make_direct_plan(block_size, lo, hi, aw, sw)
+        wf_hi, wf_lo = _split_bf16(dplan.w_fwd)
+        wi_hi, wi_lo = _split_bf16(dplan.w_inv)
+        buckets.append(
+            _PoolBucket(
+                B=block_size, H=hop, P=hw // hop,
+                wf_hi=wf_hi, wf_lo=wf_lo, wi_hi=wi_hi, wi_lo=wi_lo,
+                gains=np.asarray(gains[:, lo : hi + 1], np.float32),
+            )
+        )
+    if not buckets:
+        return None
+    return PoolPlan(
+        hw=hw, window=warmup * hw, n_streams=int(n_streams), group=group,
+        buckets=tuple(buckets),
+    )
+
+
+def _build_pool_kernel(plan: PoolPlan):
+    hw, G = plan.hw, plan.group
+    buckets = plan.buckets
+    counts = [len(b.arrays) for b in buckets]
+
+    def kernel(*refs):
+        histL, histR = refs[0], refs[1]  # [G, window]
+        pos = 2
+        wrefs = []
+        for c in counts:
+            wrefs.append(refs[pos : pos + c])
+            pos += c
+        ola_in = []
+        for _ in buckets:
+            ola_in.append(refs[pos : pos + 3])  # C/Ls/Rs [G, B] each
+            pos += 3
+        outC, outLs, outRs = refs[pos], refs[pos + 1], refs[pos + 2]
+        ola_out = []
+        pos += 3
+        for _ in buckets:
+            ola_out.append(refs[pos : pos + 3])
+            pos += 3
+
+        accs = [None, None, None]
+        for bi, b in enumerate(buckets):
+            B, H, P = b.B, b.H, b.P
+            K = b.gains.shape[1]
+            wf_hi, wf_lo, wi_hi, wi_lo, g_ref = wrefs[bi]
+            # Grouped framing (the omnibus kernel's trick, pallas_upmix.py
+            # _kernel): frames p ≡ j (mod Kr) start at j*H + m*B, so group
+            # j is ONE contiguous [G, M*B] slice, reshaped to [G*M, B]
+            # rows (stream, m).  The reshape materializes an offset-0
+            # layout, making the axis-0 concat legal even when H < 128
+            # lanes (Mosaic rejects concats of slices whose lane offsets
+            # mismatch on the non-concat dim).  When P does not fill whole
+            # groups (B > hw), fall back to one group per pass — those
+            # have H >= 128 in practice, so the slices are lane-aligned.
+            Kr = B // H
+            if P % Kr == 0:
+                NG, M = Kr, P // Kr
+            else:
+                NG, M = P, 1
+            zs = []
+            for ch_ref in (histL, histR):
+                for j in range(NG):
+                    flat = ch_ref[:, j * H : j * H + M * B]  # [G, M*B]
+                    zs.append(flat.reshape(G * M, B))
+            Z = jnp.concatenate(zs, axis=0)  # [2*P*G, B] rows (ch, j, s, m)
+            s2 = _dot3(Z, wf_hi[...], wf_lo[...])  # [2PG, 2K]
+            F = P * G
+            sl, sr = s2[:F], s2[F:]
+            gains_list = [g_ref[i, :] for i in range(b.gains.shape[0])]
+            c_re, c_im, l_re, l_im, r_re, r_im = _mask_sum(
+                sl[:, :K], sl[:, K:], sr[:, :K], sr[:, K:], gains_list
+            )
+            S = jnp.concatenate(
+                [
+                    jnp.concatenate([c_re, c_im], axis=1),
+                    jnp.concatenate([l_re, l_im], axis=1),
+                    jnp.concatenate([r_re, r_im], axis=1),
+                ],
+                axis=0,
+            )  # [3PG, 2K]
+            rec = _dot3(S, wi_hi[...], wi_lo[...])  # [3PG, B] rows (o,j,s,m)
+            L = (P - 1) * H + B
+            GM = G * M
+            for o in range(3):
+                rec_o = rec[o * F : (o + 1) * F]  # [PG, B] rows (j, s, m)
+                acc = None
+                for j in range(NG):
+                    # Group j's M frames are contiguous per stream: rows
+                    # (s, m) flatten back to [G, M*B], landing at j*H.
+                    flat = rec_o[j * GM : (j + 1) * GM].reshape(G, M * B)
+                    part = jnp.pad(
+                        flat, ((0, 0), (j * H, L - j * H - M * B))
+                    )
+                    acc = part if acc is None else acc + part
+                if L > B:
+                    full = jnp.concatenate(
+                        [acc[:, :B] + ola_in[bi][o][...], acc[:, B:]], axis=1
+                    )  # [G, L]
+                else:  # P == 1: L == B and acc[:, B:] would be a zero-width
+                    # slice, which Mosaic rejects ("positive constant sizes").
+                    full = acc + ola_in[bi][o][...]
+                emit = full[:, : P * H]  # [G, hw]
+                accs[o] = emit if accs[o] is None else accs[o] + emit
+                ola_out[bi][o][...] = jnp.concatenate(
+                    [full[:, P * H :], jnp.zeros((G, H), jnp.float32)], axis=1
+                )
+        outC[...] = accs[0]
+        outLs[...] = accs[1]
+        outRs[...] = accs[2]
+
+    return kernel
+
+
+def pool_step_lcr(histL, histR, olas, plan: PoolPlan, interpret: bool = False):
+    """One hardware block for every stream.
+
+    histL/histR: [S, window] float32 — the UPDATED shared history whose
+    last hw samples are the current input block.  olas: per bucket a
+    tuple of three [S, B] accumulators (C, Ls, Rs).  Returns
+    (outC, outLs, outRs) each [S, hw] and the new olas structure.
+    """
+    S, G = plan.n_streams, plan.group
+    n_groups = S // G
+    w_arrays = plan.arrays()
+
+    in_specs = [
+        pl.BlockSpec((G, plan.window), lambda s: (s, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, plan.window), lambda s: (s, 0), memory_space=pltpu.VMEM),
+    ]
+    for w in w_arrays:
+        zeros = (0,) * w.ndim
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda s, z=zeros: z, memory_space=pltpu.VMEM)
+        )
+    ola_flat = []
+    for bi, b in enumerate(plan.buckets):
+        for o in range(3):
+            ola_flat.append(olas[bi][o])
+            in_specs.append(
+                pl.BlockSpec((G, b.B), lambda s: (s, 0), memory_space=pltpu.VMEM)
+            )
+
+    out_specs = [
+        pl.BlockSpec((G, plan.hw), lambda s: (s, 0), memory_space=pltpu.VMEM)
+        for _ in range(3)
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((S, plan.hw), jnp.float32)] * 3
+    for b in plan.buckets:
+        for _ in range(3):
+            out_specs.append(
+                pl.BlockSpec((G, b.B), lambda s: (s, 0), memory_space=pltpu.VMEM)
+            )
+            out_shapes.append(jax.ShapeDtypeStruct((S, b.B), jnp.float32))
+
+    call = pl.pallas_call(
+        _build_pool_kernel(plan),
+        grid=(n_groups,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        interpret=interpret,
+    )
+    outs = call(
+        histL, histR, *[jnp.asarray(w) for w in w_arrays], *ola_flat
+    )
+    outC, outLs, outRs = outs[0], outs[1], outs[2]
+    new_olas = []
+    pos = 3
+    for _ in plan.buckets:
+        new_olas.append(tuple(outs[pos : pos + 3]))
+        pos += 3
+    return (outC, outLs, outRs), tuple(new_olas)
