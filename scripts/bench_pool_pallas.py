@@ -30,11 +30,7 @@ def main():
     import jax.numpy as jnp
 
     from upmix_tpu.config import UpmixConfig
-    from upmix_tpu.models.streaming import (
-        build_stream_step,
-        init_stream_state,
-        stream_warmup_blocks,
-    )
+    from upmix_tpu.models.streaming import build_stream_step, init_stream_state
     from upmix_tpu.ops.pallas_pool import make_pool_plan, pool_step_lcr
     from upmix_tpu.utils.cache import enable_compilation_cache
 
@@ -67,7 +63,6 @@ def main():
     # --- pallas pool: pool step under scan ------------------------------
     plan = make_pool_plan(cfg, HW, B, group=GROUP)
     assert plan is not None, "config must be pool-eligible for this bench"
-    warmup = stream_warmup_blocks(cfg)
 
     def pool_step(state, x):  # x [S, 2, hw]
         histL = jnp.concatenate([state["histL"][:, HW:], x[:, 0, :]], axis=1)
@@ -77,21 +72,16 @@ def main():
             tuple(state["ola"][str(b.B)][o] for o in range(3))
             for b in plan.buckets
         )
-        (oc, ols, ors), new_olas = pool_step_lcr(histL, histR, olas, plan)
-        ready = (t >= warmup)[:, None]
-        zero = jnp.zeros_like(oc)
-        out = (
-            jnp.where(ready, oc, zero),
-            jnp.where(ready, ols, zero),
-            jnp.where(ready, ors, zero),
-        )
+        # Warmup gating happens in the kernel (t-driven, per stream).
+        (oc, ols, ors), new_olas = pool_step_lcr(histL, histR, t, olas, plan)
         ola_state = {
-            str(b.B): tuple(
-                jnp.where(ready, new_olas[bi][o], olas[bi][o]) for o in range(3)
-            )
-            for bi, b in enumerate(plan.buckets)
+            str(b.B): new_olas[bi] for bi, b in enumerate(plan.buckets)
         }
-        return {"histL": histL, "histR": histR, "t": t, "ola": ola_state}, out
+        return {"histL": histL, "histR": histR, "t": t, "ola": ola_state}, (
+            oc,
+            ols,
+            ors,
+        )
 
     @jax.jit
     def scan_pool(state, blocks):

@@ -455,6 +455,30 @@ def test_pallas_pool_snapshot_resume():
         np.testing.assert_array_equal(np.asarray(c), np.asarray(z))
 
 
+def test_make_stream_pool_selection():
+    # On the CPU test backend, auto picks the XLA engine; forcing pallas
+    # builds the kernel pool (interpret mode); forcing xla always works;
+    # a mesh routes to the XLA engine (pallas is single-device).
+    from upmix_tpu.models.streaming import (
+        BatchStreamingUpmixer,
+        PallasStreamPool,
+        make_stream_pool,
+    )
+
+    cfg = _stream_cfg()
+    assert isinstance(make_stream_pool(cfg, HW, 8), BatchStreamingUpmixer)
+    assert isinstance(
+        make_stream_pool(cfg, HW, 8, engine="pallas"), PallasStreamPool
+    )
+    assert isinstance(
+        make_stream_pool(cfg, HW, 8, engine="xla"), BatchStreamingUpmixer
+    )
+    with pytest.raises(ValueError, match="single-device"):
+        make_stream_pool(cfg, HW, 8, engine="pallas", mesh=object())
+    with pytest.raises(ValueError, match="unknown engine"):
+        make_stream_pool(cfg, HW, 8, engine="cuda")
+
+
 def test_pallas_pool_rejects_ineligible():
     from upmix_tpu.models.streaming import PallasStreamPool
     from upmix_tpu.ops.pallas_pool import make_pool_plan

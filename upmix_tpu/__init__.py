@@ -11,7 +11,9 @@ Public surface:
   - config: UpmixConfig / BandSpec / chain_bands — band plumbing and sizing
   - models.offline: Upmixer — whole-file offline pipeline (the flagship path)
   - models.streaming: StreamingUpmixer — block-based real-time engine;
-    BatchStreamingUpmixer — multi-stream serving pool (vmapped step)
+    BatchStreamingUpmixer — multi-stream serving pool (vmapped step);
+    PallasStreamPool / make_stream_pool — single-launch pallas serving
+    pool (~6x the vmapped pool's capacity on TPU when eligible)
   - io.wav: read_wav / write_wav — pure-NumPy WAV I/O
   - oracle: faithful NumPy re-derivation of the reference semantics (test oracle)
 """
@@ -48,7 +50,8 @@ def __getattr__(name):
     # Lazy heavyweight surfaces (importing them pulls in jax program
     # construction; keep bare `import upmix_tpu` light).
     if name in ("Upmixer", "upmix_offline", "StreamingUpmixer",
-                "BatchStreamingUpmixer"):
+                "BatchStreamingUpmixer", "PallasStreamPool",
+                "make_stream_pool"):
         import upmix_tpu.models as _m
 
         return getattr(_m, name)

@@ -407,7 +407,6 @@ class PallasStreamPool:
         self._interpret = (
             jax.default_backend() == "cpu" if interpret is None else interpret
         )
-        warmup = self.warmup_blocks
 
         def step(state, x):  # x [S, 2, hw]
             histL = jnp.concatenate(
@@ -421,25 +420,17 @@ class PallasStreamPool:
                 tuple(state["ola"][str(b.B)][o] for o in range(3))
                 for b in plan.buckets
             )
+            # Warmup gating happens IN the kernel (per stream): not-ready
+            # streams emit silence and hold their OLA carries.
             (oc, ols, ors), new_olas = pool_step_lcr(
-                histL, histR, olas, plan, interpret=self._interpret
+                histL, histR, t, olas, plan, interpret=self._interpret
             )
-            ready = (t >= warmup)[:, None]
-            zero = jnp.zeros_like(oc)
-            out = (
-                jnp.where(ready, oc, zero),
-                jnp.where(ready, ols, zero),
-                jnp.where(ready, ors, zero),
-            )
-            ola_state = {}
-            for bi, b in enumerate(plan.buckets):
-                ola_state[str(b.B)] = tuple(
-                    jnp.where(ready, new_olas[bi][o], olas[bi][o])
-                    for o in range(3)
-                )
+            ola_state = {
+                str(b.B): new_olas[bi] for bi, b in enumerate(plan.buckets)
+            }
             return (
                 {"histL": histL, "histR": histR, "t": t, "ola": ola_state},
-                out,
+                (oc, ols, ors),
             )
 
         self._step = jax.jit(step, donate_argnums=(0,))
@@ -498,6 +489,47 @@ class PallasStreamPool:
             self.reset()
             raise
         return out
+
+
+def make_stream_pool(
+    config: UpmixConfig,
+    hw_block_size: int,
+    n_streams: int,
+    engine: str = "auto",
+    mesh=None,
+    group: int = 16,
+):
+    """Build the best serving pool for this config and device.
+
+    ``engine="auto"`` picks the pallas pool kernel (PallasStreamPool)
+    when the config is direct-DFT eligible, the backend is an
+    accelerator, and no mesh is requested — measured ~6x the XLA pool's
+    capacity on v5e (12.6k vs 2k realtime streams/chip at the 48 kHz /
+    2048 Bela config).  Otherwise (CPU backend, mesh sharding, or an
+    ineligible config) it returns the vmapped XLA engine
+    (BatchStreamingUpmixer).  ``engine="pallas"`` / ``"xla"`` force the
+    choice; forcing pallas raises when ineligible.
+    """
+    if engine not in ("auto", "pallas", "xla"):
+        raise ValueError(
+            f"unknown engine {engine!r}; one of ('auto', 'pallas', 'xla')"
+        )
+    if engine == "pallas":
+        if mesh is not None:
+            raise ValueError(
+                "the pallas pool is single-device; use engine='xla' with a "
+                "mesh (streams shard communication-free over 'data')"
+            )
+        return PallasStreamPool(config, hw_block_size, n_streams, group=group)
+    if engine == "auto" and mesh is None and jax.default_backend() != "cpu":
+        from upmix_tpu.ops.pallas_pool import make_pool_plan
+
+        if (
+            make_pool_plan(config, int(hw_block_size), int(n_streams), group=group)
+            is not None
+        ):
+            return PallasStreamPool(config, hw_block_size, n_streams, group=group)
+    return BatchStreamingUpmixer(config, hw_block_size, n_streams, mesh=mesh)
 
 
 class BatchStreamingUpmixer:

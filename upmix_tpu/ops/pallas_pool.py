@@ -129,9 +129,12 @@ def _build_pool_kernel(plan: PoolPlan):
     buckets = plan.buckets
     counts = [len(b.arrays) for b in buckets]
 
+    warmup = plan.window // hw
+
     def kernel(*refs):
         histL, histR = refs[0], refs[1]  # [G, window]
-        pos = 2
+        t_ref = refs[2]  # [G, 1] int32 — blocks seen (AFTER this one)
+        pos = 3
         wrefs = []
         for c in counts:
             wrefs.append(refs[pos : pos + c])
@@ -146,6 +149,13 @@ def _build_pool_kernel(plan: PoolPlan):
         for _ in buckets:
             ola_out.append(refs[pos : pos + 3])
             pos += 3
+
+        # Warmup gating IN the kernel (per stream): not-ready streams
+        # emit silence and hold their OLA state (the reference's degraded
+        # mode, bela/upmix.cpp:485-491).  Doing the select here on VMEM
+        # tiles saves the XLA-side where over every [S, B] carry (~6% of
+        # step time at S=2048).
+        ready = t_ref[...] >= warmup  # [G, 1]
 
         accs = [None, None, None]
         for bi, b in enumerate(buckets):
@@ -210,23 +220,27 @@ def _build_pool_kernel(plan: PoolPlan):
                     full = acc + ola_in[bi][o][...]
                 emit = full[:, : P * H]  # [G, hw]
                 accs[o] = emit if accs[o] is None else accs[o] + emit
-                ola_out[bi][o][...] = jnp.concatenate(
+                tail = jnp.concatenate(
                     [full[:, P * H :], jnp.zeros((G, H), jnp.float32)], axis=1
                 )
-        outC[...] = accs[0]
-        outLs[...] = accs[1]
-        outRs[...] = accs[2]
+                ola_out[bi][o][...] = jnp.where(ready, tail, ola_in[bi][o][...])
+        zero = jnp.zeros((G, hw), jnp.float32)
+        outC[...] = jnp.where(ready, accs[0], zero)
+        outLs[...] = jnp.where(ready, accs[1], zero)
+        outRs[...] = jnp.where(ready, accs[2], zero)
 
     return kernel
 
 
-def pool_step_lcr(histL, histR, olas, plan: PoolPlan, interpret: bool = False):
+def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False):
     """One hardware block for every stream.
 
     histL/histR: [S, window] float32 — the UPDATED shared history whose
-    last hw samples are the current input block.  olas: per bucket a
-    tuple of three [S, B] accumulators (C, Ls, Rs).  Returns
-    (outC, outLs, outRs) each [S, hw] and the new olas structure.
+    last hw samples are the current input block.  t: [S] int32 — blocks
+    seen per stream INCLUDING this one (warmup gating happens in the
+    kernel: streams with t < K emit silence and hold their OLA state).
+    olas: per bucket a tuple of three [S, B] accumulators (C, Ls, Rs).
+    Returns (outC, outLs, outRs) each [S, hw] and the new olas structure.
     """
     S, G = plan.n_streams, plan.group
     n_groups = S // G
@@ -235,6 +249,7 @@ def pool_step_lcr(histL, histR, olas, plan: PoolPlan, interpret: bool = False):
     in_specs = [
         pl.BlockSpec((G, plan.window), lambda s: (s, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((G, plan.window), lambda s: (s, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 1), lambda s: (s, 0), memory_space=pltpu.VMEM),
     ]
     for w in w_arrays:
         zeros = (0,) * w.ndim
@@ -271,7 +286,11 @@ def pool_step_lcr(histL, histR, olas, plan: PoolPlan, interpret: bool = False):
         interpret=interpret,
     )
     outs = call(
-        histL, histR, *[jnp.asarray(w) for w in w_arrays], *ola_flat
+        histL,
+        histR,
+        jnp.asarray(t, jnp.int32).reshape(S, 1),
+        *[jnp.asarray(w) for w in w_arrays],
+        *ola_flat,
     )
     outC, outLs, outRs = outs[0], outs[1], outs[2]
     new_olas = []
