@@ -6,9 +6,11 @@ Two ways this framework serves at scale beyond one-shot CLI runs:
    `upmix-tpu - --serve`: JSON jobs in, JSON results out, compiled
    programs reused across jobs (driven here through plain StringIO, no
    subprocess needed).
-2. `BatchStreamingUpmixer` — many concurrent live streams through one
-   vmapped dispatch per hardware block (~2000 realtime sessions per
-   v5e chip at B=128; see BASELINE.md), with per-slot session churn.
+2. `make_stream_pool` — many concurrent live streams through ONE
+   launch per hardware block, with per-slot session churn.  On a TPU
+   with an eligible config the factory returns the pallas pool kernel
+   (~13k realtime sessions per v5e chip at B=2048); elsewhere the
+   vmapped XLA engine (~2000 at B=128).  See BASELINE.md.
 
     python examples/04_serving.py [workdir]
 """
@@ -25,7 +27,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from upmix_tpu.app import run_jobs
 from upmix_tpu.config import UpmixConfig
 from upmix_tpu.io import write_wav
-from upmix_tpu.models import BatchStreamingUpmixer
+from upmix_tpu.models import make_stream_pool
 
 workdir = sys.argv[1] if len(sys.argv) > 1 else "."
 os.makedirs(workdir, exist_ok=True)
@@ -57,7 +59,7 @@ print("job server: 3/3 ok (first job compiled; the rest ran warm)\n")
 # --- 2. multi-stream pool ----------------------------------------------
 HW, B = 256, 4
 cfg = UpmixConfig.streaming([0.0, 400.0, 1600.0], sr=float(sr), hw_block_size=HW)
-pool = BatchStreamingUpmixer(cfg, HW, n_streams=B)
+pool = make_stream_pool(cfg, HW, n_streams=B)  # engine='auto'
 common = rng.standard_normal((8, B, HW)).astype(np.float32) * 0.3
 side = rng.standard_normal((8, B, HW)).astype(np.float32) * 0.1
 for t in range(8):
