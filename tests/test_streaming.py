@@ -493,3 +493,57 @@ def test_pallas_pool_rejects_ineligible():
     pool = PallasStreamPool(cfg, HW, n_streams=8)
     with pytest.raises(ValueError, match="push_blocks"):
         pool.push_blocks(np.zeros((8, HW - 1)), np.zeros((8, HW - 1)))
+
+
+def test_pallas_pool_profiling_flags_inert_by_default():
+    # The _PROF_* attribution fabrications (scripts/bench_pool_ops.py)
+    # must default OFF, every variant must still trace (guards the
+    # bench scripts against rot), and flipping them must not perturb
+    # the production path once restored.
+    import upmix_tpu.ops.pallas_pool as pp
+    from upmix_tpu.ops.pallas_pool import make_pool_plan, pool_step_lcr
+
+    FLAGS = ("_PROF_NODOT", "_PROF_NOFOLD", "_PROF_NOMASK", "_PROF_NOW",
+             "_PROF_NOOLA")
+    assert all(getattr(pp, f) is False for f in FLAGS)
+
+    import jax.numpy as jnp
+
+    cfg = _stream_cfg()
+    plan = make_pool_plan(cfg, HW, 8, group=8)
+    assert plan is not None
+    rng = np.random.default_rng(7)
+    hist = jnp.asarray(
+        rng.standard_normal((8, plan.window)), jnp.float32
+    )
+    t = jnp.full((8,), 10, jnp.int32)
+    olas = tuple(
+        tuple(jnp.zeros((8, b.B), jnp.float32) for _ in range(3))
+        for b in plan.buckets
+    )
+
+    (ref_c, _, _), _ = pool_step_lcr(hist, hist, t, olas, plan, interpret=True)
+    combos = [
+        ("_PROF_NODOT",),
+        ("_PROF_NOMASK",),
+        ("_PROF_NOFOLD",),
+        ("_PROF_NOW", "_PROF_NOFOLD"),
+        ("_PROF_NODOT", "_PROF_NOMASK", "_PROF_NOFOLD", "_PROF_NOOLA"),
+        ("_PROF_NOW", "_PROF_NOFOLD", "_PROF_NOOLA"),
+    ]
+    for combo in combos:
+        for f in combo:
+            setattr(pp, f, True)
+        try:
+            (oc, ols, ors), no = pool_step_lcr(
+                hist, hist, t, olas, plan, interpret=True
+            )
+            assert oc.shape == ref_c.shape
+            assert np.all(np.isfinite(np.asarray(oc)))
+            assert len(no) == len(plan.buckets)
+        finally:
+            for f in FLAGS:
+                setattr(pp, f, False)
+
+    (again_c, _, _), _ = pool_step_lcr(hist, hist, t, olas, plan, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(again_c))

@@ -41,6 +41,19 @@ from upmix_tpu.ops.pallas_upmix import _dot_f32 as _dot3
 from upmix_tpu.ops.pallas_upmix import _mask_sum, _split_bf16
 from upmix_tpu.ops.windows import design_wola_synthesis_window, make_window
 
+# Profiling fabrications (wrong output, layout-safe): flip before the
+# first trace of a pool program to attribute kernel cost per op class
+# (scripts/bench_pool_ops.py).  Fabrications are built from slices and
+# concats of existing WIDE tensors only, with a scalar dependency on the
+# skipped stage's input so nothing upstream is dead-code-eliminated
+# (CLAUDE.md Mosaic landmines: fresh tiny-lane layouts SIGABRT).
+_PROF_NODOT = False  # replace both bf16x3 dots with slice/concat fabrications
+_PROF_NOFOLD = False  # replace the static OLA fold with a pad+add fabrication
+_PROF_NOMASK = False  # skip the mask entirely (S = 3 copies of the L spectrum)
+_PROF_NOW = False  # drop the weight operands from the pallas_call (implies
+# fabricated dots and no mask — gains are a weight array)
+_PROF_NOOLA = False  # drop the OLA-carry operands and outputs entirely
+
 
 @dataclass(frozen=True)
 class _PoolBucket:
@@ -130,6 +143,10 @@ def _build_pool_kernel(plan: PoolPlan):
     counts = [len(b.arrays) for b in buckets]
 
     warmup = plan.window // hw
+    # Snapshot the profiling flags at build time (trace-consistent).
+    now, noola = _PROF_NOW, _PROF_NOOLA
+    nodot, nofold = _PROF_NODOT or now, _PROF_NOFOLD
+    nomask = _PROF_NOMASK or now
 
     def kernel(*refs):
         histL, histR = refs[0], refs[1]  # [G, window]
@@ -137,18 +154,27 @@ def _build_pool_kernel(plan: PoolPlan):
         pos = 3
         wrefs = []
         for c in counts:
-            wrefs.append(refs[pos : pos + c])
-            pos += c
+            if now:
+                wrefs.append(None)
+            else:
+                wrefs.append(refs[pos : pos + c])
+                pos += c
         ola_in = []
         for _ in buckets:
-            ola_in.append(refs[pos : pos + 3])  # C/Ls/Rs [G, B] each
-            pos += 3
+            if noola:
+                ola_in.append(None)
+            else:
+                ola_in.append(refs[pos : pos + 3])  # C/Ls/Rs [G, B] each
+                pos += 3
         outC, outLs, outRs = refs[pos], refs[pos + 1], refs[pos + 2]
         ola_out = []
         pos += 3
         for _ in buckets:
-            ola_out.append(refs[pos : pos + 3])
-            pos += 3
+            if noola:
+                ola_out.append(None)
+            else:
+                ola_out.append(refs[pos : pos + 3])
+                pos += 3
 
         # Warmup gating IN the kernel (per stream): not-ready streams
         # emit silence and hold their OLA state (the reference's degraded
@@ -161,7 +187,10 @@ def _build_pool_kernel(plan: PoolPlan):
         for bi, b in enumerate(buckets):
             B, H, P = b.B, b.H, b.P
             K = b.gains.shape[1]
-            wf_hi, wf_lo, wi_hi, wi_lo, g_ref = wrefs[bi]
+            if now:
+                wf_hi = wf_lo = wi_hi = wi_lo = g_ref = None
+            else:
+                wf_hi, wf_lo, wi_hi, wi_lo, g_ref = wrefs[bi]
             # Grouped framing (the omnibus kernel's trick, pallas_upmix.py
             # _kernel): frames p ≡ j (mod Kr) start at j*H + m*B, so group
             # j is ONE contiguous [G, M*B] slice, reshaped to [G*M, B]
@@ -182,26 +211,51 @@ def _build_pool_kernel(plan: PoolPlan):
                     flat = ch_ref[:, j * H : j * H + M * B]  # [G, M*B]
                     zs.append(flat.reshape(G * M, B))
             Z = jnp.concatenate(zs, axis=0)  # [2*P*G, B] rows (ch, j, s, m)
-            s2 = _dot3(Z, wf_hi[...], wf_lo[...])  # [2PG, 2K]
             F = P * G
-            sl, sr = s2[:F], s2[F:]
-            gains_list = [g_ref[i, :] for i in range(b.gains.shape[0])]
-            c_re, c_im, l_re, l_im, r_re, r_im = _mask_sum(
-                sl[:, :K], sl[:, K:], sr[:, :K], sr[:, K:], gains_list
-            )
-            S = jnp.concatenate(
-                [
-                    jnp.concatenate([c_re, c_im], axis=1),
-                    jnp.concatenate([l_re, l_im], axis=1),
-                    jnp.concatenate([r_re, r_im], axis=1),
-                ],
-                axis=0,
-            )  # [3PG, 2K]
-            rec = _dot3(S, wi_hi[...], wi_lo[...])  # [3PG, B] rows (o,j,s,m)
+            if nodot:  # fabrication: wide slice/pad of Z, no MXU
+                if 2 * K <= B:
+                    s2 = Z[:, : 2 * K]
+                else:
+                    s2 = jnp.pad(Z, ((0, 0), (0, 2 * K - B)))
+            else:
+                s2 = _dot3(Z, wf_hi[...], wf_lo[...])  # [2PG, 2K]
+            if nomask:  # fabrication: 3 output spectra = L, R, L rows
+                S = jnp.concatenate([s2, s2[:F]], axis=0)  # [3PG, 2K]
+            else:
+                sl, sr = s2[:F], s2[F:]
+                gains_list = [g_ref[i, :] for i in range(b.gains.shape[0])]
+                c_re, c_im, l_re, l_im, r_re, r_im = _mask_sum(
+                    sl[:, :K], sl[:, K:], sr[:, :K], sr[:, K:], gains_list
+                )
+                S = jnp.concatenate(
+                    [
+                        jnp.concatenate([c_re, c_im], axis=1),
+                        jnp.concatenate([l_re, l_im], axis=1),
+                        jnp.concatenate([r_re, r_im], axis=1),
+                    ],
+                    axis=0,
+                )  # [3PG, 2K]
+            if nodot:  # fabrication: reuse Z rows, scalar dep on S
+                rec = jnp.concatenate([Z, Z[:F]], axis=0) + S[0, 0]
+            else:
+                rec = _dot3(S, wi_hi[...], wi_lo[...])  # [3PG, B] (o,j,s,m)
             L = (P - 1) * H + B
             GM = G * M
             for o in range(3):
                 rec_o = rec[o * F : (o + 1) * F]  # [PG, B] rows (j, s, m)
+                if nofold:  # fabrication: pad+add only, no shifted fold
+                    w = min(hw, B)
+                    emit = rec_o[:G, :w]
+                    if w < hw:
+                        emit = jnp.pad(emit, ((0, 0), (0, hw - w)))
+                    accs[o] = emit if accs[o] is None else accs[o] + emit
+                    if not noola:
+                        ola_out[bi][o][...] = jnp.where(
+                            ready,
+                            rec_o[:G] + ola_in[bi][o][...],
+                            ola_in[bi][o][...],
+                        )
+                    continue
                 acc = None
                 for j in range(NG):
                     # Group j's M frames are contiguous per stream: rows
@@ -211,19 +265,24 @@ def _build_pool_kernel(plan: PoolPlan):
                         flat, ((0, 0), (j * H, L - j * H - M * B))
                     )
                     acc = part if acc is None else acc + part
+                carry = 0.0 if noola else ola_in[bi][o][...]
                 if L > B:
                     full = jnp.concatenate(
-                        [acc[:, :B] + ola_in[bi][o][...], acc[:, B:]], axis=1
+                        [acc[:, :B] + carry, acc[:, B:]], axis=1
                     )  # [G, L]
                 else:  # P == 1: L == B and acc[:, B:] would be a zero-width
                     # slice, which Mosaic rejects ("positive constant sizes").
-                    full = acc + ola_in[bi][o][...]
+                    full = acc + carry
                 emit = full[:, : P * H]  # [G, hw]
                 accs[o] = emit if accs[o] is None else accs[o] + emit
-                tail = jnp.concatenate(
-                    [full[:, P * H :], jnp.zeros((G, H), jnp.float32)], axis=1
-                )
-                ola_out[bi][o][...] = jnp.where(ready, tail, ola_in[bi][o][...])
+                if not noola:
+                    tail = jnp.concatenate(
+                        [full[:, P * H :], jnp.zeros((G, H), jnp.float32)],
+                        axis=1,
+                    )
+                    ola_out[bi][o][...] = jnp.where(
+                        ready, tail, ola_in[bi][o][...]
+                    )
         zero = jnp.zeros((G, hw), jnp.float32)
         outC[...] = jnp.where(ready, accs[0], zero)
         outLs[...] = jnp.where(ready, accs[1], zero)
@@ -244,7 +303,8 @@ def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False
     """
     S, G = plan.n_streams, plan.group
     n_groups = S // G
-    w_arrays = plan.arrays()
+    now, noola = _PROF_NOW, _PROF_NOOLA
+    w_arrays = [] if now else plan.arrays()
 
     in_specs = [
         pl.BlockSpec((G, plan.window), lambda s: (s, 0), memory_space=pltpu.VMEM),
@@ -257,24 +317,30 @@ def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False
             pl.BlockSpec(w.shape, lambda s, z=zeros: z, memory_space=pltpu.VMEM)
         )
     ola_flat = []
-    for bi, b in enumerate(plan.buckets):
-        for o in range(3):
-            ola_flat.append(olas[bi][o])
-            in_specs.append(
-                pl.BlockSpec((G, b.B), lambda s: (s, 0), memory_space=pltpu.VMEM)
-            )
+    if not noola:
+        for bi, b in enumerate(plan.buckets):
+            for o in range(3):
+                ola_flat.append(olas[bi][o])
+                in_specs.append(
+                    pl.BlockSpec(
+                        (G, b.B), lambda s: (s, 0), memory_space=pltpu.VMEM
+                    )
+                )
 
     out_specs = [
         pl.BlockSpec((G, plan.hw), lambda s: (s, 0), memory_space=pltpu.VMEM)
         for _ in range(3)
     ]
     out_shapes = [jax.ShapeDtypeStruct((S, plan.hw), jnp.float32)] * 3
-    for b in plan.buckets:
-        for _ in range(3):
-            out_specs.append(
-                pl.BlockSpec((G, b.B), lambda s: (s, 0), memory_space=pltpu.VMEM)
-            )
-            out_shapes.append(jax.ShapeDtypeStruct((S, b.B), jnp.float32))
+    if not noola:
+        for b in plan.buckets:
+            for _ in range(3):
+                out_specs.append(
+                    pl.BlockSpec(
+                        (G, b.B), lambda s: (s, 0), memory_space=pltpu.VMEM
+                    )
+                )
+                out_shapes.append(jax.ShapeDtypeStruct((S, b.B), jnp.float32))
 
     call = pl.pallas_call(
         _build_pool_kernel(plan),
@@ -293,6 +359,8 @@ def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False
         *ola_flat,
     )
     outC, outLs, outRs = outs[0], outs[1], outs[2]
+    if noola:  # profiling: state passes through unchanged
+        return (outC, outLs, outRs), tuple(olas)
     new_olas = []
     pos = 3
     for _ in plan.buckets:
