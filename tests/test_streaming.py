@@ -458,7 +458,10 @@ def test_pallas_pool_snapshot_resume():
 def test_make_stream_pool_selection():
     # On the CPU test backend, auto picks the XLA engine; forcing pallas
     # builds the kernel pool (interpret mode); forcing xla always works;
-    # a mesh routes to the XLA engine (pallas is single-device).
+    # auto with a mesh routes to the hardware-proven XLA engine, while
+    # engine="pallas" with a mesh builds the shard_map'd pallas pool.
+    import jax as _jax
+
     from upmix_tpu.models.streaming import (
         BatchStreamingUpmixer,
         PallasStreamPool,
@@ -473,8 +476,15 @@ def test_make_stream_pool_selection():
     assert isinstance(
         make_stream_pool(cfg, HW, 8, engine="xla"), BatchStreamingUpmixer
     )
-    with pytest.raises(ValueError, match="single-device"):
-        make_stream_pool(cfg, HW, 8, engine="pallas", mesh=object())
+    mesh = _jax.sharding.Mesh(np.array(_jax.devices()[:2]), ("data",))
+    assert isinstance(
+        make_stream_pool(cfg, HW, 16, mesh=mesh), BatchStreamingUpmixer
+    )
+    sharded = make_stream_pool(cfg, HW, 16, engine="pallas", mesh=mesh)
+    assert isinstance(sharded, PallasStreamPool)
+    assert sharded.plan.n_streams == 8  # per-shard plan
+    with pytest.raises(ValueError, match="divide evenly"):
+        make_stream_pool(cfg, HW, 9, engine="pallas", mesh=mesh)
     with pytest.raises(ValueError, match="unknown engine"):
         make_stream_pool(cfg, HW, 8, engine="cuda")
 
@@ -547,3 +557,111 @@ def test_pallas_pool_profiling_flags_inert_by_default():
 
     (again_c, _, _), _ = pool_step_lcr(hist, hist, t, olas, plan, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(again_c))
+
+
+def test_pallas_pool_sharded_matches_unsharded():
+    # engine="pallas" with a mesh runs the kernel per device on its
+    # stream shard via shard_map; streams are independent, so the
+    # sharded pool must reproduce the single-device pool exactly.
+    import jax as _jax
+
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks = 16, 8
+    mesh = _jax.sharding.Mesh(np.array(_jax.devices()[:2]), ("data",))
+    rng = np.random.default_rng(11)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    plain = PallasStreamPool(cfg, HW, n_streams=S, group=8)
+    shard = PallasStreamPool(cfg, HW, n_streams=S, group=8, mesh=mesh)
+    for t in range(n_blocks):
+        a = plain.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        b = shard.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-6, rtol=0
+            )
+    # Slot churn keeps working on the sharded pool.
+    shard.reset_streams([0, 15])
+    c, ls, rs = shard.push_blocks(blocks[0, :, 0], blocks[0, :, 1])
+    assert np.all(np.isfinite(np.asarray(c)))
+
+
+def _nan_isolation_check(make_pool):
+    # One stream receiving NaN input must not contaminate its
+    # neighbours (rows are independent in both engines), and
+    # reset_streams must recover the poisoned slot.
+    cfg = _stream_cfg()
+    S, n_blocks = 8, 10
+    rng = np.random.default_rng(23)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    clean = make_pool(cfg)
+    dirty = make_pool(cfg)
+    for t in range(n_blocks):
+        cc, cls, crs = clean.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        bad = blocks[t].copy()
+        if t >= 5:
+            bad[2] = np.nan  # poison stream 2 from block 5 on
+        dc, dls, drs = dirty.push_blocks(bad[:, 0], bad[:, 1])
+        for cref, dgot in ((cc, dc), (cls, dls), (crs, drs)):
+            cref, dgot = np.asarray(cref), np.asarray(dgot)
+            ok = [i for i in range(S) if i != 2]
+            np.testing.assert_allclose(dgot[ok], cref[ok], atol=1e-6, rtol=0)
+        if t >= 5:
+            assert not np.all(np.isfinite(np.asarray(dc)[2]))
+    # Recover the poisoned slot: it re-warms (silent) then runs clean.
+    dirty.reset_streams([2])
+    for t in range(dirty.warmup_blocks + 1):
+        dc, dls, drs = dirty.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        assert np.all(np.isfinite(np.asarray(dc)))
+
+
+def test_batch_pool_nan_stream_isolation():
+    from upmix_tpu.models.streaming import BatchStreamingUpmixer
+
+    _nan_isolation_check(
+        lambda cfg: BatchStreamingUpmixer(cfg, HW, n_streams=8)
+    )
+
+
+def test_pallas_pool_nan_stream_isolation():
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    _nan_isolation_check(
+        lambda cfg: PallasStreamPool(cfg, HW, n_streams=8, group=8)
+    )
+
+
+def test_pallas_pool_checkpoint_with_orbax(tmp_path):
+    # The pallas pool's snapshot pytree round-trips through a real
+    # checkpointing library, like the XLA pool's (SURVEY.md §5
+    # checkpoint/resume) — restoring resumes bit-identically.
+    orbax = pytest.importorskip("orbax.checkpoint")
+    import jax
+    import jax.numpy as jnp
+
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks = 8, 8
+    rng = np.random.default_rng(47)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    pool = PallasStreamPool(cfg, HW, n_streams=S)
+    for blk in blocks[: n_blocks // 2]:
+        pool.push_blocks(blk[:, 0], blk[:, 1])
+    ckptr = orbax.PyTreeCheckpointer()
+    path = tmp_path / "pallas_pool_ckpt"
+    ckptr.save(path, pool.snapshot())
+    rest = [pool.push_blocks(blk[:, 0], blk[:, 1]) for blk in blocks[n_blocks // 2 :]]
+
+    pool2 = PallasStreamPool(cfg, HW, n_streams=S)
+    restored = ckptr.restore(path)
+    pool2.state = jax.tree.map(jnp.asarray, restored)
+    rest2 = [pool2.push_blocks(blk[:, 0], blk[:, 1]) for blk in blocks[n_blocks // 2 :]]
+    for (a, b, c), (x, y, z) in zip(rest, rest2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(x))
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(z))

@@ -380,6 +380,13 @@ class PallasStreamPool:
     histories, per-bucket LCR accumulators, per-stream block counters).
     Requires every bucket to be direct-DFT eligible — construction
     raises ValueError otherwise (use BatchStreamingUpmixer).
+
+    Pass a `mesh` with a 'data' axis to shard the pool across chips:
+    the kernel runs per device on its stream shard via shard_map —
+    streams are independent, so no collectives are inserted and
+    capacity scales linearly (n_streams/device must stay a multiple of
+    the group size).  Validated on the virtual multi-device mesh
+    (tests/test_streaming.py); single-chip numbers are in BASELINE.md.
     """
 
     def __init__(
@@ -389,19 +396,42 @@ class PallasStreamPool:
         n_streams: int,
         group: int = 16,
         interpret: bool | None = None,
+        mesh=None,
     ):
         from upmix_tpu.ops.pallas_pool import make_pool_plan, pool_step_lcr
 
         self.config = config
         self.hw_block_size = hw = int(hw_block_size)
         self.n_streams = int(n_streams)
+        self.mesh = mesh
         self.warmup_blocks = stream_warmup_blocks(config)
-        plan = make_pool_plan(config, hw, self.n_streams, group=group)
+        self._shardings = None
+        n_local = self.n_streams
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            d = mesh.shape.get("data", 1)
+            if self.n_streams % d:
+                raise ValueError(
+                    f"n_streams {self.n_streams} must divide evenly across "
+                    f"the mesh 'data' axis ({d})"
+                )
+            n_local = self.n_streams // d
+
+            def shard_like(a):
+                spec = PartitionSpec("data", *([None] * (a.ndim - 1)))
+                return NamedSharding(mesh, spec)
+
+            self._shardings = shard_like
+        # The kernel plan is PER-SHARD: each device runs the grid over
+        # its own n_local streams.
+        plan = make_pool_plan(config, hw, n_local, group=group)
         if plan is None:
             raise ValueError(
                 "config not eligible for the pallas pool kernel (a bucket's "
-                "direct-DFT weights are too wide, or n_streams is not a "
-                "multiple of the group size); use BatchStreamingUpmixer"
+                "direct-DFT weights are too wide, or n_streams per device "
+                "is not a multiple of the group size); use "
+                "BatchStreamingUpmixer"
             )
         self.plan = plan
         self._interpret = (
@@ -433,12 +463,30 @@ class PallasStreamPool:
                 (oc, ols, ors),
             )
 
+        if mesh is not None:
+            from jax.sharding import PartitionSpec
+
+            try:  # JAX >= 0.4.35 exposes shard_map at top level
+                from jax import shard_map as _shard_map
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map as _shard_map
+
+            # check_vma=False: the varying-mesh-axes check cannot see
+            # through pallas_call out_shapes (ShapeDtypeStruct has no
+            # vma); streams are independent so there is nothing to vary.
+            step = _shard_map(
+                step,
+                mesh=mesh,
+                in_specs=(PartitionSpec("data"), PartitionSpec("data")),
+                out_specs=(PartitionSpec("data"), PartitionSpec("data")),
+                check_vma=False,
+            )
         self._step = jax.jit(step, donate_argnums=(0,))
         self.state = self._fresh_state()
 
     def _fresh_state(self):
         S, W = self.n_streams, self.plan.window
-        return {
+        state = {
             "histL": jnp.zeros((S, W), jnp.float32),
             "histR": jnp.zeros((S, W), jnp.float32),
             "t": jnp.zeros((S,), jnp.int32),
@@ -449,6 +497,11 @@ class PallasStreamPool:
                 for b in self.plan.buckets
             },
         }
+        if self._shardings is not None:
+            state = jax.tree.map(
+                lambda a: jax.device_put(a, self._shardings(a)), state
+            )
+        return state
 
     def reset(self):
         self.state = self._fresh_state()
@@ -483,6 +536,8 @@ class PallasStreamPool:
                 f"{self.hw_block_size}] channel arrays; got stacked shape "
                 f"{tuple(x.shape)}"
             )
+        if self._shardings is not None:
+            x = jax.device_put(x, self._shardings(x))
         try:
             self.state, out = self._step(self.state, x)
         except Exception:
@@ -504,23 +559,24 @@ def make_stream_pool(
     ``engine="auto"`` picks the pallas pool kernel (PallasStreamPool)
     when the config is direct-DFT eligible, the backend is an
     accelerator, and no mesh is requested — measured ~6x the XLA pool's
-    capacity on v5e (12.6k vs 2k realtime streams/chip at the 48 kHz /
+    capacity on v5e (13.3k vs 2k realtime streams/chip at the 48 kHz /
     2048 Bela config).  Otherwise (CPU backend, mesh sharding, or an
     ineligible config) it returns the vmapped XLA engine
     (BatchStreamingUpmixer).  ``engine="pallas"`` / ``"xla"`` force the
-    choice; forcing pallas raises when ineligible.
+    choice; forcing pallas raises when ineligible.  ``engine="pallas"``
+    WITH a mesh shards the pallas pool over the mesh's 'data' axis via
+    shard_map (explicit opt-in: validated on the virtual mesh, not yet
+    on multi-chip hardware — 'auto' stays on the hardware-proven
+    choices).
     """
     if engine not in ("auto", "pallas", "xla"):
         raise ValueError(
             f"unknown engine {engine!r}; one of ('auto', 'pallas', 'xla')"
         )
     if engine == "pallas":
-        if mesh is not None:
-            raise ValueError(
-                "the pallas pool is single-device; use engine='xla' with a "
-                "mesh (streams shard communication-free over 'data')"
-            )
-        return PallasStreamPool(config, hw_block_size, n_streams, group=group)
+        return PallasStreamPool(
+            config, hw_block_size, n_streams, group=group, mesh=mesh
+        )
     if engine == "auto" and mesh is None and jax.default_backend() != "cpu":
         from upmix_tpu.ops.pallas_pool import make_pool_plan
 
