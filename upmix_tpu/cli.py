@@ -140,6 +140,34 @@ def build_parser() -> argparse.ArgumentParser:
         "compiled programs are reused across jobs (input must be '-')",
     )
     p.add_argument(
+        "--serve-stream",
+        type=int,
+        default=None,
+        metavar="PORT",
+        help="multi-client live-stream server: each TCP connection claims "
+        "one slot of a shared serving pool, ONE pool dispatch per hardware "
+        "block serves every live session (requires --sr; port 0 picks an "
+        "ephemeral port; input must be '-')",
+    )
+    p.add_argument(
+        "--streams",
+        type=int,
+        default=16,
+        help="stream-server pool size (concurrent sessions; default 16)",
+    )
+    p.add_argument(
+        "--serve-host",
+        default="127.0.0.1",
+        help="stream-server bind address (default 127.0.0.1)",
+    )
+    p.add_argument(
+        "--lockstep",
+        action="store_true",
+        help="stream-server dispatches when every live session has a block "
+        "queued (deterministic, for file-fed clients) instead of on the "
+        "wall clock",
+    )
+    p.add_argument(
         "--pipe",
         action="store_true",
         help="raw-PCM filter mode: interleaved float32 stereo on stdin -> "
@@ -241,6 +269,46 @@ def main(argv=None) -> int:
         # (no jobs, or at least one success); 1 when jobs came in and
         # every one of them failed.
         return 1 if (n_fail and not n_ok) else 0
+
+    if args.serve_stream is not None:
+        if args.pipe or args.streaming or args.serve:
+            raise SystemExit(
+                "error: --serve-stream is exclusive with --serve/--pipe/"
+                "--streaming"
+            )
+        if args.sr is None or args.sr <= 0:
+            raise SystemExit("error: --serve-stream requires a positive --sr")
+        if args.inputs != ["-"]:
+            raise SystemExit(
+                "error: --serve-stream takes no input files; pass '-'"
+            )
+        if args.streams < 1:
+            raise SystemExit("error: --streams must be >= 1")
+        from upmix_tpu.serve_stream import run_stream_server
+
+        server = run_stream_server(
+            args.serve_stream,
+            sr=args.sr,
+            n_streams=args.streams,
+            hw_block_size=args.hw_block,
+            band_edges=edges,
+            host=args.serve_host,
+            lockstep=args.lockstep,
+            window=args.window,
+            xover_mode=args.xover_mode,
+            threshold_factor=args.threshold_factor,
+            synthesis=args.synthesis or "analysis",
+            bin_rounding=args.bin_rounding or "cpp",
+        )
+        try:
+            import threading as _threading
+
+            _threading.Event().wait()  # serve until interrupted
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.close()
+        return 0
 
     if args.pipe:
         import sys as _sys
