@@ -11,6 +11,10 @@ Two ways this framework serves at scale beyond one-shot CLI runs:
    with an eligible config the factory returns the pallas pool kernel
    (~13k realtime sessions per v5e chip at B=2048); elsewhere the
    vmapped XLA engine (~2000 at B=128).  See BASELINE.md.
+3. `StreamServer` — the network front end for that pool (behind
+   `upmix-tpu - --serve-stream PORT`): each TCP connection claims a
+   slot and streams fixed-size float32 blocks; the client gets its
+   warmup-aligned result back, frame for frame.
 
     python examples/04_serving.py [workdir]
 """
@@ -70,4 +74,18 @@ print(f"pool: {B} streams, last block C peak per stream:",
       [round(float(np.abs(np.asarray(C[b])).max()), 4) for b in range(B)])
 assert np.abs(np.asarray(C[2])).max() == 0.0  # slot 2 still in warmup
 assert np.abs(np.asarray(C[0])).max() > 0.0
-print("multi-stream pool: slot churn verified (slot 2 re-warming)")
+print("multi-stream pool: slot churn verified (slot 2 re-warming)\n")
+
+# --- 3. live-stream server ---------------------------------------------
+from upmix_tpu.models.streaming import BatchStreamingUpmixer
+from upmix_tpu.serve_stream import StreamServer, stream_client
+
+server_pool = BatchStreamingUpmixer(cfg, HW, n_streams=B)
+with StreamServer(server_pool, lockstep=True) as srv:
+    n = 5 * HW
+    L = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    R = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    out_l, out_r = stream_client(*srv.address, L, R)
+    assert len(out_l) == n and np.isfinite(out_l).all()
+    print(f"stream server on {srv.address[0]}:{srv.address[1]}: "
+          f"{n} frames round-tripped, peak {np.abs(out_l).max():.3f}")

@@ -665,3 +665,53 @@ def test_pallas_pool_checkpoint_with_orbax(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(x))
         np.testing.assert_array_equal(np.asarray(b), np.asarray(y))
         np.testing.assert_array_equal(np.asarray(c), np.asarray(z))
+
+
+def test_pallas_pool_random_config_fuzz():
+    # Deterministic bounded fuzz over pool-eligible streaming configs:
+    # random edges, overlap in {0.5, 0.75}, hw blocks — the pallas pool
+    # (interpret) must match the vmapped XLA pool on every draw,
+    # covering both framing paths (grouped P%Kr==0 and one-group-per-
+    # pass) and both fold tails (P==1 no-tail vs L>B).
+    from upmix_tpu.models.streaming import BatchStreamingUpmixer, PallasStreamPool
+    from upmix_tpu.ops.pallas_pool import make_pool_plan
+
+    rng = np.random.default_rng(977)
+    eligible = 0
+    for trial in range(8):
+        sr = float(rng.choice([8000, 16000]))
+        n_edges = int(rng.integers(1, 4))
+        edges = [0.0] + sorted(
+            float(f) for f in rng.uniform(sr * 0.02, sr * 0.4, size=n_edges)
+        )
+        overlap = float(rng.choice([0.5, 0.75]))
+        hw = int(rng.choice([128, 256]))
+        cfg = UpmixConfig.make(
+            edges, sr=sr, overlap=overlap, max_block_size=hw * 2,
+            synthesis="analysis", bin_rounding="cpp",
+        )
+        S = 8
+        if make_pool_plan(cfg, hw, S, group=8) is None:
+            continue
+        eligible += 1
+        blocks = (
+            np.random.default_rng(200 + trial)
+            .standard_normal((6, S, 2, hw))
+            .astype(np.float32)
+            * 0.3
+        )
+        ref = BatchStreamingUpmixer(cfg, hw, n_streams=S)
+        pool = PallasStreamPool(cfg, hw, n_streams=S, group=8)
+        for t in range(6):
+            rc, rls, rrs = ref.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+            pc, pls, prs = pool.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+            want = np.stack([np.asarray(x) for x in (rc, rls, rrs)])
+            got = np.stack([np.asarray(x) for x in (pc, pls, prs)])
+            if np.abs(want).max() > 0:
+                assert snr_db(want, got) > 80.0, (
+                    f"trial {trial} block {t} (edges={edges}, ov={overlap}, "
+                    f"hw={hw})"
+                )
+            else:
+                np.testing.assert_allclose(got, want, atol=1e-6)
+    assert eligible >= 3, f"only {eligible} eligible draws — fuzz too weak"
