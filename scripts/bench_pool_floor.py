@@ -18,7 +18,6 @@ hardware blocks, interleaved min-of-visits.
     BENCH_B=2048 python scripts/bench_pool_floor.py
 """
 
-import functools
 import os
 import sys
 import time
@@ -129,9 +128,7 @@ def main():
 
             try:
                 fn = jax.jit(
-                    functools.partial(
-                        lambda st, bl, step=step: jax.lax.scan(step, st, bl)
-                    )
+                    lambda st, bl, step=step: jax.lax.scan(step, st, bl)
                 )
                 _, outs = fn(state0, blocks)
                 _ = float(np.asarray(jax.tree.leaves(outs)[0].ravel()[0]))

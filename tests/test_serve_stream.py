@@ -138,11 +138,11 @@ def test_pool_full_rejection():
         import socket
         import struct
 
-        from upmix_tpu.serve_stream import MAGIC_HELLO, MAGIC_REPLY
+        from upmix_tpu.serve_stream import MAGIC_HELLO, MAGIC_REPLY, _read_exact
 
         hold = socket.create_connection(srv.address, timeout=10)
         hold.sendall(MAGIC_HELLO + struct.pack("<II", 1, 0))
-        reply = hold.recv(20)
+        reply = _read_exact(hold, 20)
         assert reply[:4] == MAGIC_REPLY
         assert struct.unpack("<I", reply[4:8])[0] == 0  # accepted
 
@@ -225,3 +225,41 @@ def test_cli_serve_stream_round_trip(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_rst_abort_frees_slot_and_pool_keeps_serving():
+    # A client that dies with a TCP RST mid-stream (no clean half-close)
+    # must not leak its slot or stall the lockstep dispatcher: the
+    # server transitions the slot to draining on ANY reader exit path.
+    import socket
+    import struct
+
+    from upmix_tpu.serve_stream import MAGIC_HELLO, _read_exact
+
+    pool = BatchStreamingUpmixer(_cfg(), HW, n_streams=1)
+    with StreamServer(pool, lockstep=True) as srv:
+        rude = socket.create_connection(srv.address, timeout=10)
+        rude.sendall(MAGIC_HELLO + struct.pack("<II", 1, 0))
+        assert len(_read_exact(rude, 20)) == 20  # accepted
+        # Send 1.5 blocks then abort with RST (SO_LINGER zero).
+        junk = np.zeros(int(1.5 * HW * 2), np.float32).tobytes()
+        rude.sendall(junk)
+        rude.setsockopt(
+            socket.SOL_SOCKET, socket.SO_LINGER, struct.pack("ii", 1, 0)
+        )
+        rude.close()
+
+        # The single slot must free and the next client must complete.
+        import time
+
+        L, R = make_stereo(3 * HW, SR, seed=71)
+        L, R = L.astype(np.float32), R.astype(np.float32)
+        got = None
+        for _ in range(100):
+            try:
+                got = stream_client(*srv.address, L, R, timeout=30.0)
+                break
+            except ConnectionError:
+                time.sleep(0.1)
+        assert got is not None, "slot leaked after RST abort"
+        _check(got, _aligned_reference(L, R))

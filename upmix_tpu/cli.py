@@ -236,40 +236,6 @@ def main(argv=None) -> int:
 
     import time
 
-    if args.serve:
-        import sys as _sys
-
-        from upmix_tpu.app import run_jobs
-
-        if args.pipe or args.streaming:
-            raise SystemExit("error: --serve is exclusive with --pipe/--streaming")
-        if args.inputs != ["-"]:
-            raise SystemExit("error: --serve reads jobs from stdin; pass '-'")
-        # A job server sees arbitrary lengths: bucket them by default so a
-        # fresh length rarely pays a fresh compile.
-        serve_pad = args.pad_granularity if args.pad_granularity is not None else 2**16
-        n_ok, n_fail = run_jobs(
-            _sys.stdin,
-            _sys.stdout,
-            out_dir=args.out_dir,
-            export_mode=args.export_mode,
-            band_edges=edges,
-            overlap=args.overlap,
-            window=args.window,
-            xover_mode=args.xover_mode,
-            max_block_size=args.max_block_size,
-            threshold_factor=args.threshold_factor,
-            synthesis=args.synthesis or "wola",
-            bin_rounding=args.bin_rounding or "python",
-            subtype=args.subtype,
-            kernel=args.kernel,
-            pad_granularity=serve_pad,
-        )
-        # Exit status for supervisors: 0 when the stream was healthy
-        # (no jobs, or at least one success); 1 when jobs came in and
-        # every one of them failed.
-        return 1 if (n_fail and not n_ok) else 0
-
     if args.serve_stream is not None:
         if args.pipe or args.streaming or args.serve:
             raise SystemExit(
@@ -309,6 +275,40 @@ def main(argv=None) -> int:
         finally:
             server.close()
         return 0
+
+    if args.serve:
+        import sys as _sys
+
+        from upmix_tpu.app import run_jobs
+
+        if args.pipe or args.streaming:
+            raise SystemExit("error: --serve is exclusive with --pipe/--streaming")
+        if args.inputs != ["-"]:
+            raise SystemExit("error: --serve reads jobs from stdin; pass '-'")
+        # A job server sees arbitrary lengths: bucket them by default so a
+        # fresh length rarely pays a fresh compile.
+        serve_pad = args.pad_granularity if args.pad_granularity is not None else 2**16
+        n_ok, n_fail = run_jobs(
+            _sys.stdin,
+            _sys.stdout,
+            out_dir=args.out_dir,
+            export_mode=args.export_mode,
+            band_edges=edges,
+            overlap=args.overlap,
+            window=args.window,
+            xover_mode=args.xover_mode,
+            max_block_size=args.max_block_size,
+            threshold_factor=args.threshold_factor,
+            synthesis=args.synthesis or "wola",
+            bin_rounding=args.bin_rounding or "python",
+            subtype=args.subtype,
+            kernel=args.kernel,
+            pad_granularity=serve_pad,
+        )
+        # Exit status for supervisors: 0 when the stream was healthy
+        # (no jobs, or at least one success); 1 when jobs came in and
+        # every one of them failed.
+        return 1 if (n_fail and not n_ok) else 0
 
     if args.pipe:
         import sys as _sys

@@ -410,7 +410,12 @@ class PallasStreamPool:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            d = mesh.shape.get("data", 1)
+            if "data" not in mesh.shape:
+                raise ValueError(
+                    "the pallas pool shards streams over a 'data' mesh "
+                    f"axis; mesh has axes {tuple(mesh.shape)}"
+                )
+            d = mesh.shape["data"]
             if self.n_streams % d:
                 raise ValueError(
                     f"n_streams {self.n_streams} must divide evenly across "

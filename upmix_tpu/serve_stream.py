@@ -96,6 +96,7 @@ class StreamServer:
         port: int = 0,
         lockstep: bool = True,
         sr: float | None = None,
+        max_buffered_blocks: int = 32,
     ):
         self.pool = pool
         self.hw = int(pool.hw_block_size)
@@ -104,6 +105,7 @@ class StreamServer:
         if not lockstep and not sr:
             raise ValueError("realtime mode needs sr for the tick period")
         self.tick_period = (self.hw / float(sr)) if sr else None
+        self.max_buffered_blocks = int(max_buffered_blocks)
         self._slots = [_Slot() for _ in range(self.n_slots)]
         self._lock = threading.Lock()
         # Serializes every touch of the pool's donated state: the
@@ -164,7 +166,10 @@ class StreamServer:
                 if s.state == _ST_FREE:
                     s.state = _ST_ACTIVE
                     s.mix = mix
-                    s.inq = queue.Queue()
+                    # Bounded: a file-fed client cannot buffer its whole
+                    # signal server-side — the reader blocks and TCP
+                    # backpressure stalls the client instead.
+                    s.inq = queue.Queue(maxsize=self.max_buffered_blocks)
                     s.outq = queue.Queue()
                     s.in_frames = s.out_frames = 0
                     s.skip = (self.pool.warmup_blocks - 1) * self.hw
@@ -179,6 +184,8 @@ class StreamServer:
         self._wake.set()
 
     def _serve_conn(self, conn):
+        slot = None
+        writer = None
         try:
             hello = _read_exact(conn, 12)
             ok = (
@@ -219,16 +226,28 @@ class StreamServer:
                 x = np.frombuffer(raw, dtype="<f4").reshape(self.hw, 2)
                 with self._lock:
                     slot.in_frames += self.hw
-                    slot.inq.put(x)
+                # The put is OUTSIDE the server lock: the queue is
+                # bounded, and a blocking put while holding the lock
+                # would deadlock against the dispatcher (which needs
+                # the lock to consume).  Blocking here is the
+                # backpressure path — TCP stops reading, the client's
+                # send stalls, nothing buffers without bound.
+                slot.inq.put(x)
                 self._wake.set()
-            with self._lock:
-                if slot.state == _ST_ACTIVE:
-                    slot.state = _ST_DRAINING
-            self._wake.set()
-            writer.join()
         except (OSError, ValueError):
-            pass  # client gone; the dispatcher will release the slot
+            pass  # client gone mid-stream; drain below frees the slot
         finally:
+            # EVERY exit path (clean EOF, RST abort, failed sendall)
+            # must move an allocated slot to DRAINING, or the slot
+            # leaks and a lockstep dispatcher stalls the whole pool
+            # waiting for its next block.
+            if slot is not None:
+                with self._lock:
+                    if slot.state == _ST_ACTIVE:
+                        slot.state = _ST_DRAINING
+                self._wake.set()
+                if writer is not None:
+                    writer.join()
             try:
                 conn.close()
             except OSError:
@@ -268,8 +287,11 @@ class StreamServer:
         return any_live
 
     def _dispatch_loop(self):
+        import time as _time
+
         hw = self.hw
         zeros = np.zeros(hw, np.float32)
+        next_tick = None
         while not self._stop.is_set():
             if self.lockstep:
                 with self._lock:
@@ -279,10 +301,25 @@ class StreamServer:
                     self._wake.clear()
                     continue
             else:
-                self._stop.wait(self.tick_period)
+                # Deadline-based tick: the period is measured deadline to
+                # deadline, so dispatch time does not stretch the block
+                # rate (sleep-then-work would run period + work_time per
+                # block and fall behind real time without bound).
+                now = _time.monotonic()
+                if next_tick is None:
+                    next_tick = now + self.tick_period
+                elif next_tick > now:
+                    self._stop.wait(next_tick - now)
+                    next_tick += self.tick_period
+                else:  # fell behind (e.g. a compile): don't burst-spin
+                    next_tick = now + self.tick_period
                 with self._lock:
-                    if not any(s.state != _ST_FREE for s in self._slots):
-                        continue
+                    idle = not any(s.state != _ST_FREE for s in self._slots)
+                if idle:
+                    next_tick = None  # re-anchor the clock on next client
+                    self._wake.wait(timeout=self.tick_period)
+                    self._wake.clear()
+                    continue
             in_l = [zeros] * self.n_slots
             in_r = [zeros] * self.n_slots
             live = []
