@@ -341,6 +341,11 @@ class StreamServer:
                 )
             c, ls, rs = np.asarray(c), np.asarray(ls), np.asarray(rs)
             self.stats["blocks"] += 1
+            # Mix once, vectorized over the whole pool; the per-slot loop
+            # below only slices and frames (matters on a busy host: the
+            # dispatcher is one thread serving every session).
+            half_c = 0.5 * c
+            mix_l, mix_r = ls + half_c, rs + half_c
             for i, s, gen in live:
                 with self._lock:
                     if s.gen != gen or s.state == _ST_FREE:
@@ -348,9 +353,7 @@ class StreamServer:
                     if MIX_MODES[s.mix] == "lcr":
                         out = np.column_stack([c[i], ls[i], rs[i]])
                     else:
-                        out = np.column_stack(
-                            [ls[i] + 0.5 * c[i], rs[i] + 0.5 * c[i]]
-                        )
+                        out = np.column_stack([mix_l[i], mix_r[i]])
                     if s.skip:
                         k = min(s.skip, len(out))
                         out = out[k:]
