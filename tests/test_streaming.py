@@ -588,6 +588,94 @@ def test_pallas_pool_sharded_matches_unsharded():
     assert np.all(np.isfinite(np.asarray(c)))
 
 
+def test_pallas_pool_quarters_matches_window():
+    # The quarters history layout (no per-block shift copy — the input
+    # block IS the newest quarter, rotation is buffer rebinding under
+    # donation) must be BIT-identical to the window layout, including
+    # warmup silence and slot churn mid-run.
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks = 16, 12
+    rng = np.random.default_rng(29)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    w = PallasStreamPool(cfg, HW, n_streams=S, group=8, layout="window")
+    q = PallasStreamPool(cfg, HW, n_streams=S, group=8, layout="quarters")
+    assert q.layout == "quarters"
+    for t in range(n_blocks):
+        if t == n_blocks // 2:
+            w.reset_streams([3, 12])
+            q.reset_streams([3, 12])
+        a = w.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        b = q.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        if t < q.warmup_blocks - 1:
+            assert np.abs(np.asarray(b[0])).max() == 0.0
+
+
+def test_pallas_pool_restore_cross_layout():
+    # restore() accepts a snapshot from EITHER history layout: the
+    # window layout's oldest hw samples are dead state, so the two
+    # formats carry the same live information and cross-restores resume
+    # bit-identically.
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks = 8, 8
+    rng = np.random.default_rng(31)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    w = PallasStreamPool(cfg, HW, n_streams=S, layout="window")
+    q = PallasStreamPool(cfg, HW, n_streams=S, layout="quarters")
+    for blk in blocks[: n_blocks // 2]:
+        w.push_blocks(blk[:, 0], blk[:, 1])
+        q.push_blocks(blk[:, 0], blk[:, 1])
+    snap_w, snap_q = w.snapshot(), q.snapshot()
+
+    # window-format snapshot -> quarters pool, and vice versa.
+    q2 = PallasStreamPool(cfg, HW, n_streams=S, layout="quarters")
+    q2.restore(snap_w)
+    w2 = PallasStreamPool(cfg, HW, n_streams=S, layout="window")
+    w2.restore(snap_q)
+    # Same-layout restores keep working too.
+    q3 = PallasStreamPool(cfg, HW, n_streams=S, layout="quarters")
+    q3.restore(snap_q)
+    for blk in blocks[n_blocks // 2 :]:
+        ref = w.push_blocks(blk[:, 0], blk[:, 1])
+        for pool in (q2, w2, q3):
+            got = pool.push_blocks(blk[:, 0], blk[:, 1])
+            for x, y in zip(ref, got):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pallas_pool_quarters_sharded():
+    # layout="quarters" composes with mesh sharding (tuple-of-quarters
+    # state leaves shard over 'data' like every other leaf).
+    import jax as _jax
+
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks = 16, 8
+    mesh = _jax.sharding.Mesh(np.array(_jax.devices()[:2]), ("data",))
+    rng = np.random.default_rng(37)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    plain = PallasStreamPool(cfg, HW, n_streams=S, group=8, layout="quarters")
+    shard = PallasStreamPool(
+        cfg, HW, n_streams=S, group=8, mesh=mesh, layout="quarters"
+    )
+    for t in range(n_blocks):
+        a = plain.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        b = shard.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-6, rtol=0
+            )
+
+
 def _nan_isolation_check(make_pool):
     # One stream receiving NaN input must not contaminate its
     # neighbours (rows are independent in both engines), and

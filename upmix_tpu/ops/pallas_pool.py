@@ -137,7 +137,27 @@ def make_pool_plan(
     )
 
 
-def _build_pool_kernel(plan: PoolPlan):
+def _read_span(qrefs, start: int, stop: int, hw: int):
+    """Value [G, stop-start) of the logical history window held as
+    per-quarter refs (each [G, hw], oldest -> newest): static per-quarter
+    slices concatenated along the lane axis."""
+    segs = []
+    pos = start
+    while pos < stop:
+        q, a = divmod(pos, hw)
+        b = min(hw, stop - q * hw)
+        seg = qrefs[q][:, a:b] if (a, b) != (0, hw) else qrefs[q][...]
+        segs.append(seg)
+        pos = q * hw + b
+    return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
+
+
+def _build_pool_kernel(plan: PoolPlan, nq: int | None = None):
+    """Pool kernel body.  nq=None: one [G, window] history ref per
+    channel (the wrapper shifts the window in XLA each block).  nq=k:
+    the history arrives as k [G, hw] QUARTER refs per channel in logical
+    order oldest->newest, the newest being the current input block — no
+    per-block shift copy anywhere (CLAUDE.md round-4 candidate #2)."""
     hw, G = plan.hw, plan.group
     buckets = plan.buckets
     counts = [len(b.arrays) for b in buckets]
@@ -149,9 +169,15 @@ def _build_pool_kernel(plan: PoolPlan):
     nomask = _PROF_NOMASK or now
 
     def kernel(*refs):
-        histL, histR = refs[0], refs[1]  # [G, window]
-        t_ref = refs[2]  # [G, 1] int32 — blocks seen (AFTER this one)
-        pos = 3
+        if nq is None:
+            histL, histR = refs[0], refs[1]  # [G, window]
+            pos = 2
+        else:
+            histL = refs[:nq]  # nq x [G, hw], oldest -> newest
+            histR = refs[nq : 2 * nq]
+            pos = 2 * nq
+        t_ref = refs[pos]  # [G, 1] int32 — blocks seen (AFTER this one)
+        pos += 1
         wrefs = []
         for c in counts:
             if now:
@@ -205,10 +231,33 @@ def _build_pool_kernel(plan: PoolPlan):
                 NG, M = Kr, P // Kr
             else:
                 NG, M = P, 1
+            if nq is not None:
+                # Quarter-held history: group slices may span quarter
+                # boundaries -> lane-axis concat of per-quarter slices.
+                # When the slice offsets (j*H) are not 128-lane-aligned
+                # (e.g. the H=64 bucket), Mosaic's concat rules are the
+                # risk (CLAUDE.md) — pre-materialize ONE aligned base
+                # value covering the bucket's span and slice groups from
+                # it instead (the base concat's inputs are whole/aligned
+                # quarter slices).
+                needed = (NG - 1) * H + M * B
+                if H % 128 == 0 and hw % 128 == 0:
+                    srcL = srcR = None
+                else:
+                    unit = hw if hw % 128 else 128
+                    blen = min(plan.window, -(-needed // unit) * unit)
+                    srcL = _read_span(histL, 0, blen, hw)
+                    srcR = _read_span(histR, 0, blen, hw)
             zs = []
-            for ch_ref in (histL, histR):
+            for ci, ch_ref in enumerate((histL, histR)):
                 for j in range(NG):
-                    flat = ch_ref[:, j * H : j * H + M * B]  # [G, M*B]
+                    if nq is None:
+                        flat = ch_ref[:, j * H : j * H + M * B]  # [G, M*B]
+                    elif srcL is not None:
+                        src = srcL if ci == 0 else srcR
+                        flat = src[:, j * H : j * H + M * B]
+                    else:
+                        flat = _read_span(ch_ref, j * H, j * H + M * B, hw)
                     zs.append(flat.reshape(G * M, B))
             Z = jnp.concatenate(zs, axis=0)  # [2*P*G, B] rows (ch, j, s, m)
             F = P * G
@@ -294,23 +343,47 @@ def _build_pool_kernel(plan: PoolPlan):
 def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False):
     """One hardware block for every stream.
 
-    histL/histR: [S, window] float32 — the UPDATED shared history whose
-    last hw samples are the current input block.  t: [S] int32 — blocks
-    seen per stream INCLUDING this one (warmup gating happens in the
-    kernel: streams with t < K emit silence and hold their OLA state).
-    olas: per bucket a tuple of three [S, B] accumulators (C, Ls, Rs).
-    Returns (outC, outLs, outRs) each [S, hw] and the new olas structure.
+    histL/histR: either [S, window] float32 — the UPDATED shared history
+    whose last hw samples are the current input block — or a
+    tuple/list of window//hw QUARTER arrays [S, hw] in logical order
+    oldest->newest (the newest being the current input block; the
+    quarters layout needs no per-block shift copy).  t: [S] int32 —
+    blocks seen per stream INCLUDING this one (warmup gating happens in
+    the kernel: streams with t < K emit silence and hold their OLA
+    state).  olas: per bucket a tuple of three [S, B] accumulators
+    (C, Ls, Rs).  Returns (outC, outLs, outRs) each [S, hw] and the new
+    olas structure.
     """
     S, G = plan.n_streams, plan.group
     n_groups = S // G
     now, noola = _PROF_NOW, _PROF_NOOLA
     w_arrays = [] if now else plan.arrays()
 
-    in_specs = [
-        pl.BlockSpec((G, plan.window), lambda s: (s, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, plan.window), lambda s: (s, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, 1), lambda s: (s, 0), memory_space=pltpu.VMEM),
-    ]
+    quarters = isinstance(histL, (tuple, list))
+    if quarters:
+        nq = plan.window // plan.hw
+        if len(histL) != nq or len(histR) != nq:
+            raise ValueError(
+                f"quarters layout needs {nq} [S, hw] arrays per channel; "
+                f"got {len(histL)}/{len(histR)}"
+            )
+        hist_args = [*histL, *histR]
+        in_specs = [
+            pl.BlockSpec((G, plan.hw), lambda s: (s, 0), memory_space=pltpu.VMEM)
+            for _ in hist_args
+        ]
+    else:
+        nq = None
+        hist_args = [histL, histR]
+        in_specs = [
+            pl.BlockSpec(
+                (G, plan.window), lambda s: (s, 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(2)
+        ]
+    in_specs.append(
+        pl.BlockSpec((G, 1), lambda s: (s, 0), memory_space=pltpu.VMEM)
+    )
     for w in w_arrays:
         zeros = (0,) * w.ndim
         in_specs.append(
@@ -343,7 +416,7 @@ def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False
                 out_shapes.append(jax.ShapeDtypeStruct((S, b.B), jnp.float32))
 
     call = pl.pallas_call(
-        _build_pool_kernel(plan),
+        _build_pool_kernel(plan, nq=nq),
         grid=(n_groups,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -352,8 +425,7 @@ def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False
         interpret=interpret,
     )
     outs = call(
-        histL,
-        histR,
+        *hist_args,
         jnp.asarray(t, jnp.int32).reshape(S, 1),
         *[jnp.asarray(w) for w in w_arrays],
         *ola_flat,
