@@ -9,7 +9,7 @@ Two ways this framework serves at scale beyond one-shot CLI runs:
 2. `make_stream_pool` — many concurrent live streams through ONE
    launch per hardware block, with per-slot session churn.  On a TPU
    with an eligible config the factory returns the pallas pool kernel
-   (~17k realtime sessions per v5e chip at B=2048); elsewhere the
+   (~19k realtime sessions per v5e chip at B=4096); elsewhere the
    vmapped XLA engine (~2000 at B=128).  See BASELINE.md.
 3. `StreamServer` — the network front end for that pool (behind
    `upmix-tpu - --serve-stream PORT`): each TCP connection claims a

@@ -789,12 +789,20 @@ def test_pallas_pool_random_config_fuzz():
             * 0.3
         )
         ref = BatchStreamingUpmixer(cfg, hw, n_streams=S)
-        pool = PallasStreamPool(cfg, hw, n_streams=S, group=8)
+        pool = PallasStreamPool(cfg, hw, n_streams=S, group=8)  # quarters
+        wpool = PallasStreamPool(cfg, hw, n_streams=S, group=8,
+                                 layout="window")
         for t in range(6):
             rc, rls, rrs = ref.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
             pc, pls, prs = pool.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+            wc, wls, wrs = wpool.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
             want = np.stack([np.asarray(x) for x in (rc, rls, rrs)])
             got = np.stack([np.asarray(x) for x in (pc, pls, prs)])
+            # The two history layouts must agree BIT-for-bit on every
+            # draw (covers nq=2 at 50% overlap, cross-quarter spans,
+            # and the unaligned-hop base path of _read_span).
+            gotw = np.stack([np.asarray(x) for x in (wc, wls, wrs)])
+            np.testing.assert_array_equal(got, gotw)
             if np.abs(want).max() > 0:
                 assert snr_db(want, got) > 80.0, (
                     f"trial {trial} block {t} (edges={edges}, ov={overlap}, "
