@@ -7,6 +7,12 @@ dependency chain), min over visits, one tiny scalar fetch per visit.
 
     python scripts/bench_pool_pallas.py            # B=128 both engines
     BENCH_B=256 python scripts/bench_pool_pallas.py
+
+Note: this script A/Bs the pallas KERNEL against the vmapped XLA pool
+with both on the (legacy) window history layout, scan-driven.  The
+history-layout A/B (quarters vs window — quarters is the production
+default) lives in scripts/bench_pool_quarters.py; the group-size sweep
+in scripts/bench_pool_group.py.
 """
 
 import os

@@ -811,3 +811,139 @@ def test_pallas_pool_random_config_fuzz():
             else:
                 np.testing.assert_allclose(got, want, atol=1e-6)
     assert eligible >= 3, f"only {eligible} eligible draws — fuzz too weak"
+
+
+def test_pallas_pool_spectral_matches_time():
+    # ola="spectral" carries the last Kr-1 frames' masked spectra and
+    # emits each output hop as ONE dot of the stacked spectra window
+    # against the rearranged inverse weight (ops/pallas_pool.py
+    # _spectral_bucket) — no [3PG, B] rec, no fold, no [S, B] carries.
+    # It must match the time-OLA pool to float tolerance (different
+    # summation order, same math) on BOTH history layouts, including
+    # warmup silence and slot churn; the two history layouts must agree
+    # bit-for-bit with each other.
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks = 16, 12
+    rng = np.random.default_rng(53)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    t_pool = PallasStreamPool(cfg, HW, n_streams=S, group=8)
+    s_q = PallasStreamPool(cfg, HW, n_streams=S, group=8, ola="spectral")
+    s_w = PallasStreamPool(
+        cfg, HW, n_streams=S, group=8, ola="spectral", layout="window"
+    )
+    assert s_q.ola == "spectral" and s_q.plan.ola == "spectral"
+    for t in range(n_blocks):
+        if t == n_blocks // 2:
+            for p in (t_pool, s_q, s_w):
+                p.reset_streams([2, 9])
+        want = t_pool.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        a = s_q.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        b = s_w.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        for x, y, z in zip(want, a, b):
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(x), atol=2e-5, rtol=0
+            )
+            np.testing.assert_array_equal(np.asarray(y), np.asarray(z))
+        if t < s_q.warmup_blocks - 1:
+            assert np.abs(np.asarray(a[0])).max() == 0.0
+
+
+def test_pallas_pool_spectral_snapshot_and_cross_mode_guard():
+    # Same-mode snapshot/restore resumes bit-identically; restoring a
+    # spectral snapshot into a time pool (or vice versa) raises — the
+    # spectral carry is not derivable from time-domain OLA accumulators.
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks = 8, 8
+    rng = np.random.default_rng(59)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    pool = PallasStreamPool(cfg, HW, n_streams=S, ola="spectral")
+    for blk in blocks[: n_blocks // 2]:
+        pool.push_blocks(blk[:, 0], blk[:, 1])
+    snap = pool.snapshot()
+    rest = [
+        pool.push_blocks(blk[:, 0], blk[:, 1])
+        for blk in blocks[n_blocks // 2 :]
+    ]
+
+    pool2 = PallasStreamPool(cfg, HW, n_streams=S, ola="spectral")
+    pool2.restore(snap)
+    rest2 = [
+        pool2.push_blocks(blk[:, 0], blk[:, 1])
+        for blk in blocks[n_blocks // 2 :]
+    ]
+    for (a, b, c), (x, y, z) in zip(rest, rest2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(x))
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(z))
+
+    t_pool = PallasStreamPool(cfg, HW, n_streams=S)
+    with pytest.raises(ValueError, match="OLA format"):
+        t_pool.restore(snap)
+    with pytest.raises(ValueError, match="OLA format"):
+        pool2.restore(t_pool.snapshot())
+
+
+def test_pallas_pool_spectral_nan_stream_isolation():
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    _nan_isolation_check(
+        lambda cfg: PallasStreamPool(
+            cfg, HW, n_streams=8, group=8, ola="spectral"
+        )
+    )
+
+
+def test_pallas_pool_spectral_random_config_fuzz():
+    # The spectral-OLA dataflow against the time-OLA pool over random
+    # pool-eligible configs: covers Kr=2 (50% overlap), sub-128-lane
+    # hops (Q>1 hop pairing), P==1 single-window buckets, and window
+    # slots that exactly fill the carry.
+    from upmix_tpu.models.streaming import PallasStreamPool
+    from upmix_tpu.ops.pallas_pool import make_pool_plan
+
+    rng = np.random.default_rng(991)
+    eligible = 0
+    for trial in range(8):
+        sr = float(rng.choice([8000, 16000]))
+        n_edges = int(rng.integers(1, 4))
+        edges = [0.0] + sorted(
+            float(f) for f in rng.uniform(sr * 0.02, sr * 0.4, size=n_edges)
+        )
+        overlap = float(rng.choice([0.5, 0.75]))
+        hw = int(rng.choice([128, 256]))
+        cfg = UpmixConfig.make(
+            edges, sr=sr, overlap=overlap, max_block_size=hw * 2,
+            synthesis="analysis", bin_rounding="cpp",
+        )
+        S = 8
+        if make_pool_plan(cfg, hw, S, group=8, ola="spectral") is None:
+            continue
+        eligible += 1
+        blocks = (
+            np.random.default_rng(300 + trial)
+            .standard_normal((6, S, 2, hw))
+            .astype(np.float32)
+            * 0.3
+        )
+        t_pool = PallasStreamPool(cfg, hw, n_streams=S, group=8)
+        s_pool = PallasStreamPool(
+            cfg, hw, n_streams=S, group=8, ola="spectral"
+        )
+        for t in range(6):
+            want = t_pool.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+            got = s_pool.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+            for x, y in zip(want, got):
+                np.testing.assert_allclose(
+                    np.asarray(y), np.asarray(x), atol=2e-5, rtol=0,
+                    err_msg=(
+                        f"trial {trial} block {t} (edges={edges}, "
+                        f"ov={overlap}, hw={hw})"
+                    ),
+                )
+    assert eligible >= 3, f"only {eligible} eligible draws — fuzz too weak"

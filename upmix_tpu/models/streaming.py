@@ -396,6 +396,20 @@ class PallasStreamPool:
     - ``layout="window"``: one [S, warmup*hw] buffer per channel,
       shifted in XLA each block (the round-2/3 layout).
 
+    Two OLA dataflows (``ola=``):
+
+    - ``"time"`` (default): per-bucket [S, B] C/Ls/Rs accumulators,
+      shifted-pad fold in the kernel (the proven round-3 form).
+    - ``"spectral"``: carry the last Kr-1 frames' MASKED SPECTRA
+      (packed [S, 3*(Kr-1)*kp], a few KB/stream) and emit each output
+      hop as one dot of the stacked spectra window against a
+      column-rearrangement of the baked inverse weight — same MAC
+      count, but no [3PG, B] rec materialization, no fold, no [S, B]
+      carries (the largest VPU-materialization items, DESIGN.md §6).
+      Output matches "time" to float tolerance (different summation
+      order), NOT bit-exactly; snapshots do not restore across OLA
+      modes.
+
     Pass a `mesh` with a 'data' axis to shard the pool across chips:
     the kernel runs per device on its stream shard via shard_map —
     streams are independent, so no collectives are inserted and
@@ -413,6 +427,7 @@ class PallasStreamPool:
         interpret: bool | None = None,
         mesh=None,
         layout: str = "quarters",
+        ola: str = "time",
     ):
         from upmix_tpu.ops.pallas_pool import make_pool_plan, pool_step_lcr
 
@@ -426,7 +441,12 @@ class PallasStreamPool:
                 f"unknown history layout {layout!r}; one of "
                 "('window', 'quarters')"
             )
+        if ola not in ("time", "spectral"):
+            raise ValueError(
+                f"unknown ola mode {ola!r}; one of ('time', 'spectral')"
+            )
         self.layout = layout
+        self.ola = ola
         self._shardings = None
         n_local = self.n_streams
         if mesh is not None:
@@ -452,7 +472,7 @@ class PallasStreamPool:
             self._shardings = shard_like
         # The kernel plan is PER-SHARD: each device runs the grid over
         # its own n_local streams.
-        plan = make_pool_plan(config, hw, n_local, group=group)
+        plan = make_pool_plan(config, hw, n_local, group=group, ola=ola)
         if plan is None:
             raise ValueError(
                 "config not eligible for the pallas pool kernel (a bucket's "
@@ -481,10 +501,13 @@ class PallasStreamPool:
                 histL = jnp.concatenate([state["histL"][:, hw:], xl], axis=1)
                 histR = jnp.concatenate([state["histR"][:, hw:], xr], axis=1)
             t = state["t"] + 1
-            olas = tuple(
-                tuple(state["ola"][str(b.B)][o] for o in range(3))
-                for b in plan.buckets
-            )
+            if ola == "spectral":
+                olas = tuple(state["ola"][str(b.B)] for b in plan.buckets)
+            else:
+                olas = tuple(
+                    tuple(state["ola"][str(b.B)][o] for o in range(3))
+                    for b in plan.buckets
+                )
             # Warmup gating happens IN the kernel (per stream): not-ready
             # streams emit silence and hold their OLA carries.
             (oc, ols, ors), new_olas = pool_step_lcr(
@@ -549,15 +572,22 @@ class PallasStreamPool:
                 "histL": jnp.zeros((S, W), jnp.float32),
                 "histR": jnp.zeros((S, W), jnp.float32),
             }
-        state = {
-            **hist,
-            "t": jnp.zeros((S,), jnp.int32),
-            "ola": {
+        if self.ola == "spectral":
+            carries = {
+                str(b.B): jnp.zeros((S, b.spec_width), jnp.float32)
+                for b in self.plan.buckets
+            }
+        else:
+            carries = {
                 str(b.B): tuple(
                     jnp.zeros((S, b.B), jnp.float32) for _ in range(3)
                 )
                 for b in self.plan.buckets
-            },
+            }
+        state = {
+            **hist,
+            "t": jnp.zeros((S,), jnp.int32),
+            "ola": carries,
         }
         if self._shardings is not None:
             state = jax.tree.map(
@@ -597,6 +627,21 @@ class PallasStreamPool:
         hw = self.hw_block_size
         nq = self.plan.window // hw
         snap = dict(snap)
+        carries = snap.get("ola", {})
+        snap_spectral = any(
+            not isinstance(v, (tuple, list)) for v in carries.values()
+        )
+        if snap_spectral != (self.ola == "spectral"):
+            # The spectral carry (last Kr-1 frames' masked spectra) is
+            # not derivable from time-domain OLA accumulators (nor vice
+            # versa) — the history window is too short to recompute the
+            # older frames.  Snapshots only restore into pools of the
+            # same OLA mode.
+            raise ValueError(
+                "snapshot OLA format "
+                f"({'spectral' if snap_spectral else 'time'}) does not "
+                f"match this pool's ola={self.ola!r}"
+            )
         for key in ("histL", "histR"):
             h = snap[key]
             if isinstance(h, (tuple, list)):  # quarters-format snapshot
@@ -650,6 +695,7 @@ def make_stream_pool(
     mesh=None,
     group: int = 16,
     layout: str = "quarters",
+    ola: str = "time",
 ):
     """Build the best serving pool for this config and device.
 
@@ -673,17 +719,21 @@ def make_stream_pool(
     if engine == "pallas":
         return PallasStreamPool(
             config, hw_block_size, n_streams, group=group, mesh=mesh,
-            layout=layout,
+            layout=layout, ola=ola,
         )
     if engine == "auto" and mesh is None and jax.default_backend() != "cpu":
         from upmix_tpu.ops.pallas_pool import make_pool_plan
 
         if (
-            make_pool_plan(config, int(hw_block_size), int(n_streams), group=group)
+            make_pool_plan(
+                config, int(hw_block_size), int(n_streams), group=group,
+                ola=ola,
+            )
             is not None
         ):
             return PallasStreamPool(
-                config, hw_block_size, n_streams, group=group, layout=layout
+                config, hw_block_size, n_streams, group=group, layout=layout,
+                ola=ola,
             )
     return BatchStreamingUpmixer(config, hw_block_size, n_streams, mesh=mesh)
 

@@ -62,13 +62,27 @@ class _PoolBucket:
     P: int  # passes per hw block
     wf_hi: np.ndarray  # [B, 2K] bf16
     wf_lo: np.ndarray
-    wi_hi: np.ndarray  # [2K, B] bf16
+    wi_hi: np.ndarray  # [2K, B] bf16 (time-OLA inverse; None in spectral mode)
     wi_lo: np.ndarray
     gains: np.ndarray  # [nb, K] f32
+    # Spectral-OLA fields (ola="spectral" plans only, else None/0):
+    Kr: int = 0  # frames overlapping one hop = B // H
+    kp: int = 0  # 2K padded up to a 128-lane multiple
+    Q: int = 0  # hops emitted per inverse dot (Q*H >= 128, Q | P)
+    wq_hi: np.ndarray | None = None  # [(Q+Kr-1)*kp, Q*H] bf16 window-dot pair
+    wq_lo: np.ndarray | None = None
 
     @property
     def arrays(self):
+        if self.wq_hi is not None:
+            return (self.wf_hi, self.wf_lo, self.wq_hi, self.wq_lo, self.gains)
         return (self.wf_hi, self.wf_lo, self.wi_hi, self.wi_lo, self.gains)
+
+    @property
+    def spec_width(self):
+        """Spectral-carry lanes per stream: 3 outputs x (Kr-1) frame
+        slots x kp padded spectrum lanes."""
+        return 3 * (self.Kr - 1) * self.kp
 
 
 @dataclass(frozen=True)
@@ -78,6 +92,8 @@ class PoolPlan:
     n_streams: int
     group: int  # streams per grid step
     buckets: tuple
+    ola: str = "time"  # "time": [S, B] LCR accumulators; "spectral":
+    # carry the last Kr-1 frames' masked spectra instead (DESIGN.md §6)
 
     def arrays(self):
         out = []
@@ -92,11 +108,23 @@ def make_pool_plan(
     n_streams: int,
     group: int = 16,
     weight_limit: int = 8 << 20,
+    ola: str = "time",
 ):
     """Build the pool-kernel plan, or return None when a bucket is not
-    direct-DFT eligible (the caller falls back to the XLA engine)."""
+    direct-DFT eligible (the caller falls back to the XLA engine).
+
+    ola="spectral" builds the spectral-carry variant: the per-bucket
+    state is the last Kr-1 frames' masked spectra instead of [S, B]
+    time-domain OLA accumulators, and each output hop is ONE dot of the
+    stacked frame-spectra window against a column-rearrangement of the
+    baked inverse weight — same MAC count, but the [3PG, B] `rec`
+    materialization and the shifted-pad fold disappear (they were the
+    two largest VPU-materialization items in the pool floor
+    decomposition, DESIGN.md §6)."""
     from upmix_tpu.models.streaming import stream_warmup_blocks
 
+    if ola not in ("time", "spectral"):
+        raise ValueError(f"unknown ola mode {ola!r}")
     warmup = stream_warmup_blocks(config)
     hw = int(hw_block_size)
     group = max(8, min(group, n_streams))
@@ -121,20 +149,67 @@ def make_pool_plan(
             sw = aw
         dplan = make_direct_plan(block_size, lo, hi, aw, sw)
         wf_hi, wf_lo = _split_bf16(dplan.w_fwd)
-        wi_hi, wi_lo = _split_bf16(dplan.w_inv)
+        spectral = {}
+        if ola == "spectral":
+            spectral = _spectral_bucket_fields(
+                dplan, block_size, hop, hw, weight_limit
+            )
+            if spectral is None:
+                return None  # no legal Q / weights too wide — XLA engine
+            wi_hi = wi_lo = None
+        else:
+            wi_hi, wi_lo = _split_bf16(dplan.w_inv)
         buckets.append(
             _PoolBucket(
                 B=block_size, H=hop, P=hw // hop,
                 wf_hi=wf_hi, wf_lo=wf_lo, wi_hi=wi_hi, wi_lo=wi_lo,
                 gains=np.asarray(gains[:, lo : hi + 1], np.float32),
+                **spectral,
             )
         )
     if not buckets:
         return None
     return PoolPlan(
         hw=hw, window=warmup * hw, n_streams=int(n_streams), group=group,
-        buckets=tuple(buckets),
+        buckets=tuple(buckets), ola=ola,
     )
+
+
+def _spectral_bucket_fields(dplan, B: int, H: int, hw: int, weight_limit: int):
+    """Window-dot weight for spectral-OLA: the frame-spectra window for
+    hops [dQ, dQ+Q) spans slots dQ..dQ+Q+Kr-2 of the (carry ++ new)
+    spectra lanes, slot i holding frame i-(Kr-1)'s padded [kp] spectrum.
+    Output col c = r*H + tau (hop p = dQ + r) takes frame f = dQ-(Kr-1)+j
+    at within-frame offset (r + Kr-1 - j)*H + tau, valid iff
+    r <= j <= r+Kr-1 — so Wq[j*kp+k, r*H+tau] = w_inv[k, (r+Kr-1-j)*H+tau]
+    on that band and 0 elsewhere.  A dense dot against Wq wastes only the
+    kp/2K lane padding at Q=1 (the usual case: every bucket with
+    H >= 128)."""
+    P = hw // H
+    Kr = B // H
+    if Kr < 2:
+        return None  # no overlap — the time fold is already trivial
+    twoK = dplan.w_inv.shape[0]
+    kp = -(-twoK // 128) * 128
+    Q = 1
+    while Q <= P and (Q * H) % 128:
+        Q += 1
+    if Q > P or P % Q:
+        return None
+    wi = np.asarray(dplan.w_inv, np.float32)  # [2K, B]
+    nrow = Q + Kr - 1
+    if nrow * kp * Q * H * 2 > weight_limit:  # baked as bf16 halves
+        return None
+    wq = np.zeros((nrow * kp, Q * H), np.float32)
+    for j in range(nrow):
+        for r in range(Q):
+            s = r + Kr - 1 - j
+            if 0 <= s < Kr:
+                wq[j * kp : j * kp + twoK, r * H : (r + 1) * H] = wi[
+                    :, s * H : (s + 1) * H
+                ]
+    wq_hi, wq_lo = _split_bf16(wq)
+    return {"Kr": Kr, "kp": kp, "Q": Q, "wq_hi": wq_hi, "wq_lo": wq_lo}
 
 
 def _read_span(qrefs, start: int, stop: int, hw: int):
@@ -152,6 +227,71 @@ def _read_span(qrefs, start: int, stop: int, hw: int):
     return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
 
 
+def _spectral_bucket(b, hw, G, nq, histL, histR, wref, carry_in, carry_out,
+                     ready, accs):
+    """Spectral-OLA bucket body: sequential framing -> forward dot ->
+    mask -> frame spectra stacked on LANES (slot i = frame i-(Kr-1),
+    carry first) -> one window dot per Q hops against the rearranged
+    inverse weight -> lane-concat of hop outputs.  No [3PG, B] rec, no
+    shifted-pad fold, no [G, B] time-domain carries — the two largest
+    VPU-materialization items of the time-OLA kernel (DESIGN.md §6)."""
+    B, H, P, Kr, kp, Q = b.B, b.H, b.P, b.Kr, b.kp, b.Q
+    K = b.gains.shape[1]
+    wf_hi, wf_lo, wq_hi, wq_lo, g_ref = wref
+    # Sequential framing: frame p starts at p*H; rows come out (s, p),
+    # so the masked spectra reshape straight onto lanes in frame order
+    # (grouped framing would need a lane interleave here instead).
+    needed = (P - 1) * H + B
+    if nq is not None and (H % 128 or hw % 128):
+        # Sub-128-lane hops: slice frames from ONE aligned
+        # pre-materialized base value (Mosaic concat/slice rules).
+        unit = hw if hw % 128 else 128
+        blen = min(nq * hw, -(-needed // unit) * unit)
+        srcs = (_read_span(histL, 0, blen, hw), _read_span(histR, 0, blen, hw))
+    else:
+        srcs = None
+    zs = []
+    for ci, ch_ref in enumerate((histL, histR)):
+        pieces = []
+        for p in range(P):
+            if srcs is not None:
+                piece = srcs[ci][:, p * H : p * H + B]
+            elif nq is None:
+                piece = ch_ref[:, p * H : p * H + B]
+            else:
+                piece = _read_span(ch_ref, p * H, p * H + B, hw)
+            pieces.append(piece)
+        flat = pieces[0] if P == 1 else jnp.concatenate(pieces, axis=1)
+        zs.append(flat.reshape(G * P, B))
+    Z = jnp.concatenate(zs, axis=0)  # [2PG, B] rows (ch, s, p)
+    F = P * G
+    s2 = _dot3(Z, wf_hi[...], wf_lo[...])  # [2PG, 2K]
+    sl, sr = s2[:F], s2[F:]
+    gains_list = [g_ref[i, :] for i in range(b.gains.shape[0])]
+    parts = _mask_sum(sl[:, :K], sl[:, K:], sr[:, :K], sr[:, K:], gains_list)
+    # parts = (c_re, c_im, l_re, l_im, r_re, r_im), each [PG, K] rows (s, p)
+    cw = (Kr - 1) * kp  # carry lanes per output channel
+    S_os = []
+    for o in range(3):
+        spec = jnp.concatenate([parts[2 * o], parts[2 * o + 1]], axis=1)
+        if kp > 2 * K:
+            spec = jnp.pad(spec, ((0, 0), (0, kp - 2 * K)))
+        lanes = spec.reshape(G, P * kp)  # frame p at lane block p
+        c_o = carry_in[:, o * cw : (o + 1) * cw]
+        S_os.append(jnp.concatenate([c_o, lanes], axis=1))  # [G, (Kr-1+P)*kp]
+    S_all = jnp.concatenate(S_os, axis=0)  # [3G, .] rows (o, s)
+    outs = []
+    for d in range(P // Q):
+        win = S_all[:, d * Q * kp : (d * Q + Q + Kr - 1) * kp]
+        outs.append(_dot3(win, wq_hi[...], wq_lo[...]))  # [3G, Q*H]
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    for o in range(3):  # y [3G, hw] rows (o, s)
+        part = y[o * G : (o + 1) * G]
+        accs[o] = part if accs[o] is None else accs[o] + part
+    newc = jnp.concatenate([S_os[o][:, P * kp :] for o in range(3)], axis=1)
+    carry_out[...] = jnp.where(ready, newc, carry_in[...])
+
+
 def _build_pool_kernel(plan: PoolPlan, nq: int | None = None):
     """Pool kernel body.  nq=None: one [G, window] history ref per
     channel (the wrapper shifts the window in XLA each block).  nq=k:
@@ -161,12 +301,17 @@ def _build_pool_kernel(plan: PoolPlan, nq: int | None = None):
     hw, G = plan.hw, plan.group
     buckets = plan.buckets
     counts = [len(b.arrays) for b in buckets]
+    spectral = plan.ola == "spectral"
+    n_carry = 1 if spectral else 3  # refs per bucket: one packed
+    # spectral-carry lane block vs three [G, B] LCR accumulators
 
     warmup = plan.window // hw
     # Snapshot the profiling flags at build time (trace-consistent).
     now, noola = _PROF_NOW, _PROF_NOOLA
     nodot, nofold = _PROF_NODOT or now, _PROF_NOFOLD
     nomask = _PROF_NOMASK or now
+    if spectral and (now or noola or nodot or nofold or nomask):
+        raise ValueError("profiling fabrications only support ola='time'")
 
     def kernel(*refs):
         if nq is None:
@@ -190,8 +335,8 @@ def _build_pool_kernel(plan: PoolPlan, nq: int | None = None):
             if noola:
                 ola_in.append(None)
             else:
-                ola_in.append(refs[pos : pos + 3])  # C/Ls/Rs [G, B] each
-                pos += 3
+                ola_in.append(refs[pos : pos + n_carry])
+                pos += n_carry
         outC, outLs, outRs = refs[pos], refs[pos + 1], refs[pos + 2]
         ola_out = []
         pos += 3
@@ -199,8 +344,8 @@ def _build_pool_kernel(plan: PoolPlan, nq: int | None = None):
             if noola:
                 ola_out.append(None)
             else:
-                ola_out.append(refs[pos : pos + 3])
-                pos += 3
+                ola_out.append(refs[pos : pos + n_carry])
+                pos += n_carry
 
         # Warmup gating IN the kernel (per stream): not-ready streams
         # emit silence and hold their OLA state (the reference's degraded
@@ -213,6 +358,12 @@ def _build_pool_kernel(plan: PoolPlan, nq: int | None = None):
         for bi, b in enumerate(buckets):
             B, H, P = b.B, b.H, b.P
             K = b.gains.shape[1]
+            if spectral:
+                _spectral_bucket(
+                    b, hw, G, nq, histL, histR, wrefs[bi],
+                    ola_in[bi][0], ola_out[bi][0], ready, accs,
+                )
+                continue
             if now:
                 wf_hi = wf_lo = wi_hi = wi_lo = g_ref = None
             else:
@@ -351,11 +502,13 @@ def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False
     blocks seen per stream INCLUDING this one (warmup gating happens in
     the kernel: streams with t < K emit silence and hold their OLA
     state).  olas: per bucket a tuple of three [S, B] accumulators
-    (C, Ls, Rs).  Returns (outC, outLs, outRs) each [S, hw] and the new
-    olas structure.
+    (C, Ls, Rs) for ola="time" plans, or ONE packed [S, spec_width]
+    spectral-carry array for ola="spectral" plans.  Returns
+    (outC, outLs, outRs) each [S, hw] and the new olas structure.
     """
     S, G = plan.n_streams, plan.group
     n_groups = S // G
+    spectral = plan.ola == "spectral"
     now, noola = _PROF_NOW, _PROF_NOOLA
     w_arrays = [] if now else plan.arrays()
 
@@ -392,6 +545,15 @@ def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False
     ola_flat = []
     if not noola:
         for bi, b in enumerate(plan.buckets):
+            if spectral:
+                ola_flat.append(olas[bi])
+                in_specs.append(
+                    pl.BlockSpec(
+                        (G, b.spec_width), lambda s: (s, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+                continue
             for o in range(3):
                 ola_flat.append(olas[bi][o])
                 in_specs.append(
@@ -407,6 +569,17 @@ def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False
     out_shapes = [jax.ShapeDtypeStruct((S, plan.hw), jnp.float32)] * 3
     if not noola:
         for b in plan.buckets:
+            if spectral:
+                out_specs.append(
+                    pl.BlockSpec(
+                        (G, b.spec_width), lambda s: (s, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+                out_shapes.append(
+                    jax.ShapeDtypeStruct((S, b.spec_width), jnp.float32)
+                )
+                continue
             for _ in range(3):
                 out_specs.append(
                     pl.BlockSpec(
@@ -433,6 +606,8 @@ def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False
     outC, outLs, outRs = outs[0], outs[1], outs[2]
     if noola:  # profiling: state passes through unchanged
         return (outC, outLs, outRs), tuple(olas)
+    if spectral:
+        return (outC, outLs, outRs), tuple(outs[3:])
     new_olas = []
     pos = 3
     for _ in plan.buckets:
