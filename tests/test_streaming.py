@@ -947,3 +947,30 @@ def test_pallas_pool_spectral_random_config_fuzz():
                     ),
                 )
     assert eligible >= 3, f"only {eligible} eligible draws — fuzz too weak"
+
+
+def test_pallas_pool_spectral_sharded():
+    # ola="spectral" composes with mesh sharding: the packed per-bucket
+    # spectral carry [S, 3*(Kr-1)*kp] shards over 'data' like every
+    # other leaf, and the per-shard plan matches the unsharded pool.
+    import jax as _jax
+
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks = 16, 8
+    mesh = _jax.sharding.Mesh(np.array(_jax.devices()[:2]), ("data",))
+    rng = np.random.default_rng(61)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    plain = PallasStreamPool(cfg, HW, n_streams=S, group=8, ola="spectral")
+    shard = PallasStreamPool(
+        cfg, HW, n_streams=S, group=8, mesh=mesh, ola="spectral"
+    )
+    for t in range(n_blocks):
+        a = plain.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        b = shard.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-6, rtol=0
+            )
