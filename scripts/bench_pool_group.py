@@ -97,6 +97,7 @@ def main():
     blocks = gen(jax.random.PRNGKey(0))
     blocks.block_until_ready()
 
+    assert N_BLOCKS % UNROLL == 0
     ref = None
     alive = {}
     for name, (run, fresh) in engines.items():
@@ -118,8 +119,9 @@ def main():
     results = {name: [] for name in alive}
     for v in range(VISITS):
         for name, (run, fresh) in alive.items():
+            st = fresh()  # state allocation outside the timed region
             t0 = time.perf_counter()
-            _, oc = run(fresh(), blocks)
+            _, oc = run(st, blocks)
             _ = float(np.asarray(oc[-1, 0, 0]))
             dt = (time.perf_counter() - t0) / N_BLOCKS
             results[name].append(dt)

@@ -477,8 +477,15 @@ class PallasStreamPool:
             raise ValueError(
                 "config not eligible for the pallas pool kernel (a bucket's "
                 "direct-DFT weights are too wide, or n_streams per device "
-                "is not a multiple of the group size); use "
-                "BatchStreamingUpmixer"
+                "is not a multiple of the group size"
+                + (
+                    "; for ola='spectral' also: a bucket with no overlap "
+                    "(hop == block), no legal hops-per-dot Q, or a window-"
+                    "dot weight over the bake bound"
+                    if ola == "spectral"
+                    else ""
+                )
+                + "); use BatchStreamingUpmixer"
             )
         self.plan = plan
         self._interpret = (
@@ -724,17 +731,22 @@ def make_stream_pool(
     if engine == "auto" and mesh is None and jax.default_backend() != "cpu":
         from upmix_tpu.ops.pallas_pool import make_pool_plan
 
-        if (
-            make_pool_plan(
-                config, int(hw_block_size), int(n_streams), group=group,
-                ola=ola,
-            )
-            is not None
-        ):
-            return PallasStreamPool(
-                config, hw_block_size, n_streams, group=group, layout=layout,
-                ola=ola,
-            )
+        # Try the requested OLA mode first; a config that is spectral-
+        # ineligible (no legal Q, wq over the bake bound) but time-pool
+        # eligible still gets the ~6x pallas capacity rather than
+        # silently dropping to the XLA engine.
+        for try_ola in dict.fromkeys((ola, "time")):
+            if (
+                make_pool_plan(
+                    config, int(hw_block_size), int(n_streams), group=group,
+                    ola=try_ola,
+                )
+                is not None
+            ):
+                return PallasStreamPool(
+                    config, hw_block_size, n_streams, group=group,
+                    layout=layout, ola=try_ola,
+                )
     return BatchStreamingUpmixer(config, hw_block_size, n_streams, mesh=mesh)
 
 

@@ -242,12 +242,22 @@ def _spectral_bucket(b, hw, G, nq, histL, histR, wref, carry_in, carry_out,
     # so the masked spectra reshape straight onto lanes in frame order
     # (grouped framing would need a lane interleave here instead).
     needed = (P - 1) * H + B
-    if nq is not None and (H % 128 or hw % 128):
-        # Sub-128-lane hops: slice frames from ONE aligned
-        # pre-materialized base value (Mosaic concat/slice rules).
+    if H % 128 or hw % 128:
+        # Sub-128-lane hops: the P frame slices below get LANE-CONCATED,
+        # and Mosaic rejects concats whose inputs' lane offsets mismatch
+        # — slice frames from ONE aligned pre-materialized base value
+        # instead (both history layouts; the window layout's base is a
+        # single offset-0 ref slice).
         unit = hw if hw % 128 else 128
-        blen = min(nq * hw, -(-needed // unit) * unit)
-        srcs = (_read_span(histL, 0, blen, hw), _read_span(histR, 0, blen, hw))
+        if nq is None:
+            blen = min(histL.shape[1], -(-needed // unit) * unit)
+            srcs = (histL[:, :blen], histR[:, :blen])
+        else:
+            blen = min(nq * hw, -(-needed // unit) * unit)
+            srcs = (
+                _read_span(histL, 0, blen, hw),
+                _read_span(histR, 0, blen, hw),
+            )
     else:
         srcs = None
     zs = []
