@@ -263,3 +263,16 @@ def test_rst_abort_frees_slot_and_pool_keeps_serving():
                 time.sleep(0.1)
         assert got is not None, "slot leaked after RST abort"
         _check(got, _aligned_reference(L, R))
+
+
+def test_spectral_pool_serves_clients():
+    # The spectral-OLA pallas pool composes with the socket stack: a
+    # client's warmup-aligned output matches the single-stream engine.
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    pool = PallasStreamPool(_cfg(), HW, n_streams=8, group=8, ola="spectral")
+    with StreamServer(pool, lockstep=True) as srv:
+        L, R = make_stereo(8 * HW, SR, seed=67)
+        L, R = L.astype(np.float32), R.astype(np.float32)
+        got = stream_client(*srv.address, L, R)
+        _check(got, _aligned_reference(L, R))

@@ -449,12 +449,15 @@ def run_stream_server(
     synthesis: str = "analysis",
     bin_rounding: str = "cpp",
     verbose: bool = True,
+    **pool_kwargs,
 ) -> "StreamServer":
     """CLI entry: build the pool (auto engine) and serve until ^C.
 
     Defaults mirror run_pipe's streaming config (the reference Bela
     setup, bela/upmix.cpp:525-528).  lockstep defaults to False here:
     a network server ticks on the wall clock like an audio callback.
+    Extra keyword arguments (engine=, ola=, layout=, group=) pass
+    through to make_stream_pool.
     """
     from upmix_tpu.config import UpmixConfig
     from upmix_tpu.models import make_stream_pool
@@ -469,7 +472,9 @@ def run_stream_server(
         synthesis=synthesis,
         bin_rounding=bin_rounding,
     )
-    pool = make_stream_pool(config, int(hw_block_size), int(n_streams))
+    pool = make_stream_pool(
+        config, int(hw_block_size), int(n_streams), **pool_kwargs
+    )
     server = StreamServer(
         pool, host=host, port=port, lockstep=lockstep, sr=float(sr)
     )
