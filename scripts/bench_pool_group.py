@@ -22,6 +22,7 @@ VISITS = int(os.environ.get("BENCH_VISITS", 5))
 B = int(os.environ.get("BENCH_B", 4096))
 UNROLL = int(os.environ.get("BENCH_UNROLL", 8))
 GROUPS = [int(g) for g in os.environ.get("BENCH_GROUPS", "8,16,32").split(",")]
+OLA = os.environ.get("BENCH_OLA", "time")  # or "spectral"
 
 
 def main():
@@ -37,19 +38,23 @@ def main():
     deadline_ms = HW / SR * 1e3
 
     def build(group):
-        plan = make_pool_plan(cfg, HW, B, group=group)
+        plan = make_pool_plan(cfg, HW, B, group=group, ola=OLA)
         if plan is None:
             return None
         nq = plan.window // HW
+        spectral = plan.ola == "spectral"
 
         def step(state, x):
             histL = (*state["histL"], x[0])
             histR = (*state["histR"], x[1])
             t = state["t"] + 1
-            olas = tuple(
-                tuple(state["ola"][str(b.B)][o] for o in range(3))
-                for b in plan.buckets
-            )
+            if spectral:
+                olas = tuple(state["ola"][str(b.B)] for b in plan.buckets)
+            else:
+                olas = tuple(
+                    tuple(state["ola"][str(b.B)][o] for o in range(3))
+                    for b in plan.buckets
+                )
             (oc, ols, ors), new_olas = pool_step_lcr(histL, histR, t, olas, plan)
             return (
                 {"histL": histL[1:], "histR": histR[1:], "t": t,
@@ -76,8 +81,11 @@ def main():
                 "histR": tuple(jnp.zeros((B, HW), jnp.float32)
                                for _ in range(nq - 1)),
                 "t": jnp.zeros((B,), jnp.int32),
-                "ola": {str(b.B): tuple(jnp.zeros((B, b.B), jnp.float32)
-                                        for _ in range(3))
+                "ola": {str(b.B): (
+                            jnp.zeros((B, b.spec_width), jnp.float32)
+                            if spectral
+                            else tuple(jnp.zeros((B, b.B), jnp.float32)
+                                       for _ in range(3)))
                         for b in plan.buckets},
             }
 
