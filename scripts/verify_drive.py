@@ -1,10 +1,12 @@
 """On-chip verify drive (verify SKILL.md surface 1 + good checks)."""
-import sys, time
+import os
+import sys
+import time
+
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
-import jax.numpy as jnp
 
 t0 = time.time()
 print("devices:", jax.devices(), flush=True)
@@ -25,8 +27,11 @@ R = center + sideR
 
 cfg = UpmixConfig.make([0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0], sr=SR)
 up = Upmixer(cfg)
+tc = time.time()
+C, Ls, Rs = up.process_np(L, R)  # cold: compile + upload
 t1 = time.time()
-C, Ls, Rs = up.process_np(L, R)
+print(f"cold process (incl. compile+upload) {t1 - tc:.1f}s", flush=True)
+C, Ls, Rs = up.process_np(L, R)  # warm: same length -> cache hit
 t2 = time.time()
 C, Ls, Rs = np.asarray(C), np.asarray(Ls), np.asarray(Rs)
 

@@ -276,3 +276,32 @@ def test_spectral_pool_serves_clients():
         L, R = L.astype(np.float32), R.astype(np.float32)
         got = stream_client(*srv.address, L, R)
         _check(got, _aligned_reference(L, R))
+
+
+def test_run_stream_server_pool_options():
+    # The CLI entry (run_stream_server) forwards its explicit pool
+    # options — a lockstep spectral pallas pool built through the
+    # factory path, not a hand-built pool — and a typo'd keyword
+    # raises at the call site instead of inside pool construction.
+    from upmix_tpu.serve_stream import run_stream_server
+
+    srv = run_stream_server(
+        0, sr=SR, n_streams=8, hw_block_size=HW, band_edges=EDGES,
+        lockstep=True, engine="pallas", ola="spectral", group=8,
+        verbose=False,
+    )
+    try:
+        from upmix_tpu.models.streaming import PallasStreamPool
+
+        assert isinstance(srv.pool, PallasStreamPool)
+        assert srv.pool.ola == "spectral"
+        L, R = make_stereo(6 * HW, SR, seed=91)
+        got = stream_client(*srv.address, L.astype(np.float32),
+                            R.astype(np.float32))
+        _check(got, _aligned_reference(L.astype(np.float32),
+                                       R.astype(np.float32)))
+    finally:
+        srv.close()
+
+    with pytest.raises(TypeError):
+        run_stream_server(0, sr=SR, lockstp=True)

@@ -168,6 +168,22 @@ def build_parser() -> argparse.ArgumentParser:
         "wall clock",
     )
     p.add_argument(
+        "--pool-engine",
+        choices=("auto", "pallas", "xla"),
+        default="auto",
+        help="stream-server pool engine (default auto: the pallas pool "
+        "kernel on an accelerator when the config is eligible, else the "
+        "vmapped XLA engine)",
+    )
+    p.add_argument(
+        "--pool-ola",
+        choices=("time", "spectral"),
+        default="time",
+        help="pallas pool OLA dataflow: 'time' carries per-bucket LCR "
+        "accumulators; 'spectral' carries the last frames' masked spectra "
+        "and emits each hop as one inverse-window dot (DESIGN.md §6)",
+    )
+    p.add_argument(
         "--pipe",
         action="store_true",
         help="raw-PCM filter mode: interleaved float32 stereo on stdin -> "
@@ -265,6 +281,8 @@ def main(argv=None) -> int:
             threshold_factor=args.threshold_factor,
             synthesis=args.synthesis or "analysis",
             bin_rounding=args.bin_rounding or "cpp",
+            engine=args.pool_engine,
+            ola=args.pool_ola,
         )
         try:
             import threading as _threading

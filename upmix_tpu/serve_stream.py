@@ -449,15 +449,19 @@ def run_stream_server(
     synthesis: str = "analysis",
     bin_rounding: str = "cpp",
     verbose: bool = True,
-    **pool_kwargs,
+    engine: str = "auto",
+    ola: str = "time",
+    layout: str = "quarters",
+    group: int = 16,
 ) -> "StreamServer":
     """CLI entry: build the pool (auto engine) and serve until ^C.
 
     Defaults mirror run_pipe's streaming config (the reference Bela
     setup, bela/upmix.cpp:525-528).  lockstep defaults to False here:
     a network server ticks on the wall clock like an audio callback.
-    Extra keyword arguments (engine=, ola=, layout=, group=) pass
-    through to make_stream_pool.
+    engine/ola/layout/group configure make_stream_pool (explicit
+    keywords, not a **kwargs pass-through, so a misspelled server
+    kwarg raises here instead of deep in pool construction).
     """
     from upmix_tpu.config import UpmixConfig
     from upmix_tpu.models import make_stream_pool
@@ -473,7 +477,8 @@ def run_stream_server(
         bin_rounding=bin_rounding,
     )
     pool = make_stream_pool(
-        config, int(hw_block_size), int(n_streams), **pool_kwargs
+        config, int(hw_block_size), int(n_streams),
+        engine=engine, ola=ola, layout=layout, group=group,
     )
     server = StreamServer(
         pool, host=host, port=port, lockstep=lockstep, sr=float(sr)
