@@ -58,12 +58,13 @@ def pool_phase():
     from upmix_tpu.utils.cache import enable_compilation_cache
 
     engine = os.environ.get("SLO_ENGINE", "xla")  # xla | pallas
+    ola = os.environ.get("SLO_OLA", "time")  # time | spectral (pallas only)
     enable_compilation_cache()
     cfg = UpmixConfig.streaming(EDGES, sr=SR, hw_block_size=HW)
     rng = np.random.default_rng(0)
 
     print(f"deadline: {DEADLINE_MS:.2f} ms/block ({HW} @ {SR:.0f} Hz); "
-          f"engine={engine}")
+          f"engine={engine} ola={ola}")
 
     # Transport floor: the tunnel's round-trip time for a trivial
     # dispatch+fetch — every per-block number below includes >= 1 RTT
@@ -80,7 +81,7 @@ def pool_phase():
           f"p50 {pct(rtts,50):.2f}  p95 {pct(rtts,95):.2f} ms", flush=True)
 
     for B in BATCHES:
-        pool = make_stream_pool(cfg, HW, n_streams=B, engine=engine)
+        pool = make_stream_pool(cfg, HW, n_streams=B, engine=engine, ola=ola)
         blocks = [
             rng.standard_normal((B, HW)).astype(np.float32) for _ in range(8)
         ]
