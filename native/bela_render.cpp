@@ -18,8 +18,14 @@
 //     per channel (upmix.cpp:289-304), which is exactly
 //     upmix_process_block + the stereo_sum mix below.
 //   - The engine's warmup contract matches the reference: the first
-//     4 hardware blocks emit silence while history fills
+//     3 hardware callbacks emit silence while history fills; the 4th
+//     sees K = block/hop = 4 blocks buffered and emits the first hops
 //     (upmix.cpp:232-237; upmix_host.cpp kWarmupBlocks).
+//
+// Off-device verification: `make -C native bela-mock` builds THIS file
+// against native/mock_bela/Bela.h and a host driver; tests/test_bela.py
+// runs the real entry points block-by-block and holds the output to the
+// streaming oracle (>60 dB) and bit-exact to the library stereo_sum path.
 
 #ifdef UPMIX_HAVE_BELA
 
