@@ -1,0 +1,114 @@
+"""AOT artifact tests: save/load round trips of the exported programs.
+
+The artifact must reproduce the live classes exactly (same program, same
+backend) and survive a metadata round trip — this is the deployment
+subsystem's correctness contract (upmix_tpu/aot.py)."""
+
+import numpy as np
+import pytest
+
+from upmix_tpu import aot
+from upmix_tpu.config import UpmixConfig
+from upmix_tpu.models.offline import Upmixer
+from upmix_tpu.models.streaming import StreamingUpmixer
+
+from helpers import make_stereo, snr_db
+
+SR = 16000.0
+
+
+def small_config():
+    return UpmixConfig.make([0.0, 400.0, 1600.0], sr=SR, max_block_size=1024)
+
+
+def test_config_dict_round_trip():
+    cfg = small_config()
+    d = aot.config_to_dict(cfg)
+    # JSON-safe: survives an actual encode/decode.
+    import json
+
+    cfg2 = aot.config_from_dict(json.loads(json.dumps(d)))
+    assert cfg2 == cfg
+
+
+def test_offline_artifact_matches_live_upmixer(tmp_path):
+    cfg = small_config()
+    n = 4096
+    path = str(tmp_path / "offline.upmixaot")
+    meta = aot.save_offline(path, cfg, n)
+    assert meta["type"] == "offline"
+    assert meta["n_samples"] == n
+
+    art = aot.load(path)
+    assert isinstance(art, aot.AotOffline)
+    assert art.config == cfg
+
+    L, R = make_stereo(n, SR, seed=3)
+    want = Upmixer(cfg).process_np(L, R)
+    got = art.process_np(L, R)
+    for w, g in zip(want, got):
+        assert g.shape == w.shape
+        assert snr_db(w, g) > 120.0  # identical program; numerically exact
+
+
+def test_offline_artifact_pads_short_inputs(tmp_path):
+    cfg = small_config()
+    n = 4096
+    path = str(tmp_path / "offline.upmixaot")
+    aot.save_offline(path, cfg, n)
+    art = aot.load(path)
+
+    n_short = 3000
+    L, R = make_stereo(n_short, SR, seed=4)
+    # The live Upmixer with pad_granularity=n runs the same padded program.
+    want = Upmixer(cfg, pad_granularity=n).process_np(L, R)
+    got = art.process_np(L, R)
+    for w, g in zip(want, got):
+        assert g.shape == (n_short,)
+        assert snr_db(w, g) > 120.0
+
+    with pytest.raises(ValueError, match="frozen at"):
+        art.process_np(np.zeros(n + 1), np.zeros(n + 1))
+
+
+def test_stream_step_artifact_matches_live_engine(tmp_path):
+    hw = 256
+    cfg = UpmixConfig.streaming([0.0, 500.0], sr=SR, hw_block_size=hw)
+    path = str(tmp_path / "stream.upmixaot")
+    meta = aot.save_stream_step(path, cfg, hw)
+    assert meta["type"] == "stream_step"
+
+    art = aot.load(path)
+    assert isinstance(art, aot.AotStreamStep)
+    assert art.hw_block_size == hw
+
+    live = StreamingUpmixer(cfg, hw)
+    n_blocks = 12
+    L, R = make_stereo(n_blocks * hw, SR, seed=5)
+    for i in range(n_blocks):
+        sl = slice(i * hw, (i + 1) * hw)
+        want = live.push_block(L[sl], R[sl])
+        got = art.push_block(L[sl], R[sl])
+        for w, g in zip(want, got):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=0, atol=1e-6
+            )
+
+    with pytest.raises(ValueError, match="length-256"):
+        art.push_block(np.zeros(hw - 1), np.zeros(hw - 1))
+
+
+def test_read_meta_and_bad_files(tmp_path):
+    cfg = small_config()
+    path = str(tmp_path / "offline.upmixaot")
+    aot.save_offline(path, cfg, 2048)
+    meta = aot.read_meta(path)
+    assert meta["type"] == "offline"
+    assert meta["platforms"]  # records the lowering platform
+
+    bad = tmp_path / "bad.upmixaot"
+    bad.write_bytes(b"not an artifact")
+    with pytest.raises(ValueError, match="not an upmix_tpu AOT artifact"):
+        aot.load(str(bad))
+    with pytest.raises(ValueError, match="not an upmix_tpu AOT artifact"):
+        aot.read_meta(str(bad))

@@ -101,3 +101,76 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
     # env var is respected when no explicit dir
     monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/envcache")
     assert enable_compilation_cache() == "/tmp/envcache"
+
+
+def test_cli_save_aot_offline(tmp_path, capsys):
+    art_path = tmp_path / "prog.upmixaot"
+    rc = main(
+        [
+            "-",
+            "--save-aot",
+            str(art_path),
+            "--sr",
+            "16000",
+            "--band-edges",
+            "0,400",
+            "--max-block-size",
+            "1024",
+            "--aot-samples",
+            "4096",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json
+
+    info = json.loads(out)
+    assert info["saved"] == str(art_path)
+    assert info["type"] == "offline"
+
+    from upmix_tpu import aot
+
+    art = aot.load(str(art_path))
+    L, R = make_stereo(4096, 16000)
+    C, Ls, Rs = art.process_np(L, R)
+    assert C.shape == (4096,)
+    assert np.isfinite(C).all()
+
+
+def test_cli_save_aot_stream(tmp_path, capsys):
+    art_path = tmp_path / "step.upmixaot"
+    rc = main(
+        [
+            "-",
+            "--save-aot",
+            str(art_path),
+            "--aot-stream",
+            "--sr",
+            "16000",
+            "--band-edges",
+            "0,500",
+            "--hw-block",
+            "256",
+        ]
+    )
+    assert rc == 0
+    from upmix_tpu import aot
+
+    meta = aot.read_meta(str(art_path))
+    assert meta["type"] == "stream_step"
+    assert meta["hw_block_size"] == 256
+
+
+def test_cli_save_aot_requires_sr_and_dash(tmp_path):
+    with pytest.raises(SystemExit, match="requires a positive --sr"):
+        main(["-", "--save-aot", str(tmp_path / "x.upmixaot")])
+    with pytest.raises(SystemExit, match="pass '-'"):
+        main(
+            [
+                str(_input(tmp_path)),
+                "--save-aot",
+                str(tmp_path / "x.upmixaot"),
+                "--sr",
+                "8000",
+            ]
+        )

@@ -16,6 +16,9 @@ Public surface:
     pool (~6x the vmapped pool's capacity on TPU when eligible)
   - io.wav: read_wav / write_wav — pure-NumPy WAV I/O
   - oracle: faithful NumPy re-derivation of the reference semantics (test oracle)
+  - aot: jax.export deployment artifacts — freeze a config-specialized
+    offline pipeline or streaming step to a version-stable file a serving
+    host loads without re-tracing
 """
 
 from upmix_tpu.config import (

@@ -184,6 +184,35 @@ def build_parser() -> argparse.ArgumentParser:
         "and emits each hop as one inverse-window dot (DESIGN.md §6)",
     )
     p.add_argument(
+        "--save-aot",
+        default=None,
+        metavar="PATH",
+        help="build an AOT deployment artifact (jax.export StableHLO) for "
+        "the active config and exit: the offline pipeline frozen at "
+        "--aot-samples, or the streaming step with --aot-stream (requires "
+        "--sr; input must be '-'; load with upmix_tpu.aot.load)",
+    )
+    p.add_argument(
+        "--aot-samples",
+        type=int,
+        default=2**21,
+        help="input length the offline AOT artifact is frozen at "
+        "(default 2097152 ≈ 47.6 s at 44.1 kHz; shorter inputs zero-pad)",
+    )
+    p.add_argument(
+        "--aot-stream",
+        action="store_true",
+        help="with --save-aot: export the real-time streaming step "
+        "(C++-parity defaults, --hw-block sized) instead of the offline "
+        "pipeline",
+    )
+    p.add_argument(
+        "--aot-platforms",
+        default=None,
+        help="comma-separated lowering platforms for --save-aot (e.g. "
+        "'tpu' or 'tpu,cpu'; default: the current backend)",
+    )
+    p.add_argument(
         "--pipe",
         action="store_true",
         help="raw-PCM filter mode: interleaved float32 stereo on stdin -> "
@@ -251,6 +280,64 @@ def main(argv=None) -> int:
         enable_compilation_cache()
 
     import time
+
+    if args.save_aot is not None:
+        if args.pipe or args.streaming or args.serve or args.serve_stream is not None:
+            raise SystemExit(
+                "error: --save-aot is exclusive with --serve/--serve-stream/"
+                "--pipe/--streaming"
+            )
+        if args.sr is None or args.sr <= 0:
+            raise SystemExit("error: --save-aot requires a positive --sr")
+        if args.inputs != ["-"]:
+            raise SystemExit("error: --save-aot takes no input files; pass '-'")
+        from upmix_tpu import aot
+        from upmix_tpu.config import UpmixConfig
+
+        platforms = None
+        if args.aot_platforms:
+            platforms = [s for s in args.aot_platforms.split(",") if s.strip()]
+        if args.aot_stream:
+            cfg = UpmixConfig.streaming(
+                edges,
+                sr=args.sr,
+                hw_block_size=args.hw_block,
+                window=args.window,
+                xover_mode=args.xover_mode,
+                threshold_factor=args.threshold_factor,
+                synthesis=args.synthesis or "analysis",
+                bin_rounding=args.bin_rounding or "cpp",
+            )
+            meta = aot.save_stream_step(
+                args.save_aot, cfg, args.hw_block, platforms=platforms
+            )
+        else:
+            if args.aot_samples < 1:
+                raise SystemExit("error: --aot-samples must be >= 1")
+            cfg = UpmixConfig.make(
+                edges,
+                sr=args.sr,
+                overlap=args.overlap,
+                window=args.window,
+                xover_mode=args.xover_mode,
+                max_block_size=args.max_block_size,
+                threshold_factor=args.threshold_factor,
+                synthesis=args.synthesis or "wola",
+                bin_rounding=args.bin_rounding or "python",
+            )
+            meta = aot.save_offline(
+                args.save_aot,
+                cfg,
+                args.aot_samples,
+                kernel=args.kernel,
+                platforms=platforms,
+            )
+        import json as _json
+
+        print(_json.dumps({"saved": args.save_aot, **{
+            k: meta[k] for k in ("type", "platforms", "jax_version")
+        }}))
+        return 0
 
     if args.serve_stream is not None:
         if args.pipe or args.streaming or args.serve:
