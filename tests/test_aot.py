@@ -98,6 +98,79 @@ def test_stream_step_artifact_matches_live_engine(tmp_path):
         art.push_block(np.zeros(hw - 1), np.zeros(hw - 1))
 
 
+def test_stream_pool_artifact_interpret_matches_live(tmp_path):
+    # On the CPU backend only the interpret (pure-XLA) form of the pool
+    # kernel can execute, so numeric parity of the artifact is proven in
+    # interpret mode; the Mosaic form is covered by the serialization
+    # test below + the on-chip drive (BASELINE.md).
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    hw, S = 256, 8
+    cfg = UpmixConfig.streaming([0.0, 400.0, 1600.0], sr=SR, hw_block_size=hw)
+    path = str(tmp_path / "pool.upmixaot")
+    meta = aot.save_stream_pool(
+        path, cfg, hw, S, group=8, platforms=["cpu"], interpret=True
+    )
+    assert meta["type"] == "stream_pool"
+    assert meta["n_streams"] == S
+
+    art = aot.load(path)
+    live = PallasStreamPool(cfg, hw, n_streams=S, group=8, interpret=True)
+    assert art.warmup_blocks == live.warmup_blocks
+
+    rng = np.random.default_rng(9)
+    n_blocks = live.warmup_blocks + 4
+    blocks = rng.standard_normal((n_blocks, S, 2, hw)).astype(np.float32) * 0.3
+    for t in range(n_blocks):
+        want = live.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        got = art.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # The live class's state conveniences carry over to the artifact:
+    # a reset + restore round trip leaves the next block unchanged.
+    snap = art.snapshot()
+    art.reset_streams([0, 3])
+    art.restore(snap)
+    want = live.push_blocks(blocks[0, :, 0], blocks[0, :, 1])
+    got = art.push_blocks(blocks[0, :, 0], blocks[0, :, 1])
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_stream_pool_artifact_tpu_serialization(tmp_path):
+    # The default pool artifact lowers the real Mosaic kernel for "tpu"
+    # even from this CPU build host (the StableHLO embeds the versioned
+    # tpu_custom_call payload); it must serialize, load, and reconstruct
+    # the state machinery without compiling anything.
+    hw, S = 256, 16
+    cfg = UpmixConfig.streaming([0.0, 400.0, 1600.0], sr=SR, hw_block_size=hw)
+    path = str(tmp_path / "pool_tpu.upmixaot")
+    meta = aot.save_stream_pool(path, cfg, hw, S)
+    assert meta["platforms"] == ["tpu"]
+    assert meta["interpret"] is False
+
+    art = aot.load(path)  # loads + builds state; no call on CPU
+    assert art.n_streams == S
+    assert art.exported.platforms == ("tpu",)
+    assert jax_state_shapes(art.state) == jax_state_shapes(
+        art._fresh_state()
+    )
+
+
+def jax_state_shapes(state):
+    import jax
+
+    return jax.tree.map(lambda a: (tuple(a.shape), str(a.dtype)), state)
+
+
+def test_stream_pool_artifact_rejects_ineligible_config(tmp_path):
+    # group must divide n_streams — same bar as the live pool.
+    cfg = UpmixConfig.streaming([0.0, 400.0], sr=SR, hw_block_size=256)
+    with pytest.raises(ValueError, match="not eligible"):
+        aot.save_stream_pool(str(tmp_path / "x.upmixaot"), cfg, 256, 12, group=8)
+
+
 def test_read_meta_and_bad_files(tmp_path):
     cfg = small_config()
     path = str(tmp_path / "offline.upmixaot")

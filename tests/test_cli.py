@@ -161,6 +161,53 @@ def test_cli_save_aot_stream(tmp_path, capsys):
     assert meta["hw_block_size"] == 256
 
 
+def test_cli_save_aot_pool(tmp_path, capsys):
+    art_path = tmp_path / "pool.upmixaot"
+    rc = main(
+        [
+            "-",
+            "--save-aot",
+            str(art_path),
+            "--aot-pool",
+            "16",
+            "--sr",
+            "16000",
+            "--band-edges",
+            "0,500",
+            "--hw-block",
+            "256",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json
+
+    info = json.loads(out)
+    assert info["type"] == "stream_pool"
+    # Built on the CPU backend, lowered for the TPU serving host.
+    assert info["platforms"] == ["tpu"]
+
+    from upmix_tpu import aot
+
+    meta = aot.read_meta(str(art_path))
+    assert meta["n_streams"] == 16
+    assert meta["ola"] == "time"
+
+    with pytest.raises(SystemExit, match="exclusive"):
+        main(
+            [
+                "-",
+                "--save-aot",
+                str(art_path),
+                "--aot-pool",
+                "16",
+                "--aot-stream",
+                "--sr",
+                "16000",
+            ]
+        )
+
+
 def test_cli_save_aot_requires_sr_and_dash(tmp_path):
     with pytest.raises(SystemExit, match="requires a positive --sr"):
         main(["-", "--save-aot", str(tmp_path / "x.upmixaot")])

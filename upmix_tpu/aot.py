@@ -14,7 +14,13 @@ via `jax.export`:
   real-time step (models/streaming.py::build_stream_step) — the
   (state, block) -> (state, lcr) function a host calls per hardware
   block.
-- `load(path)` restores either kind and wraps it with the same
+- `save_stream_pool(path, config, hw_block_size, n_streams)` freezes
+  the pallas serving-pool step (the multi-stream flagship,
+  models/streaming.py::PallasStreamPool) INCLUDING its Mosaic kernel —
+  the serialized StableHLO carries the tpu_custom_call payload, so a
+  CPU-only build host can produce the TPU serving artifact
+  (platforms defaults to ("tpu",) for this kind).
+- `load(path)` restores any kind and wraps it with the same
   pad/trim/state conveniences as the live classes.
 
 What an artifact buys: loading skips Python tracing and pins the program
@@ -129,6 +135,55 @@ def export_stream_step(
     )
 
 
+def export_stream_pool(
+    config: UpmixConfig,
+    hw_block_size: int,
+    n_streams: int,
+    group: int = 16,
+    layout: str = "quarters",
+    ola: str = "time",
+    platforms: Sequence[str] | None = ("tpu",),
+    interpret: bool = False,
+):
+    """Export the pallas serving-pool step (state, [S,hw], [S,hw]) ->
+    (state, (C, Ls, Rs)).
+
+    The exported StableHLO embeds the Mosaic kernel as a versioned
+    tpu_custom_call, so lowering for ("tpu",) works from ANY build
+    backend — a CPU box can produce the TPU serving artifact.
+    `platforms` therefore defaults to ("tpu",) here, not the current
+    backend.  `interpret=True` swaps in the pure-XLA emulation of the
+    kernel (CPU-runnable; testing only — a real serving host wants the
+    Mosaic form).  Raises ValueError when the config is not pool-kernel
+    eligible (same bar as PallasStreamPool).
+    """
+    import jax
+    from jax import export as jax_export
+
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    # jax.jit is lazy, so constructing the pool traces/compiles nothing;
+    # its jitted _step is exactly the program to export.
+    pool = PallasStreamPool(
+        config,
+        hw_block_size,
+        n_streams,
+        group=group,
+        interpret=interpret,
+        layout=layout,
+        ola=ola,
+    )
+    state_spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), pool.state
+    )
+    x_spec = jax.ShapeDtypeStruct(
+        (int(n_streams), int(hw_block_size)), np.float32
+    )
+    return jax_export.export(pool._step, platforms=_norm_platforms(platforms))(
+        state_spec, x_spec, x_spec
+    )
+
+
 def _write(path: str, meta: dict, payload: bytes) -> dict:
     with open(path, "wb") as f:
         f.write(_MAGIC)
@@ -178,6 +233,46 @@ def save_stream_step(
         "type": "stream_step",
         "config": config_to_dict(config),
         "hw_block_size": int(hw_block_size),
+        "platforms": list(exported.platforms),
+        "jax_version": jax.__version__,
+    }
+    return _write(path, meta, exported.serialize())
+
+
+def save_stream_pool(
+    path: str,
+    config: UpmixConfig,
+    hw_block_size: int,
+    n_streams: int,
+    group: int = 16,
+    layout: str = "quarters",
+    ola: str = "time",
+    platforms: Sequence[str] | None = ("tpu",),
+    interpret: bool = False,
+) -> dict:
+    """Build and write a serving-pool artifact; returns its metadata."""
+    import jax
+
+    exported = export_stream_pool(
+        config,
+        hw_block_size,
+        n_streams,
+        group=group,
+        layout=layout,
+        ola=ola,
+        platforms=platforms,
+        interpret=interpret,
+    )
+    meta = {
+        "format": _FORMAT,
+        "type": "stream_pool",
+        "config": config_to_dict(config),
+        "hw_block_size": int(hw_block_size),
+        "n_streams": int(n_streams),
+        "group": int(group),
+        "layout": layout,
+        "ola": ola,
+        "interpret": bool(interpret),
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
     }
@@ -263,6 +358,34 @@ class AotStreamStep:
         return out[0], out[1], out[2]
 
 
+def _make_aot_stream_pool(meta: dict, exported):
+    """Loaded serving-pool artifact.
+
+    Built as a PallasStreamPool whose jitted step is swapped for the
+    exported program, so push_blocks / snapshot / restore /
+    reset_streams / reset are the live class's own methods (the state
+    plumbing — quarters rotation, warmup counter, per-bucket OLA
+    carries — is all inside the exported step).  Constructing the base
+    pool compiles nothing: jax.jit is lazy and the jitted _step is
+    replaced before any call.
+    """
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    pool = PallasStreamPool(
+        config_from_dict(meta["config"]),
+        int(meta["hw_block_size"]),
+        int(meta["n_streams"]),
+        group=int(meta["group"]),
+        interpret=bool(meta.get("interpret", False)),
+        layout=meta["layout"],
+        ola=meta["ola"],
+    )
+    pool.meta = meta
+    pool.exported = exported
+    pool._step = exported.call
+    return pool
+
+
 def read_meta(path: str) -> dict:
     """Read just the JSON metadata line of an artifact (cheap inspection)."""
     with open(path, "rb") as f:
@@ -298,4 +421,6 @@ def load(path: str):
         return AotOffline(meta, exported)
     if meta["type"] == "stream_step":
         return AotStreamStep(meta, exported)
+    if meta["type"] == "stream_pool":
+        return _make_aot_stream_pool(meta, exported)
     raise ValueError(f"{path}: unknown artifact type {meta['type']!r}")

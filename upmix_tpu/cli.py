@@ -207,6 +207,17 @@ def build_parser() -> argparse.ArgumentParser:
         "pipeline",
     )
     p.add_argument(
+        "--aot-pool",
+        type=int,
+        default=None,
+        metavar="N_STREAMS",
+        help="with --save-aot: export the pallas serving-pool step for N "
+        "concurrent streams (--hw-block sized, --pool-ola dataflow) "
+        "instead of the offline pipeline; the artifact embeds the Mosaic "
+        "kernel, so it can be built on a CPU-only box (lowered for 'tpu' "
+        "unless --aot-platforms overrides)",
+    )
+    p.add_argument(
         "--aot-platforms",
         default=None,
         help="comma-separated lowering platforms for --save-aot (e.g. "
@@ -297,7 +308,9 @@ def main(argv=None) -> int:
         platforms = None
         if args.aot_platforms:
             platforms = [s for s in args.aot_platforms.split(",") if s.strip()]
-        if args.aot_stream:
+        if args.aot_stream and args.aot_pool is not None:
+            raise SystemExit("error: --aot-stream and --aot-pool are exclusive")
+        if args.aot_stream or args.aot_pool is not None:
             cfg = UpmixConfig.streaming(
                 edges,
                 sr=args.sr,
@@ -308,9 +321,27 @@ def main(argv=None) -> int:
                 synthesis=args.synthesis or "analysis",
                 bin_rounding=args.bin_rounding or "cpp",
             )
-            meta = aot.save_stream_step(
-                args.save_aot, cfg, args.hw_block, platforms=platforms
-            )
+            if args.aot_pool is not None:
+                if args.aot_pool < 1:
+                    raise SystemExit("error: --aot-pool must be >= 1 streams")
+                kwargs = {}
+                if platforms is not None:
+                    kwargs["platforms"] = platforms
+                try:
+                    meta = aot.save_stream_pool(
+                        args.save_aot,
+                        cfg,
+                        args.hw_block,
+                        args.aot_pool,
+                        ola=args.pool_ola,
+                        **kwargs,
+                    )
+                except ValueError as exc:
+                    raise SystemExit(f"error: {exc}")
+            else:
+                meta = aot.save_stream_step(
+                    args.save_aot, cfg, args.hw_block, platforms=platforms
+                )
         else:
             if args.aot_samples < 1:
                 raise SystemExit("error: --aot-samples must be >= 1")
