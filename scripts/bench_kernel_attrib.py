@@ -99,6 +99,71 @@ def main():
             a_hi[:, :1].astype(jnp.float32) * 0.0 + b[:1, :] * 0.0
         )
 
+    # int8 TIMING probes (wrong output): the real scheme
+    # (scripts/exp_int8_numerics.py, 87-88 dB chain SNR on CPU) pre-splits
+    # WEIGHTS into int8 hi/lo constants; here the bf16 weight halves are
+    # cast in-kernel instead (garbage scales — timing stand-in) while the
+    # ACTIVATION runtime split is the real thing (max-reduce + round +
+    # clip + cast + rescale).  Tiny dots (either weight dim < 128: the
+    # d2b/e2b stage-2 pair) keep the production bf16x3 path, matching
+    # what an exact integration would ship (sub-lane int8 layouts are
+    # Mosaic landmines and carry ~no MACs anyway).
+    def _int8_act_rows(a):
+        sa = jnp.maximum(
+            jnp.max(jnp.abs(a), axis=1, keepdims=True) * (1.0 / 127.0), 1e-30
+        )
+        q = a * (1.0 / sa)
+        ah = jnp.clip(jnp.round(q), -127.0, 127.0)
+        al = jnp.clip(jnp.round((q - ah) * 254.0), -127.0, 127.0)
+        return ah.astype(jnp.int8), al.astype(jnp.int8), sa
+
+    def _int8_act_cols(b):
+        sb = jnp.maximum(
+            jnp.max(jnp.abs(b), axis=0, keepdims=True) * (1.0 / 127.0), 1e-30
+        )
+        q = b * (1.0 / sb)
+        bh = jnp.clip(jnp.round(q), -127.0, 127.0)
+        bl = jnp.clip(jnp.round((q - bh) * 254.0), -127.0, 127.0)
+        return bh.astype(jnp.int8), bl.astype(jnp.int8), sb
+
+    def _di(x, y):
+        return _jax.lax.dot(x, y, preferred_element_type=jnp.int32)
+
+    def _make_doti(passes):
+        def _doti(a, b_hi, b_lo):
+            k, n = b_hi.shape
+            if k < 128 or n < 128:
+                return orig_dot3(a, b_hi, b_lo)
+            ah8, al8, sa = _int8_act_rows(a)
+            wh = b_hi.astype(jnp.int8)
+            sw = b_hi[:1, :].astype(jnp.float32) * 0.0 + 1.0  # [1, n] stand-in
+            if passes == 1:
+                acc = _di(ah8, wh).astype(jnp.float32)
+            else:
+                wl = b_lo.astype(jnp.int8)
+                acc = _di(ah8, wh).astype(jnp.float32) + (
+                    _di(ah8, wl) + _di(al8, wh)
+                ).astype(jnp.float32) * (1.0 / 254.0)
+            return acc * sa * sw
+
+        def _dotil(a_hi, a_lo, b):
+            k, n = a_hi.shape[1], b.shape[1]
+            if k < 128 or n < 128:
+                return orig_dot3l(a_hi, a_lo, b)
+            bh8, bl8, sb = _int8_act_cols(b)
+            wh = a_hi.astype(jnp.int8)
+            sw = a_hi[:, :1].astype(jnp.float32) * 0.0 + 1.0  # [rows, 1]
+            if passes == 1:
+                acc = _di(wh, bh8).astype(jnp.float32)
+            else:
+                wl = a_lo.astype(jnp.int8)
+                acc = _di(wh, bh8).astype(jnp.float32) + (
+                    _di(wh, bl8) + _di(wl, bh8)
+                ).astype(jnp.float32) * (1.0 / 254.0)
+            return acc * sb * sw
+
+        return _doti, _dotil
+
     def _mask_cheap(slre, slim, srre, srim, gains_list):
         c_re = c_im = l_re = l_im = r_re = r_im = 0.0
         for g in gains_list:
@@ -127,6 +192,9 @@ def main():
             ("full", {}),
             ("nodot23", {"dot1": True}),  # bf16x3 -> 1 MXU pass
             ("nodot", {"dot0": True}),  # ALL MXU work removed
+            # int8 timing probes (wrong output; see _make_doti above).
+            ("doti3", {"dotint": 3}),  # 3 int8 passes + runtime act split
+            ("doti1", {"dotint": 1}),  # 1 int8 pass (int8 MXU floor)
             # EXACT candidates (not profiling variants): same products,
             # fewer MXU invocations.
             ("dotpaired", {"flag": "_DOT_PAIRED"}),
@@ -143,6 +211,10 @@ def main():
             ("nofold", {"flag": "_PROF_NOFOLD"}),
         ]
 
+    if len(sys.argv) > 1:  # optional variant-name filter
+        keep = set(sys.argv[1:])
+        variants = [v for v in variants if v[0] in keep]
+
     runs = {}
     for name, kw in variants:
         plans = all_plans
@@ -152,6 +224,8 @@ def main():
             pom._dot3, pom._dot3l = _dot1, _dot1l
         if kw.get("dot0"):
             pom._dot3, pom._dot3l = _dot0, _dot0l
+        if kw.get("dotint"):
+            pom._dot3, pom._dot3l = _make_doti(kw["dotint"])
         if kw.get("mask"):
             pom._mask_sum = _mask_cheap
         if "flag" in kw:
