@@ -164,6 +164,89 @@ def jax_state_shapes(state):
     return jax.tree.map(lambda a: (tuple(a.shape), str(a.dtype)), state)
 
 
+def test_pool_plan_shape_only_matches_weighted():
+    # with_weights=False must agree with the full plan on every shape
+    # field while baking no weight matrices (aot.load uses it to avoid
+    # re-deriving tens of MB the artifact already embeds).
+    from upmix_tpu.ops.pallas_pool import make_pool_plan
+
+    hw = 256
+    cfg = UpmixConfig.streaming([0.0, 400.0, 1600.0], sr=SR, hw_block_size=hw)
+    for ola in ("time", "spectral"):
+        full = make_pool_plan(cfg, hw, 16, group=8, ola=ola)
+        slim = make_pool_plan(cfg, hw, 16, group=8, ola=ola, with_weights=False)
+        assert full is not None and slim is not None
+        assert (slim.hw, slim.window, slim.group, slim.ola) == (
+            full.hw, full.window, full.group, full.ola
+        )
+        assert len(slim.buckets) == len(full.buckets)
+        for fb, sb in zip(full.buckets, slim.buckets):
+            assert (sb.B, sb.H, sb.P, sb.Kr, sb.kp, sb.Q) == (
+                fb.B, fb.H, fb.P, fb.Kr, fb.kp, fb.Q
+            )
+            if ola == "spectral":
+                assert sb.spec_width == fb.spec_width
+            assert sb.wf_hi is None and sb.wi_hi is None and sb.wq_hi is None
+            np.testing.assert_array_equal(sb.gains, fb.gains)
+
+
+def test_aot_pool_load_skips_weight_bake(tmp_path):
+    hw, S = 256, 8
+    cfg = UpmixConfig.streaming([0.0, 400.0, 1600.0], sr=SR, hw_block_size=hw)
+    path = str(tmp_path / "pool.upmixaot")
+    aot.save_stream_pool(path, cfg, hw, S, group=8, platforms=["cpu"],
+                         interpret=True)
+    art = aot.load(path)
+    # Shape-only plan: no duplicate DFT weight matrices pinned in memory.
+    assert all(b.wf_hi is None for b in art.plan.buckets)
+
+
+def test_aot_pool_restore_after_json_round_trip(tmp_path):
+    # A snapshot that round-tripped through JSON arrives with LISTS where
+    # the state pytree has tuples and nested lists for arrays.  The live
+    # jit would merely retrace; Exported.call requires an exact pytree
+    # structure match — restore() must canonicalize (review finding:
+    # without it, push_blocks raised AND wiped every stream's state).
+    import json
+
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    hw, S = 256, 8
+    cfg = UpmixConfig.streaming([0.0, 400.0, 1600.0], sr=SR, hw_block_size=hw)
+    path = str(tmp_path / "pool.upmixaot")
+    aot.save_stream_pool(path, cfg, hw, S, group=8, platforms=["cpu"],
+                         interpret=True)
+    art = aot.load(path)
+    live = PallasStreamPool(cfg, hw, n_streams=S, group=8, interpret=True)
+
+    rng = np.random.default_rng(11)
+    n_blocks = live.warmup_blocks + 2
+    blocks = rng.standard_normal((n_blocks + 1, S, 2, hw)).astype(np.float32)
+    for t in range(n_blocks):
+        live.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        art.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+
+    snap = art.snapshot()
+    snap_json = json.loads(
+        json.dumps(jax_tree_to_lists(snap))
+    )  # tuples -> lists, arrays -> nested lists
+    art.restore(snap_json)
+    want = live.push_blocks(blocks[n_blocks, :, 0], blocks[n_blocks, :, 1])
+    got = art.push_blocks(blocks[n_blocks, :, 0], blocks[n_blocks, :, 1])
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=0, atol=1e-6
+        )
+
+
+def jax_tree_to_lists(tree):
+    if isinstance(tree, dict):
+        return {k: jax_tree_to_lists(v) for k, v in tree.items()}
+    if isinstance(tree, (tuple, list)):
+        return [jax_tree_to_lists(v) for v in tree]
+    return np.asarray(tree).tolist()
+
+
 def test_stream_pool_artifact_rejects_ineligible_config(tmp_path):
     # group must divide n_streams — same bar as the live pool.
     cfg = UpmixConfig.streaming([0.0, 400.0], sr=SR, hw_block_size=256)

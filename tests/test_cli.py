@@ -208,6 +208,34 @@ def test_cli_save_aot_pool(tmp_path, capsys):
         )
 
 
+def test_cli_save_aot_pool_group_flag(tmp_path, capsys):
+    # 24 streams is not a multiple of the default group 16; --pool-group 8
+    # makes the export legal (review finding: there was no CLI knob).
+    art_path = tmp_path / "pool24.upmixaot"
+    args = [
+        "-",
+        "--save-aot",
+        str(art_path),
+        "--aot-pool",
+        "24",
+        "--sr",
+        "16000",
+        "--band-edges",
+        "0,500",
+        "--hw-block",
+        "256",
+    ]
+    with pytest.raises(SystemExit, match="not eligible"):
+        main(args)
+    rc = main(args + ["--pool-group", "8"])
+    assert rc == 0
+    from upmix_tpu import aot
+
+    meta = aot.read_meta(str(art_path))
+    assert meta["n_streams"] == 24
+    assert meta["group"] == 8
+
+
 def test_cli_save_aot_requires_sr_and_dash(tmp_path):
     with pytest.raises(SystemExit, match="requires a positive --sr"):
         main(["-", "--save-aot", str(tmp_path / "x.upmixaot")])

@@ -361,14 +361,21 @@ class AotStreamStep:
 def _make_aot_stream_pool(meta: dict, exported):
     """Loaded serving-pool artifact.
 
-    Built as a PallasStreamPool whose jitted step is swapped for the
-    exported program, so push_blocks / snapshot / restore /
-    reset_streams / reset are the live class's own methods (the state
-    plumbing — quarters rotation, warmup counter, per-bucket OLA
-    carries — is all inside the exported step).  Constructing the base
-    pool compiles nothing: jax.jit is lazy and the jitted _step is
-    replaced before any call.
+    Built as a SHAPE-ONLY PallasStreamPool (no weight-matrix bake — the
+    exported StableHLO embeds its own copies) whose step is the exported
+    program, so push_blocks / snapshot / restore / reset_streams / reset
+    are the live class's own methods (the state plumbing — quarters
+    rotation, warmup counter, per-bucket OLA carries — is all inside the
+    exported step).
+
+    The exported call is re-wrapped in jax.jit with the SAME
+    donate_argnums as the live pool: Exported.call alone does not donate
+    (verified on jax 0.9), and the quarters layout's zero-copy history
+    rotation — the reason the artifact exists — depends on the state
+    (and, for quarters, the input blocks) being donated.
     """
+    import jax
+
     from upmix_tpu.models.streaming import PallasStreamPool
 
     pool = PallasStreamPool(
@@ -379,10 +386,12 @@ def _make_aot_stream_pool(meta: dict, exported):
         interpret=bool(meta.get("interpret", False)),
         layout=meta["layout"],
         ola=meta["ola"],
+        _shape_only=True,
     )
     pool.meta = meta
     pool.exported = exported
-    pool._step = exported.call
+    donate = (0, 1, 2) if meta["layout"] == "quarters" else (0,)
+    pool._step = jax.jit(exported.call, donate_argnums=donate)
     return pool
 
 
@@ -402,7 +411,8 @@ def read_meta(path: str) -> dict:
 
 
 def load(path: str):
-    """Load an artifact written by save_offline/save_stream_step."""
+    """Load an artifact written by save_offline / save_stream_step /
+    save_stream_pool (the type is read from the metadata line)."""
     from jax import export as jax_export
 
     with open(path, "rb") as f:

@@ -184,6 +184,14 @@ def build_parser() -> argparse.ArgumentParser:
         "and emits each hop as one inverse-window dot (DESIGN.md §6)",
     )
     p.add_argument(
+        "--pool-group",
+        type=int,
+        default=16,
+        help="pallas pool streams per kernel grid step (default 16 — the "
+        "measured optimum on v5e; the stream/artifact count must be a "
+        "multiple of this, so pick 8 for counts not divisible by 16)",
+    )
+    p.add_argument(
         "--save-aot",
         default=None,
         metavar="PATH",
@@ -221,7 +229,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--aot-platforms",
         default=None,
         help="comma-separated lowering platforms for --save-aot (e.g. "
-        "'tpu' or 'tpu,cpu'; default: the current backend)",
+        "'tpu' or 'tpu,cpu'; default: the current backend, except "
+        "--aot-pool which defaults to 'tpu')",
     )
     p.add_argument(
         "--pipe",
@@ -324,6 +333,8 @@ def main(argv=None) -> int:
             if args.aot_pool is not None:
                 if args.aot_pool < 1:
                     raise SystemExit("error: --aot-pool must be >= 1 streams")
+                if args.pool_group < 8:
+                    raise SystemExit("error: --pool-group must be >= 8")
                 kwargs = {}
                 if platforms is not None:
                     kwargs["platforms"] = platforms
@@ -333,6 +344,7 @@ def main(argv=None) -> int:
                         cfg,
                         args.hw_block,
                         args.aot_pool,
+                        group=args.pool_group,
                         ola=args.pool_ola,
                         **kwargs,
                     )
@@ -401,6 +413,7 @@ def main(argv=None) -> int:
             bin_rounding=args.bin_rounding or "cpp",
             engine=args.pool_engine,
             ola=args.pool_ola,
+            group=args.pool_group,
         )
         try:
             import threading as _threading

@@ -428,7 +428,11 @@ class PallasStreamPool:
         mesh=None,
         layout: str = "quarters",
         ola: str = "time",
+        _shape_only: bool = False,
     ):
+        # _shape_only (internal, aot.py): build the plan WITHOUT baking
+        # the DFT weight matrices and leave _step unset — the caller
+        # installs the exported program, which embeds its own weights.
         from upmix_tpu.ops.pallas_pool import make_pool_plan, pool_step_lcr
 
         self.config = config
@@ -472,7 +476,10 @@ class PallasStreamPool:
             self._shardings = shard_like
         # The kernel plan is PER-SHARD: each device runs the grid over
         # its own n_local streams.
-        plan = make_pool_plan(config, hw, n_local, group=group, ola=ola)
+        plan = make_pool_plan(
+            config, hw, n_local, group=group, ola=ola,
+            with_weights=not _shape_only,
+        )
         if plan is None:
             raise ValueError(
                 "config not eligible for the pallas pool kernel (a bucket's "
@@ -491,6 +498,10 @@ class PallasStreamPool:
         self._interpret = (
             jax.default_backend() == "cpu" if interpret is None else interpret
         )
+        if _shape_only:
+            self._step = None  # installed by the caller (aot.load)
+            self.state = self._fresh_state()
+            return
 
         def step(state, xl, xr):  # xl/xr [S, hw]
             if layout == "quarters":
@@ -652,18 +663,42 @@ class PallasStreamPool:
         for key in ("histL", "histR"):
             h = snap[key]
             if isinstance(h, (tuple, list)):  # quarters-format snapshot
+                if len(h) != nq - 1:
+                    raise ValueError(
+                        f"snapshot {key} has {len(h)} quarter buffers; this "
+                        f"pool's geometry needs {nq - 1}"
+                    )
                 if self.layout == "window":
                     S = self.n_streams
                     h = jnp.concatenate(
                         [jnp.zeros((S, hw), jnp.float32)]
-                        + [jnp.asarray(q) for q in h],
+                        + [jnp.asarray(q, jnp.float32) for q in h],
                         axis=1,
                     )
+                else:
+                    # Canonicalize to a TUPLE of f32 arrays: a snapshot
+                    # that round-tripped through JSON/msgpack arrives as
+                    # lists, which the live jit would merely retrace on
+                    # but an AOT Exported.call rejects (exact pytree
+                    # structure match).
+                    h = tuple(jnp.asarray(q, jnp.float32) for q in h)
             elif self.layout == "quarters":  # window-format snapshot
-                h = tuple(
-                    jnp.asarray(h[:, q * hw : (q + 1) * hw]) for q in range(1, nq)
-                )
+                h = jnp.asarray(h, jnp.float32)
+                h = tuple(h[:, q * hw : (q + 1) * hw] for q in range(1, nq))
             snap[key] = h
+        # Canonical leaf/type structure throughout (see the quarters note
+        # above): tuples for the per-bucket time-OLA triples, int32 t.
+        if self.ola != "spectral":
+            carries = {
+                k: tuple(jnp.asarray(a, jnp.float32) for a in v)
+                for k, v in carries.items()
+            }
+        else:
+            carries = {
+                k: jnp.asarray(v, jnp.float32) for k, v in carries.items()
+            }
+        snap["ola"] = carries
+        snap["t"] = jnp.asarray(snap["t"], jnp.int32)
         state = jax.tree.map(jnp.asarray, snap)
         if self._shardings is not None:
             state = jax.tree.map(

@@ -109,6 +109,7 @@ def make_pool_plan(
     group: int = 16,
     weight_limit: int = 8 << 20,
     ola: str = "time",
+    with_weights: bool = True,
 ):
     """Build the pool-kernel plan, or return None when a bucket is not
     direct-DFT eligible (the caller falls back to the XLA engine).
@@ -120,7 +121,14 @@ def make_pool_plan(
     baked inverse weight — same MAC count, but the [3PG, B] `rec`
     materialization and the shifted-pad fold disappear (they were the
     two largest VPU-materialization items in the pool floor
-    decomposition, DESIGN.md §6)."""
+    decomposition, DESIGN.md §6).
+
+    with_weights=False skips baking the DFT weight matrices (up to
+    ~8 MB each) and their bf16 splits: the returned plan carries every
+    SHAPE (window, B, H, P, Kr, kp, Q, spec_width, eligibility) but its
+    weight fields are None — for callers that only need state geometry,
+    e.g. loading an AOT artifact whose exported program already embeds
+    the weights (aot.py)."""
     from upmix_tpu.models.streaming import stream_warmup_blocks
 
     if ola not in ("time", "spectral"):
@@ -142,23 +150,30 @@ def make_pool_plan(
         lo, hi = int(nz[0]), int(nz[-1])
         if block_size * 2 * (hi - lo + 1) * 4 > weight_limit:
             return None  # support too wide to bake — XLA engine instead
-        aw = make_window(config.window, block_size)
-        if config.synthesis == "wola":
-            sw = design_wola_synthesis_window(aw, config.overlap)
+        if with_weights:
+            aw = make_window(config.window, block_size)
+            if config.synthesis == "wola":
+                sw = design_wola_synthesis_window(aw, config.overlap)
+            else:
+                sw = aw
+            dplan = make_direct_plan(block_size, lo, hi, aw, sw)
+            wf_hi, wf_lo = _split_bf16(dplan.w_fwd)
         else:
-            sw = aw
-        dplan = make_direct_plan(block_size, lo, hi, aw, sw)
-        wf_hi, wf_lo = _split_bf16(dplan.w_fwd)
+            dplan = None
+            wf_hi = wf_lo = None
         spectral = {}
         if ola == "spectral":
             spectral = _spectral_bucket_fields(
-                dplan, block_size, hop, hw, weight_limit
+                dplan, block_size, hop, hw, weight_limit,
+                n_bins=hi - lo + 1,
             )
             if spectral is None:
                 return None  # no legal Q / weights too wide — XLA engine
             wi_hi = wi_lo = None
-        else:
+        elif with_weights:
             wi_hi, wi_lo = _split_bf16(dplan.w_inv)
+        else:
+            wi_hi = wi_lo = None
         buckets.append(
             _PoolBucket(
                 B=block_size, H=hop, P=hw // hop,
@@ -175,7 +190,9 @@ def make_pool_plan(
     )
 
 
-def _spectral_bucket_fields(dplan, B: int, H: int, hw: int, weight_limit: int):
+def _spectral_bucket_fields(
+    dplan, B: int, H: int, hw: int, weight_limit: int, n_bins: int | None = None
+):
     """Window-dot weight for spectral-OLA: the frame-spectra window for
     hops [dQ, dQ+Q) spans slots dQ..dQ+Q+Kr-2 of the (carry ++ new)
     spectra lanes, slot i holding frame i-(Kr-1)'s padded [kp] spectrum.
@@ -189,17 +206,19 @@ def _spectral_bucket_fields(dplan, B: int, H: int, hw: int, weight_limit: int):
     Kr = B // H
     if Kr < 2:
         return None  # no overlap — the time fold is already trivial
-    twoK = dplan.w_inv.shape[0]
+    twoK = 2 * n_bins if dplan is None else dplan.w_inv.shape[0]
     kp = -(-twoK // 128) * 128
     Q = 1
     while Q <= P and (Q * H) % 128:
         Q += 1
     if Q > P or P % Q:
         return None
-    wi = np.asarray(dplan.w_inv, np.float32)  # [2K, B]
     nrow = Q + Kr - 1
     if nrow * kp * Q * H * 2 > weight_limit:  # baked as bf16 halves
         return None
+    if dplan is None:  # shape-only plan: all geometry, no weight bake
+        return {"Kr": Kr, "kp": kp, "Q": Q, "wq_hi": None, "wq_lo": None}
+    wi = np.asarray(dplan.w_inv, np.float32)  # [2K, B]
     wq = np.zeros((nrow * kp, Q * H), np.float32)
     for j in range(nrow):
         for r in range(Q):
