@@ -590,9 +590,11 @@ def test_pallas_pool_sharded_matches_unsharded():
 
 def test_pallas_pool_quarters_matches_window():
     # The quarters history layout (no per-block shift copy — the input
-    # block IS the newest quarter, rotation is buffer rebinding under
-    # donation) must be BIT-identical to the window layout, including
-    # warmup silence and slot churn mid-run.
+    # block IS the newest quarter) computes the same values as the
+    # window layout, including warmup silence and slot churn mid-run.
+    # Float-level slack, not bit identity: the layouts are different
+    # XLA programs whose fusion context (e.g. opportunistic FMA) may
+    # differ at the last ulp (see test_pallas_pool_random_config_fuzz).
     from upmix_tpu.models.streaming import PallasStreamPool
 
     cfg = _stream_cfg()
@@ -610,7 +612,9 @@ def test_pallas_pool_quarters_matches_window():
         a = w.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
         b = q.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
         for x, y in zip(a, b):
-            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+            x, y = np.asarray(x), np.asarray(y)
+            scale = max(np.abs(x).max(), 1.0)
+            np.testing.assert_allclose(y, x, rtol=0, atol=1e-5 * scale)
         if t < q.warmup_blocks - 1:
             assert np.abs(np.asarray(b[0])).max() == 0.0
 
@@ -619,7 +623,8 @@ def test_pallas_pool_restore_cross_layout():
     # restore() accepts a snapshot from EITHER history layout: the
     # window layout's oldest hw samples are dead state, so the two
     # formats carry the same live information and cross-restores resume
-    # bit-identically.
+    # exactly (same-layout) or to float tolerance (cross-layout — the
+    # layouts are different XLA programs; see the fuzz test note).
     from upmix_tpu.models.streaming import PallasStreamPool
 
     cfg = _stream_cfg()
@@ -647,7 +652,14 @@ def test_pallas_pool_restore_cross_layout():
         for pool in (q2, w2, q3):
             got = pool.push_blocks(blk[:, 0], blk[:, 1])
             for x, y in zip(ref, got):
-                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+                x, y = np.asarray(x), np.asarray(y)
+                if pool is w2:  # same layout as the reference pool
+                    np.testing.assert_array_equal(y, x)
+                else:
+                    scale = max(np.abs(x).max(), 1.0)
+                    np.testing.assert_allclose(
+                        y, x, rtol=0, atol=1e-5 * scale
+                    )
 
 
 def test_pallas_pool_quarters_sharded():
@@ -798,11 +810,18 @@ def test_pallas_pool_random_config_fuzz():
             wc, wls, wrs = wpool.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
             want = np.stack([np.asarray(x) for x in (rc, rls, rrs)])
             got = np.stack([np.asarray(x) for x in (pc, pls, prs)])
-            # The two history layouts must agree BIT-for-bit on every
+            # The two history layouts compute the same values on every
             # draw (covers nq=2 at 50% overlap, cross-quarter spans,
-            # and the unaligned-hop base path of _read_span).
+            # and the unaligned-hop base path of _read_span).  Bit
+            # identity held under the old always-donating jit but is
+            # not a semantic contract: the layouts are DIFFERENT XLA
+            # programs, and fusion context (e.g. opportunistic FMA)
+            # may differ at the last ulp — allow float-level slack.
             gotw = np.stack([np.asarray(x) for x in (wc, wls, wrs)])
-            np.testing.assert_array_equal(got, gotw)
+            scale = max(np.abs(gotw).max(), 1.0)
+            np.testing.assert_allclose(
+                got, gotw, rtol=0, atol=1e-5 * scale
+            )
             if np.abs(want).max() > 0:
                 assert snr_db(want, got) > 80.0, (
                     f"trial {trial} block {t} (edges={edges}, ov={overlap}, "

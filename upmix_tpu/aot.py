@@ -368,11 +368,12 @@ def _make_aot_stream_pool(meta: dict, exported):
     rotation, warmup counter, per-bucket OLA carries — is all inside the
     exported step).
 
-    The exported call is re-wrapped in jax.jit with the SAME
-    donate_argnums as the live pool: Exported.call alone does not donate
-    (verified on jax 0.9), and the quarters layout's zero-copy history
-    rotation — the reason the artifact exists — depends on the state
-    (and, for quarters, the input blocks) being donated.
+    The exported call is re-wrapped in jax.jit, matching the live
+    pool's dispatch path: bare Exported.call pays per-call Python
+    overhead (measured +0.7-3 ms/block), and like the live pool the
+    wrapper does NOT donate — donation measured SLOWER per dispatched
+    block on v5e (scripts/bench_aot_pool.py; see PallasStreamPool's
+    `donate` parameter).
     """
     import jax
 
@@ -390,8 +391,7 @@ def _make_aot_stream_pool(meta: dict, exported):
     )
     pool.meta = meta
     pool.exported = exported
-    donate = (0, 1, 2) if meta["layout"] == "quarters" else (0,)
-    pool._step = jax.jit(exported.call, donate_argnums=donate)
+    pool._step = jax.jit(exported.call)
     return pool
 
 

@@ -282,20 +282,25 @@ class StreamingUpmixer:
     block); `process_signal` scans all blocks inside one compiled program
     for offline use and parity testing.
 
-    Note: the state buffers are DONATED to each step (updated in place for
-    latency).  To checkpoint, snapshot with
-    ``jax.tree.map(np.asarray, engine.state)`` BEFORE the next push — a
-    raw reference to ``engine.state`` is invalidated by the next call.
+    The state buffers are DONATED to each step by default (in-place
+    update — measured 5.8 vs 8.2 ms/block on v5e for this pure-XLA
+    step; donation only hurts the pallas-kernel pool, see
+    PallasStreamPool).  Checkpoint with ``snapshot()`` BEFORE the next
+    push — a raw reference to ``engine.state`` is invalidated by the
+    next call.  ``donate=False`` opts out (state survives a failed
+    push; buffers may be re-pushed).
     """
 
-    def __init__(self, config: UpmixConfig, hw_block_size: int):
+    def __init__(
+        self, config: UpmixConfig, hw_block_size: int, donate: bool = True
+    ):
         self.config = config
         self.hw_block_size = int(hw_block_size)
         self.warmup_blocks = stream_warmup_blocks(config)
-        # Donate the state: the engine replaces it every call, so the
-        # runtime can update buffers in place (lower per-block latency).
-        self._step = jax.jit(
-            build_stream_step(config, self.hw_block_size), donate_argnums=(0,)
+        self.donate = bool(donate)
+        step = build_stream_step(config, self.hw_block_size)
+        self._step = (
+            jax.jit(step, donate_argnums=(0,)) if donate else jax.jit(step)
         )
         self.state = init_stream_state(config, self.hw_block_size)
         self._scan_cache = {}
@@ -305,8 +310,8 @@ class StreamingUpmixer:
 
     def snapshot(self):
         """Host-side copy of the current state, safe to keep across pushes
-        (the live state buffers are donated and invalidated by the next
-        push_block — checkpoint from this, not from .state directly)."""
+        (with donate=True the live state buffers are invalidated by the
+        next push_block — checkpoint from this, not from .state)."""
         import numpy as _np
 
         return jax.tree.map(_np.asarray, self.state)
@@ -326,10 +331,11 @@ class StreamingUpmixer:
         try:
             self.state, out = self._step(self.state, x)
         except Exception:
-            # The step donated the state buffers; after a failure mid-call
-            # they may be unusable, so restart the stream rather than
-            # leave the engine permanently broken.
-            self.reset()
+            if self.donate:
+                # The step donated the state buffers; after a failure
+                # mid-call they may be unusable, so restart the stream
+                # rather than leave the engine permanently broken.
+                self.reset()
             raise
         return out[0], out[1], out[2]
 
@@ -386,13 +392,13 @@ class PallasStreamPool:
 
     - ``layout="quarters"`` (default): the history lives as warmup-1
       [S, hw] quarter buffers and the INPUT block becomes the newest
-      quarter — no per-block shift copy; under donation the rotation is
-      pure buffer rebinding.  Measured +17% serving capacity at B=2048
-      on v5e (16.9k vs 14.4k streams/chip, scripts/bench_pool_quarters
-      .py).  Caveat: inside a caller's ``lax.scan`` the rotation rides
-      the carry back-edge where XLA inserts copies — for scan-driven
-      batch use, unroll a few steps per scan iteration or pick
-      ``"window"``.
+      quarter — no per-block shift copy (the rotation is passthrough
+      copies, or pure buffer rebinding with ``donate=True``).  Measured
+      +17% serving capacity at B=2048 on v5e (16.9k vs 14.4k
+      streams/chip, scripts/bench_pool_quarters.py).  Caveat: inside a
+      caller's ``lax.scan`` the rotation rides the carry back-edge
+      where XLA inserts copies — for scan-driven batch use, unroll a
+      few steps per scan iteration or pick ``"window"``.
     - ``layout="window"``: one [S, warmup*hw] buffer per channel,
       shifted in XLA each block (the round-2/3 layout).
 
@@ -428,8 +434,19 @@ class PallasStreamPool:
         mesh=None,
         layout: str = "quarters",
         ola: str = "time",
+        donate: bool = False,
         _shape_only: bool = False,
     ):
+        # donate: donate the state (and, for quarters, the input blocks)
+        # to the jitted step.  Measured SLOWER for THIS engine on the
+        # per-block dispatch path (v5e, clean interleaved A/B:
+        # S=2048 7.07 vs 5.86 ms/block, S=256 2.72 vs 2.10 — donation
+        # costs 0.6-1.2 ms/block, +20-29% capacity without it), unlike
+        # the pure-XLA engines where donation WINS (StreamingUpmixer
+        # 5.8 vs 8.2) — consistent with jit-level donation forcing
+        # defensive copies when aliasing pallas_call outputs.  Default
+        # False; donate=True halves peak state memory for huge pools
+        # but forbids re-pushing a buffer and voids state on failure.
         # _shape_only (internal, aot.py): build the plan WITHOUT baking
         # the DFT weight matrices and leave _step unset — the caller
         # installs the exported program, which embeds its own weights.
@@ -498,6 +515,7 @@ class PallasStreamPool:
         self._interpret = (
             jax.default_backend() == "cpu" if interpret is None else interpret
         )
+        self.donate = bool(donate)
         if _shape_only:
             self._step = None  # installed by the caller (aot.load)
             self.state = self._fresh_state()
@@ -509,10 +527,13 @@ class PallasStreamPool:
                 # (oldest -> newest); the NEW input block IS the newest
                 # quarter — no shift copy (the window layout's per-block
                 # [S, window] concat measured 0.43 ms/block at S=2048,
-                # 6.6% of serving capacity — DESIGN.md §6).  The rotation
-                # below is pure buffer rebinding under donation (xl/xr
-                # arrive as whole donated buffers so the newest-quarter
-                # state outputs alias them copy-free).
+                # 6.6% of serving capacity — DESIGN.md §6).  With
+                # donate=True the rotation is pure buffer rebinding
+                # (xl/xr arrive as whole donated buffers so the newest-
+                # quarter state outputs alias them); without donation it
+                # is passthrough copies, which still measure CHEAPER per
+                # dispatched block than donation's bookkeeping (see the
+                # `donate` parameter note).
                 histL = (*state["histL"], xl)
                 histR = (*state["histR"], xr)
             else:
@@ -566,10 +587,13 @@ class PallasStreamPool:
                 check_vma=False,
             )
         # In the quarters layout, the input blocks themselves become the
-        # newest history quarter — donate them too so the state outputs
-        # alias their buffers.
-        donate = (0, 1, 2) if layout == "quarters" else (0,)
-        self._step = jax.jit(step, donate_argnums=donate)
+        # newest history quarter — when donating, donate them too so the
+        # state outputs alias their buffers.
+        if donate:
+            dn = (0, 1, 2) if layout == "quarters" else (0,)
+            self._step = jax.jit(step, donate_argnums=dn)
+        else:
+            self._step = jax.jit(step)
         self.state = self._fresh_state()
 
     def _fresh_state(self):
@@ -724,7 +748,10 @@ class PallasStreamPool:
         try:
             self.state, out = self._step(self.state, xl, xr)
         except Exception:
-            self.reset()
+            if self.donate:
+                # The step donated the state buffers; after a failure
+                # mid-call they may be invalid — only a reset is safe.
+                self.reset()
             raise
         return out
 
@@ -738,6 +765,7 @@ def make_stream_pool(
     group: int = 16,
     layout: str = "quarters",
     ola: str = "time",
+    donate: bool = False,
 ):
     """Build the best serving pool for this config and device.
 
@@ -753,6 +781,10 @@ def make_stream_pool(
     shard_map (explicit opt-in: validated on the virtual mesh, not yet
     on multi-chip hardware — 'auto' stays on the hardware-proven
     choices).
+
+    ``donate`` applies to the pallas pool only (its measured-best
+    default is False); the XLA engine keeps its own measured-best
+    default (donate=True — see each class's note).
     """
     if engine not in ("auto", "pallas", "xla"):
         raise ValueError(
@@ -761,7 +793,7 @@ def make_stream_pool(
     if engine == "pallas":
         return PallasStreamPool(
             config, hw_block_size, n_streams, group=group, mesh=mesh,
-            layout=layout, ola=ola,
+            layout=layout, ola=ola, donate=donate,
         )
     if engine == "auto" and mesh is None and jax.default_backend() != "cpu":
         from upmix_tpu.ops.pallas_pool import make_pool_plan
@@ -780,7 +812,7 @@ def make_stream_pool(
             ):
                 return PallasStreamPool(
                     config, hw_block_size, n_streams, group=group,
-                    layout=layout, ola=try_ola,
+                    layout=layout, ola=try_ola, donate=donate,
                 )
     return BatchStreamingUpmixer(config, hw_block_size, n_streams, mesh=mesh)
 
@@ -803,8 +835,10 @@ class BatchStreamingUpmixer:
     free (each chip serves n_streams/mesh.shape['data'] sessions; XLA
     inserts no collectives).  n_streams must divide evenly.
 
-    State is donated per step, like StreamingUpmixer — `snapshot()`
-    before the next push to checkpoint.
+    State is donated per step by default, like StreamingUpmixer (the
+    vmapped step is pure XLA, where donation measured FASTER — unlike
+    the pallas pool) — `snapshot()` before the next push to checkpoint;
+    ``donate=False`` opts out.
     """
 
     def __init__(
@@ -813,6 +847,7 @@ class BatchStreamingUpmixer:
         hw_block_size: int,
         n_streams: int,
         mesh=None,
+        donate: bool = True,
     ):
         if n_streams < 1:
             raise ValueError(f"n_streams must be >= 1, got {n_streams}")
@@ -839,7 +874,14 @@ class BatchStreamingUpmixer:
                 return NamedSharding(mesh, spec)
 
             self._shardings = shard_like
-        self._step = jax.jit(jax.vmap(step), donate_argnums=(0,))
+        # donate=True default: for this pure-XLA vmapped step donation
+        # measured FASTER per dispatched block on v5e (8.05 vs 8.32 ms
+        # at S=128) — the pallas pool is the engine where it hurts.
+        self.donate = bool(donate)
+        vstep = jax.vmap(step)
+        self._step = (
+            jax.jit(vstep, donate_argnums=(0,)) if donate else jax.jit(vstep)
+        )
         self.state = self._fresh_state()
 
     def _fresh_state(self):
@@ -875,7 +917,8 @@ class BatchStreamingUpmixer:
         )
 
     def snapshot(self):
-        """Host-side copy safe to keep across pushes (state is donated)."""
+        """Host-side copy safe to keep across pushes (required when the
+        pool was built with donate=True)."""
         import numpy as _np
 
         return jax.tree.map(_np.asarray, self.state)
@@ -898,6 +941,7 @@ class BatchStreamingUpmixer:
         try:
             self.state, out = self._step(self.state, x)
         except Exception:
-            self.reset()
+            if self.donate:
+                self.reset()
             raise
         return out[:, 0], out[:, 1], out[:, 2]

@@ -108,10 +108,11 @@ class StreamServer:
         self.max_buffered_blocks = int(max_buffered_blocks)
         self._slots = [_Slot() for _ in range(self.n_slots)]
         self._lock = threading.Lock()
-        # Serializes every touch of the pool's donated state: the
-        # dispatcher's push_blocks vs. connection threads' slot re-warm
-        # (reset_streams) — concurrent access could consume a donated
-        # buffer (CLAUDE.md race-detection invariant).
+        # Serializes every touch of the pool's state: the dispatcher's
+        # push_blocks vs. connection threads' slot re-warm
+        # (reset_streams) — an interleaved read-modify-write would drop
+        # one side's state update (and with a donate=True pool could
+        # consume a donated buffer mid-step).
         self._pool_lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = threading.Event()
