@@ -305,3 +305,210 @@ def test_run_stream_server_pool_options():
 
     with pytest.raises(TypeError):
         run_stream_server(0, sr=SR, lockstp=True)
+
+
+# -- checkpoint / resume (protocol v2) ---------------------------------------
+
+
+def _warmup_skip():
+    from upmix_tpu.models.streaming import stream_warmup_blocks
+
+    return (stream_warmup_blocks(_cfg()) - 1) * HW
+
+
+def _one_shot(pool_factory, L, R, mix="stereo_sum"):
+    """Uninterrupted run of the same signal on a fresh server: the exact
+    reference for a checkpointed-and-resumed session."""
+    with StreamServer(pool_factory(), lockstep=True) as srv:
+        return stream_client(*srv.address, L, R, mix=mix)
+
+
+def _send_and_read(sess, xl, xr, start_blk, n_blocks, already_read):
+    """Send blocks [start_blk, start_blk + n_blocks) and read every output
+    frame due after the corresponding dispatches (lockstep: one dispatch
+    per block when this is the only stalled sender)."""
+    for b in range(start_blk, start_blk + n_blocks):
+        sess.send_block(xl[b * HW : (b + 1) * HW], xr[b * HW : (b + 1) * HW])
+    due = max(0, (start_blk + n_blocks) * HW - _warmup_skip()) - already_read
+    return sess.recv_frames(due) if due > 0 else np.zeros((0, sess.out_channels), "<f4")
+
+
+@pytest.mark.parametrize("pool_kind", ["xla", "pallas"])
+def test_checkpoint_resume_continues_exactly(tmp_path, pool_kind):
+    # A session checkpointed mid-stream and resumed on a NEW server (new
+    # pool, state injected from the checkpoint) must produce the exact
+    # continuation of an uninterrupted run — the serving product's
+    # failure-recovery contract (SURVEY.md §5 checkpoint/resume).
+    from upmix_tpu.serve_stream import StreamSession
+
+    def pool_factory():
+        if pool_kind == "pallas":
+            from upmix_tpu.models.streaming import PallasStreamPool
+
+            return PallasStreamPool(_cfg(), HW, n_streams=8, group=8,
+                                    interpret=True)
+        return BatchStreamingUpmixer(_cfg(), HW, n_streams=8)
+
+    n_blocks = 12
+    L, R = make_stereo(n_blocks * HW, SR, seed=101)
+    L, R = L.astype(np.float32), R.astype(np.float32)
+    ref = _one_shot(pool_factory, L, R)
+
+    path = str(tmp_path / "sessions.npz")
+    cut = 5  # blocks sent before the restart
+
+    srv_a = StreamServer(pool_factory(), lockstep=True).start()
+    sess = StreamSession(*srv_a.address)
+    assert sess.server_in_frames == 0 and len(sess.token) == 16
+    part1 = _send_and_read(sess, L, R, 0, cut, 0)
+    n_saved = srv_a.save_checkpoint(path)
+    assert n_saved == 1
+    sess.close()  # connection dies with the "crashed" server
+    srv_a.close()
+
+    srv_b = StreamServer(pool_factory(), lockstep=True,
+                         checkpoint=path).start()
+    try:
+        sess2 = StreamSession(*srv_b.address, token=sess.token)
+        assert sess2.server_in_frames == cut * HW
+        assert sess2.server_out_frames == len(part1)
+        for b in range(cut, n_blocks):
+            sess2.send_block(L[b * HW : (b + 1) * HW],
+                             R[b * HW : (b + 1) * HW])
+        sess2.finish()  # drain the tail
+        part2 = sess2.recv_frames(n_blocks * HW - len(part1))
+        sess2.close()
+    finally:
+        srv_b.close()
+
+    got = np.concatenate([part1, part2])
+    want = np.column_stack(ref)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_checkpoint_captures_queued_blocks(tmp_path):
+    # Blocks a client sent but the server had not yet dispatched (held
+    # back by lockstep on another slot) ride the checkpoint and are
+    # processed first after resume — no input is lost or re-requested.
+    from upmix_tpu.serve_stream import StreamSession
+
+    def pool_factory():
+        return BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+
+    n_blocks = 10
+    Lx, Rx = make_stereo(n_blocks * HW, SR, seed=103)
+    Ly, Ry = make_stereo(n_blocks * HW, SR, seed=104)
+    arrs = [a.astype(np.float32) for a in (Lx, Rx, Ly, Ry)]
+    Lx, Rx, Ly, Ry = arrs
+    ref_x = _one_shot(pool_factory, Lx, Rx)
+    ref_y = _one_shot(pool_factory, Ly, Ry)
+
+    path = str(tmp_path / "sessions.npz")
+    srv_a = StreamServer(pool_factory(), lockstep=True).start()
+    sx = StreamSession(*srv_a.address)
+    sy = StreamSession(*srv_a.address)
+    # Interleaved sends: lockstep dispatches once BOTH slots have a
+    # block, so neither client can run ahead before reading.
+    for b in range(5):
+        sx.send_block(Lx[b * HW : (b + 1) * HW], Rx[b * HW : (b + 1) * HW])
+        sy.send_block(Ly[b * HW : (b + 1) * HW], Ry[b * HW : (b + 1) * HW])
+    due = 5 * HW - _warmup_skip()
+    px = sx.recv_frames(due)
+    py = sy.recv_frames(due)
+    # Two more blocks from X only: lockstep holds them queued (Y's 6th
+    # block never arrives before the checkpoint).
+    sx.send_block(Lx[5 * HW : 6 * HW], Rx[5 * HW : 6 * HW])
+    sx.send_block(Lx[6 * HW : 7 * HW], Rx[6 * HW : 7 * HW])
+    import time
+
+    time.sleep(0.2)  # let the reader thread enqueue them server-side
+    assert srv_a.save_checkpoint(path) == 2
+    sx.close(), sy.close()
+    srv_a.close()
+
+    srv_b = StreamServer(pool_factory(), lockstep=True,
+                         checkpoint=path).start()
+    try:
+        sx2 = StreamSession(*srv_b.address, token=sx.token)
+        sy2 = StreamSession(*srv_b.address, token=sy.token)
+        assert sx2.server_in_frames == 7 * HW  # the queued blocks count
+        assert sy2.server_in_frames == 5 * HW
+        for b in range(7, n_blocks):
+            sx2.send_block(Lx[b * HW : (b + 1) * HW],
+                           Rx[b * HW : (b + 1) * HW])
+        for b in range(5, n_blocks):
+            sy2.send_block(Ly[b * HW : (b + 1) * HW],
+                           Ry[b * HW : (b + 1) * HW])
+        sx2.finish(), sy2.finish()
+        gx = np.concatenate([px, sx2.recv_frames(n_blocks * HW - len(px))])
+        gy = np.concatenate([py, sy2.recv_frames(n_blocks * HW - len(py))])
+        sx2.close(), sy2.close()
+    finally:
+        srv_b.close()
+    np.testing.assert_array_equal(gx, np.column_stack(ref_x))
+    np.testing.assert_array_equal(gy, np.column_stack(ref_y))
+
+
+def test_resume_token_rejection_and_identity_guard(tmp_path):
+    from upmix_tpu.serve_stream import StreamSession
+
+    pool = BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+    with StreamServer(pool, lockstep=True) as srv:
+        with pytest.raises(ConnectionError, match="unknown or expired"):
+            StreamSession(*srv.address, token=b"\x01" * 16)
+        # New v2 sessions coexist with v1 clients on the same server.
+        L, R = make_stereo(4 * HW, SR, seed=105)
+        got = stream_client(*srv.address, L.astype(np.float32),
+                            R.astype(np.float32))
+        _check(got, _aligned_reference(L.astype(np.float32),
+                                       R.astype(np.float32)))
+        path = str(tmp_path / "ck.npz")
+        srv.save_checkpoint(path)
+
+    # A checkpoint only restores into a matching pool geometry.
+    other = BatchStreamingUpmixer(_cfg(), HW, n_streams=8)
+    with pytest.raises(ValueError, match="does not match"):
+        StreamServer(other, lockstep=True, checkpoint=path)
+
+
+def test_run_stream_server_snapshot_path(tmp_path):
+    # The CLI entry restores parked sessions from --snapshot-path when
+    # the file exists (and the CLI writes it back on shutdown).
+    from upmix_tpu.serve_stream import StreamSession, run_stream_server
+
+    path = str(tmp_path / "live.npz")
+    kw = dict(sr=SR, n_streams=4, hw_block_size=HW, band_edges=EDGES,
+              lockstep=True, engine="xla", verbose=False,
+              snapshot_path=path)
+    srv = run_stream_server(0, **kw)
+    try:
+        assert srv.snapshot_path == path
+        L, R = make_stereo(6 * HW, SR, seed=107)
+        L, R = L.astype(np.float32), R.astype(np.float32)
+        sess = StreamSession(*srv.address)
+        part1 = _send_and_read(sess, L, R, 0, 4, 0)
+        assert len(part1) > 0  # output read => the 4 blocks were consumed
+        srv.save_checkpoint(path)
+        sess.close()
+    finally:
+        srv.close()
+
+    srv2 = run_stream_server(0, **kw)  # restores from the same path
+    try:
+        sess2 = StreamSession(*srv2.address, token=sess.token)
+        # The REAL client resume algorithm: resend everything from the
+        # server's acked input position (in-flight TCP data at
+        # checkpoint time is intentionally NOT in the checkpoint).
+        resume_blk = sess2.server_in_frames // HW
+        assert resume_blk == 4  # deterministic here: part1 forced sync
+        for b in range(resume_blk, 6):
+            sess2.send_block(L[b * HW : (b + 1) * HW],
+                             R[b * HW : (b + 1) * HW])
+        sess2.finish()
+        part2 = sess2.recv_frames(6 * HW - len(part1))
+        sess2.close()
+    finally:
+        srv2.close()
+    ref = _aligned_reference(L, R)
+    got = np.concatenate([part1, part2])
+    _check(tuple(got[:, i] for i in range(got.shape[1])), ref)

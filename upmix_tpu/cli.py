@@ -184,6 +184,14 @@ def build_parser() -> argparse.ArgumentParser:
         "and emits each hop as one inverse-window dot (DESIGN.md §6)",
     )
     p.add_argument(
+        "--snapshot-path",
+        default=None,
+        metavar="PATH",
+        help="stream-server session checkpoint file: restored on start "
+        "(existing sessions park until their clients reconnect with "
+        "their v2 resume tokens) and written on shutdown",
+    )
+    p.add_argument(
         "--pool-group",
         type=int,
         default=16,
@@ -414,14 +422,26 @@ def main(argv=None) -> int:
             engine=args.pool_engine,
             ola=args.pool_ola,
             group=args.pool_group,
+            snapshot_path=args.snapshot_path,
         )
         try:
+            import signal as _signal
             import threading as _threading
 
+            # SIGTERM runs the same graceful path as ^C so a supervisor
+            # restart checkpoints the live sessions.
+            def _sigterm(*_args):
+                raise KeyboardInterrupt
+
+            _signal.signal(_signal.SIGTERM, _sigterm)
             _threading.Event().wait()  # serve until interrupted
         except KeyboardInterrupt:
             pass
         finally:
+            if args.snapshot_path is not None:
+                n = server.save_checkpoint(args.snapshot_path)
+                print(f"checkpointed {n} live sessions to "
+                      f"{args.snapshot_path}", flush=True)
             server.close()
         return 0
 

@@ -657,6 +657,34 @@ class PallasStreamPool:
 
         return jax.tree.map(_np.asarray, self.state)
 
+    def extract_streams(self, indices, snap=None):
+        """Per-stream rows of a snapshot (host-side pytree whose leaves
+        have leading dim len(indices)) — the unit load_streams accepts.
+        Reads from `snap` (a snapshot()) or the live state."""
+        import numpy as _np
+
+        idx = _np.asarray([int(i) for i in indices])
+        src = self.snapshot() if snap is None else snap
+        return jax.tree.map(lambda a: _np.asarray(a)[idx], src)
+
+    def load_streams(self, indices, rows):
+        """Inject per-stream state rows (from extract_streams — e.g. a
+        checkpointed session resuming into a live pool) into the given
+        slots without touching other streams' state.  The inverse of
+        reset_streams' zeroing."""
+        indices = [int(i) for i in indices]
+        bad = [i for i in indices if not 0 <= i < self.n_streams]
+        if bad:
+            raise ValueError(
+                f"stream indices {bad} out of range [0, {self.n_streams})"
+            )
+        idx = jnp.asarray(indices, jnp.int32)
+        self.state = jax.tree.map(
+            lambda a, r: a.at[idx].set(jnp.asarray(r, a.dtype)),
+            self.state,
+            rows,
+        )
+
     def restore(self, snap):
         """Load a snapshot() from EITHER history layout.
 
@@ -922,6 +950,40 @@ class BatchStreamingUpmixer:
         import numpy as _np
 
         return jax.tree.map(_np.asarray, self.state)
+
+    def restore(self, snap):
+        """Load a snapshot() (host or device arrays) as the live state."""
+        state = jax.tree.map(jnp.asarray, snap)
+        if self._shardings is not None:
+            state = jax.tree.map(
+                lambda a: jax.device_put(a, self._shardings(a)), state
+            )
+        self.state = state
+
+    def extract_streams(self, indices, snap=None):
+        """Per-stream rows of a snapshot (leaves get leading dim
+        len(indices)) — the unit load_streams accepts."""
+        import numpy as _np
+
+        idx = _np.asarray([int(i) for i in indices])
+        src = self.snapshot() if snap is None else snap
+        return jax.tree.map(lambda a: _np.asarray(a)[idx], src)
+
+    def load_streams(self, indices, rows):
+        """Inject per-stream state rows (from extract_streams) into the
+        given slots — the inverse of reset_streams' zeroing."""
+        indices = [int(i) for i in indices]
+        bad = [i for i in indices if not 0 <= i < self.n_streams]
+        if bad:
+            raise ValueError(
+                f"stream indices {bad} out of range [0, {self.n_streams})"
+            )
+        idx = jnp.asarray(indices, jnp.int32)
+        self.state = jax.tree.map(
+            lambda a, r: a.at[idx].set(jnp.asarray(r, a.dtype)),
+            self.state,
+            rows,
+        )
 
     def push_blocks(self, in_l, in_r):
         """One hardware block for EVERY stream: in_l/in_r [n_streams, hw]

@@ -35,10 +35,29 @@ Tick modes:
     whose block has not arrived get zeros (the degraded late-callback
     semantics of a real-time audio host).  Missing input is zeros, not
     a stall: one slow client cannot hold back the pool.
+
+Checkpoint/resume (protocol v2): `save_checkpoint(path)` freezes every
+live session — per-slot engine state rows (PallasStreamPool /
+BatchStreamingUpmixer `extract_streams`), frame counters, warmup skip,
+queued-but-unprocessed input blocks, and a per-session resume token —
+into one .npz file.  A server started with `checkpoint=path` PARKS
+those sessions: their slots are reserved and their engine rows live
+host-side (a parked row must NOT ride the pool — every dispatch would
+advance its OLA state).  A client reconnecting with its token gets the
+same slot back, its rows injected (`load_streams`), and the server's
+`in_frames` position in the reply tells it where to resume sending —
+in lockstep mode the continued output is sample-exact with an
+uninterrupted run.  Input still in TCP flight at checkpoint time is
+intentionally NOT captured: `in_frames` is the server's acked input
+position, and the resume contract is "resend everything from there"
+(at-least-once from the last ack, the standard resumable-upload
+shape).  v1 clients keep working unchanged.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import queue
 import socket
 import struct
@@ -49,9 +68,46 @@ import numpy as np
 MAGIC_HELLO = b"UPMX"
 MAGIC_REPLY = b"UPMR"
 VERSION = 1
+VERSION2 = 2
 MIX_MODES = ("stereo_sum", "lcr")
+_TOKEN_LEN = 16
+_ZERO_TOKEN = b"\x00" * _TOKEN_LEN
 
-_ST_FREE, _ST_ACTIVE, _ST_DRAINING = 0, 1, 2
+_ST_FREE, _ST_ACTIVE, _ST_DRAINING, _ST_PARKED = 0, 1, 2, 3
+
+
+# -- pytree <-> npz codec (checkpoint format) -------------------------------
+
+def _tree_encode(tree, arrays: dict, prefix: str):
+    """Structure descriptor (JSON-safe) + flat array dict for a pytree of
+    dicts/tuples/lists of ndarrays (the pool snapshot shapes)."""
+    if isinstance(tree, dict):
+        return {
+            "t": "d",
+            "k": {
+                str(k): _tree_encode(v, arrays, f"{prefix}.{k}")
+                for k, v in tree.items()
+            },
+        }
+    if isinstance(tree, (tuple, list)):
+        return {
+            "t": "t" if isinstance(tree, tuple) else "l",
+            "c": [
+                _tree_encode(v, arrays, f"{prefix}.{i}")
+                for i, v in enumerate(tree)
+            ],
+        }
+    arrays[prefix] = np.asarray(tree)
+    return {"t": "a", "key": prefix}
+
+
+def _tree_decode(desc, arrays):
+    if desc["t"] == "d":
+        return {k: _tree_decode(v, arrays) for k, v in desc["k"].items()}
+    if desc["t"] in ("t", "l"):
+        vals = [_tree_decode(c, arrays) for c in desc["c"]]
+        return tuple(vals) if desc["t"] == "t" else list(vals)
+    return arrays[desc["key"]]
 
 
 def _read_exact(sock, n):
@@ -67,7 +123,7 @@ def _read_exact(sock, n):
 class _Slot:
     __slots__ = (
         "state", "mix", "inq", "outq", "in_frames", "out_frames",
-        "skip", "gen",
+        "skip", "gen", "token", "parked",
     )
 
     def __init__(self):
@@ -79,6 +135,8 @@ class _Slot:
         self.out_frames = 0
         self.skip = 0
         self.gen = 0  # bumped per allocation; stale threads detect reuse
+        self.token = _ZERO_TOKEN  # per-session resume key (v2 protocol)
+        self.parked = None  # checkpointed session record awaiting resume
 
 
 class StreamServer:
@@ -97,6 +155,7 @@ class StreamServer:
         lockstep: bool = True,
         sr: float | None = None,
         max_buffered_blocks: int = 32,
+        checkpoint: "str | dict | None" = None,
     ):
         self.pool = pool
         self.hw = int(pool.hw_block_size)
@@ -107,6 +166,8 @@ class StreamServer:
         self.tick_period = (self.hw / float(sr)) if sr else None
         self.max_buffered_blocks = int(max_buffered_blocks)
         self._slots = [_Slot() for _ in range(self.n_slots)]
+        if checkpoint is not None:
+            self._load_checkpoint(checkpoint)
         self._lock = threading.Lock()
         # Serializes every touch of the pool's state: the dispatcher's
         # push_blocks vs. connection threads' slot re-warm
@@ -123,6 +184,7 @@ class StreamServer:
         self._sock.listen()
         self.address = self._sock.getsockname()
         self.stats = {"accepted": 0, "rejected": 0, "blocks": 0, "frames": 0}
+        self.snapshot_path = None  # set by run_stream_server (CLI saves here)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -142,6 +204,156 @@ class StreamServer:
             pass
         for t in self._threads:
             t.join(timeout=5.0)
+
+    # -- checkpoint / resume -------------------------------------------------
+
+    def _pool_identity(self) -> dict:
+        """What must match for a checkpoint to restore into this server.
+        JSON-canonicalized (tuples become lists) so the live identity
+        compares equal to one round-tripped through the .npz metadata."""
+        from upmix_tpu.aot import config_to_dict
+
+        ident = {
+            "engine": type(self.pool).__name__,
+            "layout": getattr(self.pool, "layout", "xla"),
+            "ola": getattr(self.pool, "ola", ""),
+            "hw": self.hw,
+            "n_streams": self.n_slots,
+            "config": config_to_dict(self.pool.config),
+        }
+        return json.loads(json.dumps(ident))
+
+    def save_checkpoint(self, path: str) -> int:
+        """Freeze every live session to `path` (.npz); returns how many.
+
+        Part of a graceful shutdown: sessions' queued-but-unprocessed
+        input blocks are CONSUMED into the checkpoint (their in_frames
+        already count them), so call this right before close(), not on
+        a server that will keep dispatching.  DRAINING sessions (client
+        already gone) are finished business and are not checkpointed;
+        still-PARKED sessions are carried forward as-is.
+        """
+        arrays: dict = {}
+        sessions = []
+        with self._lock, self._pool_lock:
+            snap = self.pool.snapshot()
+            for i, s in enumerate(self._slots):
+                if s.state == _ST_ACTIVE:
+                    rows = self.pool.extract_streams([i], snap=snap)
+                    blocks = []
+                    while True:
+                        try:
+                            blocks.append(s.inq.get_nowait())
+                        except queue.Empty:
+                            break
+                    rec = {
+                        "rows": rows,
+                        "blocks": np.stack(blocks)
+                        if blocks
+                        else np.zeros((0, self.hw, 2), np.float32),
+                        "in_frames": s.in_frames,
+                        "out_frames": s.out_frames,
+                        "skip": s.skip,
+                        "token": s.token,
+                    }
+                elif s.state == _ST_PARKED:
+                    rec = s.parked
+                else:
+                    continue
+                key = f"s{i}"
+                desc = _tree_encode(rec["rows"], arrays, f"{key}.rows")
+                arrays[f"{key}.blocks"] = rec["blocks"]
+                sessions.append(
+                    {
+                        "slot": i,
+                        "rows": desc,
+                        "in_frames": int(rec["in_frames"]),
+                        "out_frames": int(rec["out_frames"]),
+                        "skip": int(rec["skip"]),
+                        "token": rec["token"].hex(),
+                    }
+                )
+        meta = {
+            "format": 1,
+            "identity": self._pool_identity(),
+            "sessions": sessions,
+        }
+        tmp = f"{path}.tmp"
+        with open(tmp, "wb") as f:
+            np.savez(
+                f,
+                __meta__=np.frombuffer(
+                    json.dumps(meta).encode("utf-8"), dtype=np.uint8
+                ),
+                **arrays,
+            )
+        os.replace(tmp, path)
+        return len(sessions)
+
+    def _load_checkpoint(self, checkpoint):
+        if isinstance(checkpoint, (str, os.PathLike)):
+            with np.load(checkpoint) as z:
+                data = {k: z[k] for k in z.files}
+        else:
+            data = dict(checkpoint)
+        meta = json.loads(bytes(data.pop("__meta__").tobytes()).decode("utf-8"))
+        if meta.get("format") != 1:
+            raise ValueError(
+                f"unsupported stream-server checkpoint format "
+                f"{meta.get('format')!r}"
+            )
+        want = self._pool_identity()
+        have = meta["identity"]
+        if have != want:
+            diff = [k for k in want if have.get(k) != want[k]]
+            raise ValueError(
+                "checkpoint does not match this server's pool "
+                f"(mismatched: {diff})"
+            )
+        for sess in meta["sessions"]:
+            i = int(sess["slot"])
+            key = f"s{i}"
+            s = self._slots[i]
+            s.state = _ST_PARKED
+            s.token = bytes.fromhex(sess["token"])
+            s.parked = {
+                "rows": _tree_decode(sess["rows"], data),
+                "blocks": data[f"{key}.blocks"],
+                "in_frames": int(sess["in_frames"]),
+                "out_frames": int(sess["out_frames"]),
+                "skip": int(sess["skip"]),
+                "token": bytes.fromhex(sess["token"]),
+            }
+
+    def _resume_slot(self, token: bytes, mix: int):
+        """Claim a PARKED session by token: inject its engine rows into
+        the pool and rebuild the live slot around its counters."""
+        with self._lock:
+            slot = None
+            for i, s in enumerate(self._slots):
+                if s.state == _ST_PARKED and s.token == token:
+                    slot, idx = s, i
+                    break
+            if slot is None:
+                return None, None
+            rec = slot.parked
+            slot.state = _ST_ACTIVE
+            slot.parked = None
+            slot.mix = mix
+            slot.inq = queue.Queue(
+                maxsize=max(self.max_buffered_blocks, len(rec["blocks"]) + 1)
+            )
+            slot.outq = queue.Queue()
+            slot.in_frames = rec["in_frames"]
+            slot.out_frames = rec["out_frames"]
+            slot.skip = rec["skip"]
+            slot.gen += 1
+            for blk in rec["blocks"]:
+                slot.inq.put_nowait(np.asarray(blk, np.float32))
+        with self._pool_lock:
+            self.pool.load_streams([idx], rec["rows"])
+        self._wake.set()
+        return idx, slot
 
     def __enter__(self):
         return self.start()
@@ -175,6 +387,7 @@ class StreamServer:
                     s.in_frames = s.out_frames = 0
                     s.skip = (self.pool.warmup_blocks - 1) * self.hw
                     s.gen += 1
+                    s.token = os.urandom(_TOKEN_LEN)
                     return i, s
         return None, None
 
@@ -184,34 +397,61 @@ class StreamServer:
             s.inq = s.outq = None
         self._wake.set()
 
+    def _reply(self, conn, version, status, idx=0, out_ch=0, slot=None):
+        head = MAGIC_REPLY + struct.pack(
+            "<IIII", status, idx, self.hw if status == 0 else 0, out_ch
+        )
+        if version >= VERSION2:
+            token = slot.token if slot is not None else _ZERO_TOKEN
+            in_f = slot.in_frames if slot is not None else 0
+            out_f = slot.out_frames if slot is not None else 0
+            head += token + struct.pack("<QQ", in_f, out_f)
+        conn.sendall(head)
+
     def _serve_conn(self, conn):
         slot = None
         writer = None
         try:
             hello = _read_exact(conn, 12)
+            version = (
+                struct.unpack("<I", hello[4:8])[0] if len(hello) == 12 else 0
+            )
             ok = (
                 len(hello) == 12
                 and hello[:4] == MAGIC_HELLO
-                and struct.unpack("<I", hello[4:8])[0] == VERSION
+                and version in (VERSION, VERSION2)
                 and struct.unpack("<I", hello[8:12])[0] < len(MIX_MODES)
             )
+            token = _ZERO_TOKEN
+            if ok and version >= VERSION2:
+                token = _read_exact(conn, _TOKEN_LEN)
+                ok = len(token) == _TOKEN_LEN
             if not ok:
-                conn.sendall(MAGIC_REPLY + struct.pack("<IIII", 2, 0, 0, 0))
+                self._reply(conn, max(version, VERSION), 2)
                 return
             mix = struct.unpack("<I", hello[8:12])[0]
-            idx, slot = self._alloc_slot(mix)
-            if slot is None:
-                conn.sendall(MAGIC_REPLY + struct.pack("<IIII", 1, 0, 0, 0))
-                self.stats["rejected"] += 1
-                return
-            # The slot re-warms in place: its engine rows restart from
-            # silence without touching the other live sessions.
-            with self._pool_lock:
-                self.pool.reset_streams([idx])
+            if version >= VERSION2 and token != _ZERO_TOKEN:
+                # Resume a parked (checkpointed) session: same slot, its
+                # engine rows injected back into the pool, counters
+                # restored; the reply's in_frames tells the client where
+                # to resume sending.
+                idx, slot = self._resume_slot(token, mix)
+                if slot is None:
+                    self._reply(conn, version, 3)
+                    self.stats["rejected"] += 1
+                    return
+            else:
+                idx, slot = self._alloc_slot(mix)
+                if slot is None:
+                    self._reply(conn, version, 1)
+                    self.stats["rejected"] += 1
+                    return
+                # The slot re-warms in place: its engine rows restart
+                # from silence without touching the other live sessions.
+                with self._pool_lock:
+                    self.pool.reset_streams([idx])
             out_ch = 3 if MIX_MODES[mix] == "lcr" else 2
-            conn.sendall(
-                MAGIC_REPLY + struct.pack("<IIII", 0, idx, self.hw, out_ch)
-            )
+            self._reply(conn, version, 0, idx, out_ch, slot)
             self.stats["accepted"] += 1
 
             writer = threading.Thread(
@@ -326,7 +566,10 @@ class StreamServer:
             live = []
             with self._lock:
                 for i, s in enumerate(self._slots):
-                    if s.state == _ST_FREE:
+                    if s.state in (_ST_FREE, _ST_PARKED):
+                        # Parked sessions' engine rows live host-side in
+                        # their checkpoint record; the pool row is dead
+                        # until resume injects them.
                         continue
                     live.append((i, s, s.gen))
                     if s.state == _ST_ACTIVE or not s.inq.empty():
@@ -375,6 +618,95 @@ class StreamServer:
                 if done:
                     s.outq.put(None)
                     self._release_slot(s)
+
+
+class StreamSession:
+    """Protocol-v2 client session: block-level streaming with a resume
+    token.  Connect fresh (token=None) or resume a checkpointed session
+    (token=<bytes from a previous session>); after a resume,
+    ``server_in_frames`` says how many input frames the server already
+    holds — resend your signal from that offset and skip reading the
+    output frames you already received.
+
+    Minimal surface for host shells and tests; `stream_client` below
+    remains the one-shot whole-signal convenience (protocol v1).
+    """
+
+    def __init__(self, host, port, mix="stereo_sum", token=None,
+                 timeout=60.0):
+        if mix not in MIX_MODES:
+            raise ValueError(f"mix must be one of {MIX_MODES}, got {mix!r}")
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        try:
+            tok = token if token is not None else _ZERO_TOKEN
+            if len(tok) != _TOKEN_LEN:
+                raise ValueError(f"token must be {_TOKEN_LEN} bytes")
+            self.sock.sendall(
+                MAGIC_HELLO
+                + struct.pack("<II", VERSION2, MIX_MODES.index(mix))
+                + tok
+            )
+            reply = _read_exact(self.sock, 20 + _TOKEN_LEN + 16)
+            if len(reply) < 20 + _TOKEN_LEN + 16 or reply[:4] != MAGIC_REPLY:
+                raise ConnectionError("bad server reply")
+            status, self.slot, self.hw, self.out_channels = struct.unpack(
+                "<IIII", reply[4:20]
+            )
+            self.token = reply[20 : 20 + _TOKEN_LEN]
+            self.server_in_frames, self.server_out_frames = struct.unpack(
+                "<QQ", reply[20 + _TOKEN_LEN : 36 + _TOKEN_LEN]
+            )
+            if status == 1:
+                raise ConnectionError("server pool is full")
+            if status == 3:
+                raise ConnectionError("unknown or expired resume token")
+            if status != 0:
+                raise ConnectionError(
+                    f"server rejected hello (status {status})"
+                )
+        except Exception:
+            self.sock.close()
+            raise
+
+    def send_block(self, in_l, in_r):
+        """One hw block (each channel length hw, zero-pad short tails)."""
+        frame = np.column_stack(
+            [np.asarray(in_l, "<f4"), np.asarray(in_r, "<f4")]
+        )
+        if frame.shape != (self.hw, 2):
+            raise ValueError(
+                f"send_block expects two length-{self.hw} channels"
+            )
+        self.sock.sendall(frame.tobytes())
+
+    def recv_frames(self, n):
+        """Read exactly n output frames -> [n, out_channels] float32."""
+        raw = _read_exact(self.sock, n * self.out_channels * 4)
+        if len(raw) < n * self.out_channels * 4:
+            raise ConnectionError(
+                f"short stream: got {len(raw) // (self.out_channels * 4)} "
+                f"of {n} frames"
+            )
+        return np.frombuffer(raw, "<f4").reshape(n, self.out_channels)
+
+    def finish(self):
+        """Half-close: no more input; the server drains and closes."""
+        try:
+            self.sock.shutdown(socket.SHUT_WR)
+        except OSError:
+            pass
+
+    def close(self):
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def stream_client(host, port, in_l, in_r, mix="stereo_sum", timeout=60.0):
@@ -454,6 +786,7 @@ def run_stream_server(
     ola: str = "time",
     layout: str = "quarters",
     group: int = 16,
+    snapshot_path: str | None = None,
 ) -> "StreamServer":
     """CLI entry: build the pool (auto engine) and serve until ^C.
 
@@ -463,6 +796,10 @@ def run_stream_server(
     engine/ola/layout/group configure make_stream_pool (explicit
     keywords, not a **kwargs pass-through, so a misspelled server
     kwarg raises here instead of deep in pool construction).
+
+    snapshot_path: if the file exists, restore the checkpointed
+    sessions from it (they park until their clients reconnect with
+    their resume tokens); the CLI saves back to it on shutdown.
     """
     from upmix_tpu.config import UpmixConfig
     from upmix_tpu.models import make_stream_pool
@@ -481,15 +818,22 @@ def run_stream_server(
         config, int(hw_block_size), int(n_streams),
         engine=engine, ola=ola, layout=layout, group=group,
     )
+    checkpoint = None
+    if snapshot_path is not None and os.path.exists(snapshot_path):
+        checkpoint = snapshot_path
     server = StreamServer(
-        pool, host=host, port=port, lockstep=lockstep, sr=float(sr)
+        pool, host=host, port=port, lockstep=lockstep, sr=float(sr),
+        checkpoint=checkpoint,
     )
+    server.snapshot_path = snapshot_path
     server.start()
     if verbose:
+        parked = sum(1 for s in server._slots if s.state == _ST_PARKED)
+        resumed = f", {parked} parked sessions" if parked else ""
         print(
             f"upmix-tpu stream server on {server.address[0]}:"
             f"{server.address[1]} — {n_streams} slots, hw {hw_block_size}, "
-            f"engine {type(pool).__name__}",
+            f"engine {type(pool).__name__}{resumed}",
             flush=True,
         )
     return server
