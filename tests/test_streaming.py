@@ -993,3 +993,46 @@ def test_pallas_pool_spectral_sharded():
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), atol=1e-6, rtol=0
             )
+
+
+@pytest.mark.parametrize(
+    "layout,ola",
+    [("quarters", "time"), ("window", "time"),
+     ("quarters", "spectral"), ("window", "spectral")],
+)
+def test_pallas_pool_restore_after_json_round_trip(layout, ola):
+    # restore() detects snapshot structure by SHAPE, not Python type: a
+    # JSON/msgpack round trip turns tuples into lists and arrays into
+    # nested lists, which must restore cleanly for EVERY layout/OLA
+    # combination (round-4 review found only time+quarters worked).
+    import json
+
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    hw = 128 if ola == "spectral" else HW  # spectral needs P >= Q
+    cfg = _stream_cfg(hw=hw)
+    S = 8
+    a = PallasStreamPool(cfg, hw, n_streams=S, layout=layout, ola=ola)
+    b = PallasStreamPool(cfg, hw, n_streams=S, layout=layout, ola=ola)
+    rng = np.random.default_rng(41)
+    blocks = rng.standard_normal((a.warmup_blocks + 4, S, 2, hw)).astype(
+        np.float32
+    )
+    k = a.warmup_blocks + 1
+    for t in range(k):
+        a.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+
+    def to_lists(tree):
+        if isinstance(tree, dict):
+            return {kk: to_lists(v) for kk, v in tree.items()}
+        if isinstance(tree, (tuple, list)):
+            return [to_lists(v) for v in tree]
+        return np.asarray(tree).tolist()
+
+    snap_json = json.loads(json.dumps(to_lists(a.snapshot())))
+    b.restore(snap_json)
+    for t in range(k, len(blocks)):
+        ra = a.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+        rb = b.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
+    for x, y in zip(ra, rb):
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))

@@ -376,6 +376,43 @@ class StreamingUpmixer:
         raise ValueError(f"unknown mix {mix!r}; one of ('lcr', 'stereo_sum')")
 
 
+def _check_stream_indices(indices, n_streams: int):
+    """Validated int list — out-of-range indices would silently scatter
+    to the wrong live session."""
+    indices = [int(i) for i in indices]
+    bad = [i for i in indices if not 0 <= i < n_streams]
+    if bad:
+        raise ValueError(
+            f"stream indices {bad} out of range [0, {n_streams})"
+        )
+    return indices
+
+
+def _extract_stream_rows(pool, indices, snap=None):
+    """Shared body of the pools' extract_streams (leaves get leading dim
+    len(indices)) — the unit load_streams accepts."""
+    import numpy as _np
+
+    idx = _np.asarray(_check_stream_indices(indices, pool.n_streams))
+    src = pool.snapshot() if snap is None else snap
+    return jax.tree.map(lambda a: _np.asarray(a)[idx], src)
+
+
+def _scatter_stream_rows(pool, indices, rows):
+    """Shared body of the pools' load_streams: inject per-stream state
+    rows (from extract_streams — e.g. a checkpointed session resuming
+    into a live pool) without touching other streams' state.  The
+    inverse of reset_streams' zeroing."""
+    idx = jnp.asarray(
+        _check_stream_indices(indices, pool.n_streams), jnp.int32
+    )
+    return jax.tree.map(
+        lambda a, r: a.at[idx].set(jnp.asarray(r, a.dtype)),
+        pool.state,
+        rows,
+    )
+
+
 class PallasStreamPool:
     """Serving pool on the pallas pool kernel (ops/pallas_pool.py): one
     launch per hardware block serves every stream, G streams per grid
@@ -641,13 +678,9 @@ class PallasStreamPool:
         self.state = self._fresh_state()
 
     def reset_streams(self, indices):
-        indices = [int(i) for i in indices]
-        bad = [i for i in indices if not 0 <= i < self.n_streams]
-        if bad:
-            raise ValueError(
-                f"stream indices {bad} out of range [0, {self.n_streams})"
-            )
-        idx = jnp.asarray(indices, jnp.int32)
+        idx = jnp.asarray(
+            _check_stream_indices(indices, self.n_streams), jnp.int32
+        )
         self.state = jax.tree.map(
             lambda a: a.at[idx].set(jnp.zeros_like(a[0])), self.state
         )
@@ -658,32 +691,13 @@ class PallasStreamPool:
         return jax.tree.map(_np.asarray, self.state)
 
     def extract_streams(self, indices, snap=None):
-        """Per-stream rows of a snapshot (host-side pytree whose leaves
-        have leading dim len(indices)) — the unit load_streams accepts.
+        """Per-stream rows of a snapshot (see _extract_stream_rows).
         Reads from `snap` (a snapshot()) or the live state."""
-        import numpy as _np
-
-        idx = _np.asarray([int(i) for i in indices])
-        src = self.snapshot() if snap is None else snap
-        return jax.tree.map(lambda a: _np.asarray(a)[idx], src)
+        return _extract_stream_rows(self, indices, snap)
 
     def load_streams(self, indices, rows):
-        """Inject per-stream state rows (from extract_streams — e.g. a
-        checkpointed session resuming into a live pool) into the given
-        slots without touching other streams' state.  The inverse of
-        reset_streams' zeroing."""
-        indices = [int(i) for i in indices]
-        bad = [i for i in indices if not 0 <= i < self.n_streams]
-        if bad:
-            raise ValueError(
-                f"stream indices {bad} out of range [0, {self.n_streams})"
-            )
-        idx = jnp.asarray(indices, jnp.int32)
-        self.state = jax.tree.map(
-            lambda a, r: a.at[idx].set(jnp.asarray(r, a.dtype)),
-            self.state,
-            rows,
-        )
+        """Inject per-stream state rows (see _scatter_stream_rows)."""
+        self.state = _scatter_stream_rows(self, indices, rows)
 
     def restore(self, snap):
         """Load a snapshot() from EITHER history layout.
@@ -693,14 +707,36 @@ class PallasStreamPool:
         quarters layout stores the live window//hw - 1 previous blocks.
         Both carry the same live information, so restoring across
         layouts is exact.
+
+        Leaves and containers are canonicalized (tuples, f32/int32) by
+        SHAPE, not Python type: a snapshot that round-tripped through
+        JSON/msgpack arrives with lists where the state pytree has
+        tuples and nested lists where it has arrays.  The live jit
+        would merely retrace on such a tree, but an AOT Exported.call
+        rejects it (exact pytree structure match).
         """
+        import numpy as _np
+
         hw = self.hw_block_size
         nq = self.plan.window // hw
         snap = dict(snap)
-        carries = snap.get("ola", {})
-        snap_spectral = any(
-            not isinstance(v, (tuple, list)) for v in carries.values()
-        )
+        # OLA carries: a time-OLA bucket carry is a triple of [S, B]
+        # accumulators -> 3D [3, S, B] after asarray; a spectral carry
+        # is one packed [S, spec_width] -> 2D.  (Type-based detection
+        # breaks on JSON round trips: nested lists look like tuples.)
+        carries = {
+            k: _np.asarray(v, _np.float32) for k, v in snap["ola"].items()
+        }
+        ndims = {a.ndim for a in carries.values()}
+        if ndims == {3} and all(a.shape[0] == 3 for a in carries.values()):
+            snap_spectral = False
+        elif ndims == {2}:
+            snap_spectral = True
+        else:
+            raise ValueError(
+                "unrecognized OLA carry structure in snapshot: shapes "
+                f"{ {k: a.shape for k, a in carries.items()} }"
+            )
         if snap_spectral != (self.ola == "spectral"):
             # The spectral carry (last Kr-1 frames' masked spectra) is
             # not derivable from time-domain OLA accumulators (nor vice
@@ -713,43 +749,46 @@ class PallasStreamPool:
                 f"match this pool's ola={self.ola!r}"
             )
         for key in ("histL", "histR"):
-            h = snap[key]
-            if isinstance(h, (tuple, list)):  # quarters-format snapshot
-                if len(h) != nq - 1:
+            # Quarters-format history is nq-1 [S, hw] buffers -> 3D;
+            # window-format is one [S, window] buffer -> 2D.
+            h = _np.asarray(snap[key], _np.float32)
+            if h.ndim == 3:  # quarters-format snapshot
+                if h.shape[0] != nq - 1 or h.shape[2] != hw:
                     raise ValueError(
-                        f"snapshot {key} has {len(h)} quarter buffers; this "
-                        f"pool's geometry needs {nq - 1}"
+                        f"snapshot {key} has shape {h.shape}; this pool's "
+                        f"geometry needs {nq - 1} quarter buffers of "
+                        f"[{self.n_streams}, {hw}]"
                     )
                 if self.layout == "window":
-                    S = self.n_streams
+                    S = h.shape[1]
                     h = jnp.concatenate(
                         [jnp.zeros((S, hw), jnp.float32)]
-                        + [jnp.asarray(q, jnp.float32) for q in h],
+                        + [jnp.asarray(q) for q in h],
                         axis=1,
                     )
                 else:
-                    # Canonicalize to a TUPLE of f32 arrays: a snapshot
-                    # that round-tripped through JSON/msgpack arrives as
-                    # lists, which the live jit would merely retrace on
-                    # but an AOT Exported.call rejects (exact pytree
-                    # structure match).
-                    h = tuple(jnp.asarray(q, jnp.float32) for q in h)
-            elif self.layout == "quarters":  # window-format snapshot
-                h = jnp.asarray(h, jnp.float32)
-                h = tuple(h[:, q * hw : (q + 1) * hw] for q in range(1, nq))
+                    h = tuple(jnp.asarray(q) for q in h)
+            elif h.ndim == 2:  # window-format snapshot
+                if self.layout == "quarters":
+                    h = tuple(
+                        jnp.asarray(h[:, q * hw : (q + 1) * hw])
+                        for q in range(1, nq)
+                    )
+                else:
+                    h = jnp.asarray(h)
+            else:
+                raise ValueError(
+                    f"unrecognized {key} history structure in snapshot "
+                    f"(shape {h.shape})"
+                )
             snap[key] = h
-        # Canonical leaf/type structure throughout (see the quarters note
-        # above): tuples for the per-bucket time-OLA triples, int32 t.
-        if self.ola != "spectral":
-            carries = {
-                k: tuple(jnp.asarray(a, jnp.float32) for a in v)
-                for k, v in carries.items()
-            }
+        if snap_spectral:
+            snap["ola"] = {k: jnp.asarray(a) for k, a in carries.items()}
         else:
-            carries = {
-                k: jnp.asarray(v, jnp.float32) for k, v in carries.items()
+            snap["ola"] = {
+                k: tuple(jnp.asarray(a[i]) for i in range(3))
+                for k, a in carries.items()
             }
-        snap["ola"] = carries
         snap["t"] = jnp.asarray(snap["t"], jnp.int32)
         state = jax.tree.map(jnp.asarray, snap)
         if self._shardings is not None:
@@ -930,16 +969,9 @@ class BatchStreamingUpmixer:
 
     def reset_streams(self, indices):
         """Zero the given stream slots (ended sessions; slots re-warm)."""
-        indices = [int(i) for i in indices]
-        bad = [i for i in indices if not 0 <= i < self.n_streams]
-        if bad:
-            # Silent out-of-range scatter drops / negative wrap-around
-            # would reset the WRONG live session — surface the
-            # bookkeeping bug instead.
-            raise ValueError(
-                f"stream indices {bad} out of range [0, {self.n_streams})"
-            )
-        idx = jnp.asarray(indices, jnp.int32)
+        idx = jnp.asarray(
+            _check_stream_indices(indices, self.n_streams), jnp.int32
+        )
         self.state = jax.tree.map(
             lambda a: a.at[idx].set(jnp.zeros_like(a[0])), self.state
         )
@@ -961,29 +993,12 @@ class BatchStreamingUpmixer:
         self.state = state
 
     def extract_streams(self, indices, snap=None):
-        """Per-stream rows of a snapshot (leaves get leading dim
-        len(indices)) — the unit load_streams accepts."""
-        import numpy as _np
-
-        idx = _np.asarray([int(i) for i in indices])
-        src = self.snapshot() if snap is None else snap
-        return jax.tree.map(lambda a: _np.asarray(a)[idx], src)
+        """Per-stream rows of a snapshot (see _extract_stream_rows)."""
+        return _extract_stream_rows(self, indices, snap)
 
     def load_streams(self, indices, rows):
-        """Inject per-stream state rows (from extract_streams) into the
-        given slots — the inverse of reset_streams' zeroing."""
-        indices = [int(i) for i in indices]
-        bad = [i for i in indices if not 0 <= i < self.n_streams]
-        if bad:
-            raise ValueError(
-                f"stream indices {bad} out of range [0, {self.n_streams})"
-            )
-        idx = jnp.asarray(indices, jnp.int32)
-        self.state = jax.tree.map(
-            lambda a, r: a.at[idx].set(jnp.asarray(r, a.dtype)),
-            self.state,
-            rows,
-        )
+        """Inject per-stream state rows (see _scatter_stream_rows)."""
+        self.state = _scatter_stream_rows(self, indices, rows)
 
     def push_blocks(self, in_l, in_r):
         """One hardware block for EVERY stream: in_l/in_r [n_streams, hw]

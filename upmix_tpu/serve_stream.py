@@ -235,7 +235,11 @@ class StreamServer:
         """
         arrays: dict = {}
         sessions = []
-        with self._lock, self._pool_lock:
+        # Lock order everywhere both are held: _pool_lock OUTER, _lock
+        # inner.  Holding both makes the checkpoint atomic against a
+        # dispatcher cycle (which holds _pool_lock for its whole
+        # pop+push+account step) and against slot alloc/resume.
+        with self._pool_lock, self._lock:
             snap = self.pool.snapshot()
             for i, s in enumerate(self._slots):
                 if s.state == _ST_ACTIVE:
@@ -327,8 +331,14 @@ class StreamServer:
 
     def _resume_slot(self, token: bytes, mix: int):
         """Claim a PARKED session by token: inject its engine rows into
-        the pool and rebuild the live slot around its counters."""
-        with self._lock:
+        the pool and rebuild the live slot around its counters.
+
+        The row injection and the slot's ACTIVE publication are ONE
+        atomic step under _pool_lock+_lock (lock order: pool outer):
+        if the slot went ACTIVE first, the dispatcher could process its
+        queued blocks against the fresh pool's zero row before the
+        injection landed — silently corrupting the resumed stream."""
+        with self._pool_lock, self._lock:
             slot = None
             for i, s in enumerate(self._slots):
                 if s.state == _ST_PARKED and s.token == token:
@@ -337,6 +347,7 @@ class StreamServer:
             if slot is None:
                 return None, None
             rec = slot.parked
+            self.pool.load_streams([idx], rec["rows"])
             slot.state = _ST_ACTIVE
             slot.parked = None
             slot.mix = mix
@@ -350,8 +361,6 @@ class StreamServer:
             slot.gen += 1
             for blk in rec["blocks"]:
                 slot.inq.put_nowait(np.asarray(blk, np.float32))
-        with self._pool_lock:
-            self.pool.load_streams([idx], rec["rows"])
         self._wake.set()
         return idx, slot
 
@@ -441,15 +450,22 @@ class StreamServer:
                     self.stats["rejected"] += 1
                     return
             else:
-                idx, slot = self._alloc_slot(mix)
+                # Slot claim + pool-row zeroing are ONE atomic step
+                # under _pool_lock: a checkpoint interleaving between
+                # them would extract the PREVIOUS session's audio
+                # history under the new session's token (cross-session
+                # leak).
+                with self._pool_lock:
+                    idx, slot = self._alloc_slot(mix)
+                    if slot is not None:
+                        # The slot re-warms in place: its engine rows
+                        # restart from silence without touching the
+                        # other live sessions.
+                        self.pool.reset_streams([idx])
                 if slot is None:
                     self._reply(conn, version, 1)
                     self.stats["rejected"] += 1
                     return
-                # The slot re-warms in place: its engine rows restart
-                # from silence without touching the other live sessions.
-                with self._pool_lock:
-                    self.pool.reset_streams([idx])
             out_ch = 3 if MIX_MODES[mix] == "lcr" else 2
             self._reply(conn, version, 0, idx, out_ch, slot)
             self.stats["accepted"] += 1
@@ -459,21 +475,39 @@ class StreamServer:
                 daemon=True,
             )
             writer.start()
+            gen = slot.gen
             block_bytes = self.hw * 2 * 4
             while True:
                 raw = _read_exact(conn, block_bytes)
                 if len(raw) < block_bytes:
                     break  # EOF (half-close) or dead connection
                 x = np.frombuffer(raw, dtype="<f4").reshape(self.hw, 2)
-                with self._lock:
-                    slot.in_frames += self.hw
-                # The put is OUTSIDE the server lock: the queue is
-                # bounded, and a blocking put while holding the lock
-                # would deadlock against the dispatcher (which needs
-                # the lock to consume).  Blocking here is the
-                # backpressure path — TCP stops reading, the client's
-                # send stalls, nothing buffers without bound.
-                slot.inq.put(x)
+                # The enqueue and the in_frames ack are ONE atomic step
+                # under _lock: a checkpoint between them would either
+                # ack a block it never captured (permanent gap + drain
+                # hang) or capture a block it never acked (duplicate on
+                # resume).  The bounded queue's backpressure is handled
+                # by retrying OUTSIDE the lock (a blocking put under
+                # the lock would deadlock against the dispatcher).
+                enqueued = False
+                while not enqueued:
+                    with self._lock:
+                        if slot.gen != gen or slot.state != _ST_ACTIVE:
+                            break  # slot torn down underneath us
+                        try:
+                            slot.inq.put_nowait(x)
+                            slot.in_frames += self.hw
+                            enqueued = True
+                        except queue.Full:
+                            pass
+                    if not enqueued:
+                        if self._stop.is_set():
+                            break
+                        # Backpressure: retry shortly; meanwhile we stop
+                        # reading and TCP stalls the client's send.
+                        self._stop.wait(0.01)
+                if not enqueued:
+                    break
                 self._wake.set()
         except (OSError, ValueError):
             pass  # client gone mid-stream; drain below frees the slot
@@ -555,69 +589,84 @@ class StreamServer:
                 else:  # fell behind (e.g. a compile): don't burst-spin
                     next_tick = now + self.tick_period
                 with self._lock:
-                    idle = not any(s.state != _ST_FREE for s in self._slots)
+                    # PARKED counts as idle: a restarted server whose
+                    # checkpointed clients have not reconnected yet must
+                    # sleep, not dispatch all-zero pool blocks forever.
+                    idle = not any(
+                        s.state not in (_ST_FREE, _ST_PARKED)
+                        for s in self._slots
+                    )
                 if idle:
                     next_tick = None  # re-anchor the clock on next client
                     self._wake.wait(timeout=self.tick_period)
                     self._wake.clear()
                     continue
-            in_l = [zeros] * self.n_slots
-            in_r = [zeros] * self.n_slots
-            live = []
-            with self._lock:
-                for i, s in enumerate(self._slots):
-                    if s.state in (_ST_FREE, _ST_PARKED):
-                        # Parked sessions' engine rows live host-side in
-                        # their checkpoint record; the pool row is dead
-                        # until resume injects them.
-                        continue
-                    live.append((i, s, s.gen))
-                    if s.state == _ST_ACTIVE or not s.inq.empty():
-                        try:
-                            x = s.inq.get_nowait()
-                        except queue.Empty:
-                            continue  # late client: zeros this tick
-                        in_l[i] = np.ascontiguousarray(x[:, 0])
-                        in_r[i] = np.ascontiguousarray(x[:, 1])
+            # The WHOLE cycle — pop queued blocks, push the pool, account
+            # the outputs — runs under _pool_lock, so a checkpoint (which
+            # takes _pool_lock then _lock) can only observe quiesced
+            # boundaries: never a block that left its queue but has not
+            # reached the pool, nor pool state whose output frames were
+            # not yet counted.  Lock order: _pool_lock OUTER, _lock inner.
             with self._pool_lock:
+                in_l = [zeros] * self.n_slots
+                in_r = [zeros] * self.n_slots
+                live = []
+                with self._lock:
+                    for i, s in enumerate(self._slots):
+                        if s.state in (_ST_FREE, _ST_PARKED):
+                            # Parked sessions' engine rows live host-side
+                            # in their checkpoint record; the pool row is
+                            # dead until resume injects them.
+                            continue
+                        live.append((i, s, s.gen))
+                        if s.state == _ST_ACTIVE or not s.inq.empty():
+                            try:
+                                x = s.inq.get_nowait()
+                            except queue.Empty:
+                                continue  # late client: zeros this tick
+                            in_l[i] = np.ascontiguousarray(x[:, 0])
+                            in_r[i] = np.ascontiguousarray(x[:, 1])
                 c, ls, rs = self.pool.push_blocks(
                     np.stack(in_l), np.stack(in_r)
                 )
-            c, ls, rs = np.asarray(c), np.asarray(ls), np.asarray(rs)
-            self.stats["blocks"] += 1
-            # Mix once, vectorized over the whole pool; the per-slot loop
-            # below only slices and frames (matters on a busy host: the
-            # dispatcher is one thread serving every session).
-            half_c = 0.5 * c
-            mix_l, mix_r = ls + half_c, rs + half_c
-            for i, s, gen in live:
-                with self._lock:
-                    if s.gen != gen or s.state == _ST_FREE:
-                        continue
-                    if MIX_MODES[s.mix] == "lcr":
-                        out = np.column_stack([c[i], ls[i], rs[i]])
-                    else:
-                        out = np.column_stack([mix_l[i], mix_r[i]])
-                    if s.skip:
-                        k = min(s.skip, len(out))
-                        out = out[k:]
-                        s.skip -= k
-                    room = s.in_frames - s.out_frames
-                    out = out[: max(0, room)]
-                    if len(out):
-                        s.out_frames += len(out)
-                        self.stats["frames"] += len(out)
-                        s.outq.put(
-                            np.ascontiguousarray(out).astype("<f4").tobytes()
+                c, ls, rs = np.asarray(c), np.asarray(ls), np.asarray(rs)
+                self.stats["blocks"] += 1
+                # Mix once, vectorized over the whole pool; the per-slot
+                # loop below only slices and frames (matters on a busy
+                # host: the dispatcher is one thread serving every
+                # session).
+                half_c = 0.5 * c
+                mix_l, mix_r = ls + half_c, rs + half_c
+                for i, s, gen in live:
+                    with self._lock:
+                        if s.gen != gen or s.state == _ST_FREE:
+                            continue
+                        if MIX_MODES[s.mix] == "lcr":
+                            out = np.column_stack([c[i], ls[i], rs[i]])
+                        else:
+                            out = np.column_stack([mix_l[i], mix_r[i]])
+                        if s.skip:
+                            k = min(s.skip, len(out))
+                            out = out[k:]
+                            s.skip -= k
+                        room = s.in_frames - s.out_frames
+                        out = out[: max(0, room)]
+                        if len(out):
+                            s.out_frames += len(out)
+                            self.stats["frames"] += len(out)
+                            s.outq.put(
+                                np.ascontiguousarray(out)
+                                .astype("<f4")
+                                .tobytes()
+                            )
+                        done = (
+                            s.state == _ST_DRAINING
+                            and s.inq.empty()
+                            and s.out_frames >= s.in_frames
                         )
-                    done = (
-                        s.state == _ST_DRAINING
-                        and s.inq.empty()
-                        and s.out_frames >= s.in_frames
-                    )
-                if done:
-                    s.outq.put(None)
-                    self._release_slot(s)
+                    if done:
+                        s.outq.put(None)
+                        self._release_slot(s)
 
 
 class StreamSession:
