@@ -196,3 +196,63 @@ def test_batch_streaming_over_data_mesh():
 
     with pytest.raises(ValueError, match="divide"):
         BatchStreamingUpmixer(cfg, HW, n_streams=6, mesh=mesh)
+
+
+def test_local_file_shard_round_robin():
+    # The multi-host offline convention: paths[i::n] per process,
+    # balanced and stable under appends (parallel/distributed.py).
+    from upmix_tpu.parallel import local_file_shard
+
+    paths = [f"f{i}.wav" for i in range(10)]
+    shards = [local_file_shard(paths, index=i, count=3) for i in range(3)]
+    assert shards[0] == ["f0.wav", "f3.wav", "f6.wav", "f9.wav"]
+    assert shards[1] == ["f1.wav", "f4.wav", "f7.wav"]
+    assert sorted(sum(shards, [])) == sorted(paths)
+    import pytest
+
+    with pytest.raises(ValueError, match="out of range"):
+        local_file_shard(paths, index=3, count=3)
+
+
+def test_init_distributed_single_process():
+    # Bring up the real jax.distributed runtime (num_processes=1) in a
+    # SUBPROCESS — the runtime is process-global and must not leak into
+    # the shared test process.  Exercises init, idempotency, and the
+    # introspection helpers end-to-end.
+    import socket
+    import subprocess
+    import sys
+
+    from helpers import cpu_child_env
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    code = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+from upmix_tpu.parallel import (
+    init_distributed, is_initialized, process_count, process_index,
+    local_file_shard,
+)
+assert not is_initialized()
+info = init_distributed("127.0.0.1:{port}", num_processes=1, process_id=0)
+assert is_initialized()
+assert info["process_index"] == 0 and info["process_count"] == 1
+assert info["local_devices"] == info["global_devices"] >= 1
+info2 = init_distributed()  # idempotent: no re-init, same topology
+assert info2 == info
+assert process_index() == 0 and process_count() == 1
+assert local_file_shard(["a", "b", "c"]) == ["a", "b", "c"]
+print("DIST_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env=cpu_child_env(),
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "DIST_OK" in out.stdout

@@ -8,6 +8,13 @@ inputs) and a ``seq`` axis (frame/sample axis of one long input), with
 halo exchange over ICI via `ppermute` at shard boundaries.
 """
 
+from upmix_tpu.parallel.distributed import (
+    init_distributed,
+    is_initialized,
+    local_file_shard,
+    process_count,
+    process_index,
+)
 from upmix_tpu.parallel.sharded import (
     ShardedUpmixer,
     build_sharded_offline_fn,
@@ -18,6 +25,11 @@ from upmix_tpu.parallel.sharded import (
 __all__ = [
     "ShardedUpmixer",
     "build_sharded_offline_fn",
+    "init_distributed",
+    "is_initialized",
+    "local_file_shard",
     "make_mesh",
+    "process_count",
+    "process_index",
     "sequence_plan",
 ]
