@@ -512,3 +512,68 @@ def test_run_stream_server_snapshot_path(tmp_path):
     ref = _aligned_reference(L, R)
     got = np.concatenate([part1, part2])
     _check(tuple(got[:, i] for i in range(got.shape[1])), ref)
+
+
+def test_periodic_checkpoint_and_output_dedupe(tmp_path):
+    # A NON-destructive mid-serving checkpoint: the session keeps
+    # streaming after the save; on resume the client resends from the
+    # checkpoint's acked input position and DISCARDS the output frames
+    # it already received past the checkpoint's out_frames (the server
+    # regenerates them) — the full at-least-once contract, both
+    # directions.  Also exercises the periodic saver thread.
+    import os
+    import time
+
+    from upmix_tpu.serve_stream import StreamServer, StreamSession
+
+    def pool_factory():
+        return BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+
+    n_blocks = 10
+    L, R = make_stereo(n_blocks * HW, SR, seed=109)
+    L, R = L.astype(np.float32), R.astype(np.float32)
+    ref = _one_shot(pool_factory, L, R)
+
+    path = str(tmp_path / "mid.npz")
+    srv_a = StreamServer(pool_factory(), lockstep=True,
+                         snapshot_every=0.2).start()
+    srv_a.snapshot_path = path
+    try:
+        sess = StreamSession(*srv_a.address)
+        got_a = _send_and_read(sess, L, R, 0, 5, 0)
+        srv_a.save_checkpoint(path)  # point-in-time: 5 blocks acked
+        # Keep serving PAST the checkpoint: two more blocks in and out.
+        more = _send_and_read(sess, L, R, 5, 2, len(got_a))
+        got_a = np.concatenate([got_a, more])
+        # The periodic thread keeps rewriting the file; wait for one
+        # overwrite to prove the loop runs (mtime advances).
+        m0 = os.stat(path).st_mtime_ns
+        deadline = time.time() + 10
+        while os.stat(path).st_mtime_ns == m0 and time.time() < deadline:
+            time.sleep(0.05)
+        periodic_ran = os.stat(path).st_mtime_ns != m0
+        sess.close()
+    finally:
+        srv_a.close()
+    assert periodic_ran
+    # The last periodic write captured the final quiesced state (7
+    # blocks acked, all outputs emitted) OR an earlier one; either is a
+    # consistent point — resume must work from whatever is on disk.
+    srv_b = StreamServer(pool_factory(), lockstep=True,
+                         checkpoint=path).start()
+    try:
+        sess2 = StreamSession(*srv_b.address, token=sess.token)
+        resume_blk = sess2.server_in_frames // HW
+        assert 5 <= resume_blk <= 7
+        dup = len(got_a) - sess2.server_out_frames  # frames to discard
+        assert dup >= 0
+        for b in range(resume_blk, n_blocks):
+            sess2.send_block(L[b * HW : (b + 1) * HW],
+                             R[b * HW : (b + 1) * HW])
+        sess2.finish()
+        regen = sess2.recv_frames(dup + n_blocks * HW - len(got_a))
+        got = np.concatenate([got_a, regen[dup:]])
+        sess2.close()
+    finally:
+        srv_b.close()
+    np.testing.assert_array_equal(got, np.column_stack(ref))

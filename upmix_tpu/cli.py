@@ -192,6 +192,16 @@ def build_parser() -> argparse.ArgumentParser:
         "their v2 resume tokens) and written on shutdown",
     )
     p.add_argument(
+        "--snapshot-every",
+        type=float,
+        default=None,
+        metavar="SECS",
+        help="with --snapshot-path: ALSO checkpoint live sessions "
+        "periodically every SECS seconds (non-destructive, "
+        "point-in-time consistent; the capture pauses dispatch while "
+        "the pool state copies to host)",
+    )
+    p.add_argument(
         "--pool-group",
         type=int,
         default=16,
@@ -404,6 +414,13 @@ def main(argv=None) -> int:
             )
         if args.streams < 1:
             raise SystemExit("error: --streams must be >= 1")
+        if args.snapshot_every is not None:
+            if args.snapshot_path is None:
+                raise SystemExit(
+                    "error: --snapshot-every requires --snapshot-path"
+                )
+            if args.snapshot_every <= 0:
+                raise SystemExit("error: --snapshot-every must be > 0")
         from upmix_tpu.serve_stream import run_stream_server
 
         server = run_stream_server(
@@ -423,6 +440,7 @@ def main(argv=None) -> int:
             ola=args.pool_ola,
             group=args.pool_group,
             snapshot_path=args.snapshot_path,
+            snapshot_every=args.snapshot_every,
         )
         try:
             import signal as _signal

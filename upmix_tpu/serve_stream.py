@@ -51,7 +51,12 @@ uninterrupted run.  Input still in TCP flight at checkpoint time is
 intentionally NOT captured: `in_frames` is the server's acked input
 position, and the resume contract is "resend everything from there"
 (at-least-once from the last ack, the standard resumable-upload
-shape).  v1 clients keep working unchanged.
+shape).  Symmetrically on the OUTPUT side, the resume reply's
+`out_frames` is the server's output position AT the checkpoint: a
+client that kept serving between a periodic checkpoint and the crash
+may have received frames past it, and must discard the first
+(received − out_frames) frames after resume (the server regenerates
+them).  v1 clients keep working unchanged.
 """
 
 from __future__ import annotations
@@ -156,6 +161,7 @@ class StreamServer:
         sr: float | None = None,
         max_buffered_blocks: int = 32,
         checkpoint: "str | dict | None" = None,
+        snapshot_every: float | None = None,
     ):
         self.pool = pool
         self.hw = int(pool.hw_block_size)
@@ -185,15 +191,38 @@ class StreamServer:
         self.address = self._sock.getsockname()
         self.stats = {"accepted": 0, "rejected": 0, "blocks": 0, "frames": 0}
         self.snapshot_path = None  # set by run_stream_server (CLI saves here)
+        # Periodic checkpointing (needs snapshot_path): save_checkpoint
+        # is non-destructive and point-in-time consistent, but its
+        # capture pauses dispatch while the pool state copies to host —
+        # pick an interval accordingly.
+        self.snapshot_every = (
+            float(snapshot_every) if snapshot_every else None
+        )
 
     # -- lifecycle ---------------------------------------------------------
 
     def start(self):
-        for fn in (self._accept_loop, self._dispatch_loop):
+        loops = [self._accept_loop, self._dispatch_loop]
+        if self.snapshot_every:
+            loops.append(self._snapshot_loop)
+        for fn in loops:
             t = threading.Thread(target=fn, daemon=True)
             t.start()
             self._threads.append(t)
         return self
+
+    def _snapshot_loop(self):
+        while not self._stop.wait(self.snapshot_every):
+            if self.snapshot_path is None:
+                continue
+            try:
+                self.save_checkpoint(self.snapshot_path)
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "periodic session checkpoint failed"
+                )
 
     def close(self):
         self._stop.set()
@@ -226,12 +255,16 @@ class StreamServer:
     def save_checkpoint(self, path: str) -> int:
         """Freeze every live session to `path` (.npz); returns how many.
 
-        Part of a graceful shutdown: sessions' queued-but-unprocessed
-        input blocks are CONSUMED into the checkpoint (their in_frames
-        already count them), so call this right before close(), not on
-        a server that will keep dispatching.  DRAINING sessions (client
-        already gone) are finished business and are not checkpointed;
-        still-PARKED sessions are carried forward as-is.
+        NON-destructive and safe at any time, not just shutdown: the
+        capture runs under _pool_lock+_lock (a consistent point in time
+        — the dispatcher cycle is atomic under the same locks), queued
+        input blocks are COPIED, not drained, and the file write
+        happens outside the locks so serving resumes immediately.
+        DRAINING sessions (client already gone) are finished business
+        and are not checkpointed; still-PARKED sessions are carried
+        forward as-is.  NOTE: the capture itself copies the full pool
+        state to the host — seconds for multi-thousand-stream pools on
+        a slow transport — during which dispatch is paused.
         """
         arrays: dict = {}
         sessions = []
@@ -243,15 +276,14 @@ class StreamServer:
             snap = self.pool.snapshot()
             for i, s in enumerate(self._slots):
                 if s.state == _ST_ACTIVE:
-                    rows = self.pool.extract_streams([i], snap=snap)
-                    blocks = []
-                    while True:
-                        try:
-                            blocks.append(s.inq.get_nowait())
-                        except queue.Empty:
-                            break
+                    # Peek, don't drain: all queue mutations happen
+                    # under self._lock (reader enqueue, dispatcher pop),
+                    # so reading the backing deque here is race-free and
+                    # the server keeps processing these blocks after the
+                    # checkpoint.
+                    blocks = list(s.inq.queue)
                     rec = {
-                        "rows": rows,
+                        "rows": self.pool.extract_streams([i], snap=snap),
                         "blocks": np.stack(blocks)
                         if blocks
                         else np.zeros((0, self.hw, 2), np.float32),
@@ -612,6 +644,15 @@ class StreamServer:
                 in_r = [zeros] * self.n_slots
                 live = []
                 with self._lock:
+                    # Re-check readiness under the cycle's locks: a slot
+                    # can go ACTIVE between the unlocked _ready() poll
+                    # and here (e.g. a session RESUMING with an empty
+                    # queue), and the "late client: zeros" fallback
+                    # below would inject a silent block into the middle
+                    # of its stream (measured: full output corruption
+                    # from that block's window onward).
+                    if self.lockstep and not self._ready():
+                        continue
                     for i, s in enumerate(self._slots):
                         if s.state in (_ST_FREE, _ST_PARKED):
                             # Parked sessions' engine rows live host-side
@@ -836,6 +877,7 @@ def run_stream_server(
     layout: str = "quarters",
     group: int = 16,
     snapshot_path: str | None = None,
+    snapshot_every: float | None = None,
 ) -> "StreamServer":
     """CLI entry: build the pool (auto engine) and serve until ^C.
 
@@ -872,7 +914,7 @@ def run_stream_server(
         checkpoint = snapshot_path
     server = StreamServer(
         pool, host=host, port=port, lockstep=lockstep, sr=float(sr),
-        checkpoint=checkpoint,
+        checkpoint=checkpoint, snapshot_every=snapshot_every,
     )
     server.snapshot_path = snapshot_path
     server.start()
