@@ -89,3 +89,43 @@ with StreamServer(server_pool, lockstep=True) as srv:
     assert len(out_l) == n and np.isfinite(out_l).all()
     print(f"stream server on {srv.address[0]}:{srv.address[1]}: "
           f"{n} frames round-tripped, peak {np.abs(out_l).max():.3f}")
+
+# --- 4. session checkpoint/resume across a server restart ----------------
+# Live sessions survive a server restart: save_checkpoint freezes every
+# session (engine rows, counters, queued blocks, resume tokens) to one
+# file; a new server parks them until their clients reconnect with
+# StreamSession(token=...) and resend from the acked input position.
+from upmix_tpu.serve_stream import StreamSession
+
+ck = os.path.join(workdir, "sessions.npz")
+srv_a = StreamServer(
+    BatchStreamingUpmixer(cfg, HW, n_streams=B), lockstep=True
+).start()
+n_blocks = 8
+L = (rng.standard_normal(n_blocks * HW) * 0.3).astype(np.float32)
+R = (rng.standard_normal(n_blocks * HW) * 0.3).astype(np.float32)
+sess = StreamSession(*srv_a.address)
+for b in range(4):
+    sess.send_block(L[b * HW : (b + 1) * HW], R[b * HW : (b + 1) * HW])
+part1 = sess.recv_frames(4 * HW - (pool.warmup_blocks - 1) * HW)
+srv_a.save_checkpoint(ck)
+sess.close()
+srv_a.close()  # "crash"
+
+srv_b = StreamServer(
+    BatchStreamingUpmixer(cfg, HW, n_streams=B), lockstep=True, checkpoint=ck
+).start()
+try:
+    sess2 = StreamSession(*srv_b.address, token=sess.token)  # same session
+    resume_blk = sess2.server_in_frames // HW  # resend from the acked pos
+    for b in range(resume_blk, n_blocks):
+        sess2.send_block(L[b * HW : (b + 1) * HW], R[b * HW : (b + 1) * HW])
+    sess2.finish()
+    part2 = sess2.recv_frames(n_blocks * HW - len(part1))
+    full = np.concatenate([part1, part2])
+    assert len(full) == n_blocks * HW and np.isfinite(full).all()
+    print(f"checkpoint/resume: session resumed at block {resume_blk}, "
+          f"{len(full)} frames total across the restart")
+finally:
+    sess2.close()
+    srv_b.close()
