@@ -577,3 +577,42 @@ def test_periodic_checkpoint_and_output_dedupe(tmp_path):
     finally:
         srv_b.close()
     np.testing.assert_array_equal(got, np.column_stack(ref))
+
+
+def test_cli_connect_client_mode(tmp_path):
+    # `upmix-tpu in.wav --connect HOST:PORT`: the network-client mode
+    # streams files through a running server (no local JAX work) and
+    # writes the returned mix; a sample-rate mismatch is refused before
+    # any audio is sent.
+    from upmix_tpu.cli import main
+    from upmix_tpu.io import read_wav, write_wav
+
+    pool = BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+    with StreamServer(pool, lockstep=True) as srv:
+        host, port = srv.address
+        L, R = make_stereo(5 * HW + 77, SR, seed=111)
+        L, R = L.astype(np.float32), R.astype(np.float32)
+        in_path = str(tmp_path / "song.wav")
+        write_wav(in_path, np.column_stack([L, R]), int(SR))
+        out_dir = str(tmp_path / "out")
+        rc = main(
+            [in_path, "--connect", f"{host}:{port}", "--out-dir", out_dir]
+        )
+        assert rc == 0
+        out_path = tmp_path / "out" / "song_net_stereo_sum.wav"
+        assert out_path.exists()
+        got, sr2 = read_wav(str(out_path))
+        assert sr2 == int(SR) and got.shape == (len(L), 2)
+        ref = _aligned_reference(L, R)
+        _check((got[:, 0], got[:, 1]), ref)
+
+        # sr mismatch: refused with a clear error, nothing written.
+        bad = str(tmp_path / "bad.wav")
+        write_wav(bad, np.column_stack([L, R]), int(SR * 2))
+        with pytest.raises(SystemExit, match="Hz"):
+            main([bad, "--connect", f"{host}:{port}", "--out-dir", out_dir])
+
+    with pytest.raises(SystemExit, match="HOST:PORT"):
+        main([in_path, "--connect", "nonsense"])
+    with pytest.raises(SystemExit, match="input WAV"):
+        main(["-", "--connect", "127.0.0.1:1"])

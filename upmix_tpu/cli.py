@@ -278,6 +278,16 @@ def build_parser() -> argparse.ArgumentParser:
         "file-filter semantics",
     )
     p.add_argument(
+        "--connect",
+        default=None,
+        metavar="HOST:PORT",
+        help="network-client mode: stream the input WAV file(s) through a "
+        "running `--serve-stream` server instead of processing locally "
+        "(no TPU or JAX work in this process); --pipe-mix picks the "
+        "returned layout, outputs land in --out-dir.  The file's sample "
+        "rate must match the server's",
+    )
+    p.add_argument(
         "--meter",
         action="store_true",
         help="print the realtime factor (audio-sec per wall-sec) after each file",
@@ -318,6 +328,62 @@ def main(argv=None) -> int:
         enable_compilation_cache()
 
     import time
+
+    if args.connect is not None:
+        # Network-client mode: no local JAX/TPU work — the files stream
+        # through a remote --serve-stream server block by block.
+        if (
+            args.pipe or args.streaming or args.serve
+            or args.serve_stream is not None or args.save_aot is not None
+        ):
+            raise SystemExit(
+                "error: --connect is exclusive with --serve/--serve-stream/"
+                "--pipe/--streaming/--save-aot"
+            )
+        host, _, port_s = args.connect.rpartition(":")
+        try:
+            port = int(port_s)
+        except ValueError:
+            port = -1
+        if not host or not 0 < port < 65536:
+            raise SystemExit(
+                f"error: --connect expects HOST:PORT, got {args.connect!r}"
+            )
+        if not args.inputs or args.inputs == ["-"]:
+            raise SystemExit("error: --connect needs input WAV files")
+        import os
+
+        import numpy as np
+
+        from upmix_tpu.app import load_stereo
+        from upmix_tpu.io import write_wav
+        from upmix_tpu.serve_stream import stream_client
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        for path in args.inputs:
+            L, R, sr, _peak = load_stereo(path)
+            t0 = time.perf_counter()
+            try:
+                outs = stream_client(
+                    host, port, L.astype(np.float32), R.astype(np.float32),
+                    mix=args.pipe_mix, timeout=600.0, expect_sr=sr,
+                )
+            except (OSError, ConnectionError, ValueError) as exc:
+                raise SystemExit(f"error: {path}: {exc}")
+            dt = time.perf_counter() - t0
+            base = os.path.splitext(os.path.basename(path))[0]
+            out_path = os.path.join(
+                args.out_dir, f"{base}_net_{args.pipe_mix}.wav"
+            )
+            write_wav(
+                out_path, np.column_stack(outs), int(sr), subtype=args.subtype
+            )
+            n = len(outs[0])
+            print(
+                f"{path}: {n} frames via {host}:{port} in {dt:.2f}s "
+                f"({n / sr / max(dt, 1e-9):.1f}x realtime) -> {out_path}"
+            )
+        return 0
 
     if args.save_aot is not None:
         if args.pipe or args.streaming or args.serve or args.serve_stream is not None:

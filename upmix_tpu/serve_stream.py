@@ -14,6 +14,9 @@ Wire protocol (little-endian, fixed-size frames after the handshake):
   client hello:  b"UPMX" | u32 version (1) | u32 mix (0=stereo_sum, 1=lcr)
   server reply:  b"UPMR" | u32 status (0 ok, 1 pool full, 2 bad hello)
                  | u32 slot | u32 hw_block | u32 out_channels
+  v2 hello adds | 16-byte resume token (zeros = new session)
+  v2 reply adds | 16-byte session token | u64 in_frames | u64 out_frames
+                 | f64 sample_rate   (status 3 = unknown resume token)
   then, repeatedly:
     client -> server: hw_block * 2 float32 (interleaved stereo)
     server -> client: hw_block * out_channels float32 (interleaved)
@@ -446,7 +449,8 @@ class StreamServer:
             token = slot.token if slot is not None else _ZERO_TOKEN
             in_f = slot.in_frames if slot is not None else 0
             out_f = slot.out_frames if slot is not None else 0
-            head += token + struct.pack("<QQ", in_f, out_f)
+            sr = float(self.pool.config.sr)
+            head += token + struct.pack("<QQd", in_f, out_f, sr)
         conn.sendall(head)
 
     def _serve_conn(self, conn):
@@ -736,15 +740,19 @@ class StreamSession:
                 + struct.pack("<II", VERSION2, MIX_MODES.index(mix))
                 + tok
             )
-            reply = _read_exact(self.sock, 20 + _TOKEN_LEN + 16)
-            if len(reply) < 20 + _TOKEN_LEN + 16 or reply[:4] != MAGIC_REPLY:
+            reply = _read_exact(self.sock, 20 + _TOKEN_LEN + 24)
+            if len(reply) < 20 + _TOKEN_LEN + 24 or reply[:4] != MAGIC_REPLY:
                 raise ConnectionError("bad server reply")
             status, self.slot, self.hw, self.out_channels = struct.unpack(
                 "<IIII", reply[4:20]
             )
             self.token = reply[20 : 20 + _TOKEN_LEN]
-            self.server_in_frames, self.server_out_frames = struct.unpack(
-                "<QQ", reply[20 + _TOKEN_LEN : 36 + _TOKEN_LEN]
+            (
+                self.server_in_frames,
+                self.server_out_frames,
+                self.server_sr,
+            ) = struct.unpack(
+                "<QQd", reply[20 + _TOKEN_LEN : 44 + _TOKEN_LEN]
             )
             if status == 1:
                 raise ConnectionError("server pool is full")
@@ -799,11 +807,17 @@ class StreamSession:
         self.close()
 
 
-def stream_client(host, port, in_l, in_r, mix="stereo_sum", timeout=60.0):
+def stream_client(
+    host, port, in_l, in_r, mix="stereo_sum", timeout=60.0, expect_sr=None
+):
     """Reference client: stream a whole stereo signal through a
     StreamServer and return the processed channels, trimmed to the
     input length.  Sends and receives concurrently (the server replies
     block-for-block), zero-padding the final short block.
+
+    Speaks protocol v2 (as a fresh session); `expect_sr` validates the
+    server's sample rate against the signal's before sending a byte
+    (a mismatched rate would silently pitch-shift the audio).
     """
     if mix not in MIX_MODES:
         raise ValueError(f"mix must be one of {MIX_MODES}, got {mix!r}")
@@ -813,16 +827,27 @@ def stream_client(host, port, in_l, in_r, mix="stereo_sum", timeout=60.0):
     sock = socket.create_connection((host, port), timeout=timeout)
     try:
         sock.sendall(
-            MAGIC_HELLO + struct.pack("<II", VERSION, MIX_MODES.index(mix))
+            MAGIC_HELLO
+            + struct.pack("<II", VERSION2, MIX_MODES.index(mix))
+            + _ZERO_TOKEN
         )
-        reply = _read_exact(sock, 20)
-        if len(reply) < 20 or reply[:4] != MAGIC_REPLY:
+        reply = _read_exact(sock, 20 + _TOKEN_LEN + 24)
+        if len(reply) < 20 + _TOKEN_LEN + 24 or reply[:4] != MAGIC_REPLY:
             raise ConnectionError("bad server reply")
         status, _slot, hw, out_ch = struct.unpack("<IIII", reply[4:20])
+        (server_sr,) = struct.unpack(
+            "<d", reply[36 + _TOKEN_LEN : 44 + _TOKEN_LEN]
+        )
         if status == 1:
             raise ConnectionError("server pool is full")
         if status != 0:
             raise ConnectionError(f"server rejected hello (status {status})")
+        if expect_sr is not None and abs(server_sr - float(expect_sr)) > 1e-6:
+            raise ValueError(
+                f"server runs at {server_sr:g} Hz but the signal is "
+                f"{float(expect_sr):g} Hz — resample or use a matching "
+                "server"
+            )
 
         pad = (-n) % hw
         xl = np.concatenate([in_l, np.zeros(pad, np.float32)])
