@@ -90,6 +90,16 @@ with StreamServer(server_pool, lockstep=True) as srv:
     print(f"stream server on {srv.address[0]}:{srv.address[1]}: "
           f"{n} frames round-tripped, peak {np.abs(out_l).max():.3f}")
 
+    # Observability: every server answers a metrics query on its own
+    # port (and serves Prometheus text over HTTP with
+    # metrics_http_port=...; CLI: --metrics-http PORT).
+    from upmix_tpu.serve_stream import fetch_metrics
+
+    m = fetch_metrics(*srv.address)
+    print(f"metrics: {m['counters']['accepted']} sessions, "
+          f"{m['counters']['blocks']} pool blocks, dispatch p95 "
+          f"{m['dispatch_seconds']['p95'] * 1e3:.2f} ms")
+
 # --- 4. session checkpoint/resume across a server restart ----------------
 # Live sessions survive a server restart: save_checkpoint freezes every
 # session (engine rows, counters, queued blocks, resume tokens) to one

@@ -1,0 +1,90 @@
+"""Serving-pool autotuner tests (upmix_tpu/tune.py): the sweep must
+measure every feasible (batch, group) candidate with the interleaved
+min-of-visits protocol, record infeasible ones with their error, and
+pick the capacity-best feasible candidate.  Run tiny on the CPU
+backend; the protocol is identical on hardware."""
+
+import numpy as np
+import pytest
+
+from upmix_tpu.config import UpmixConfig
+from upmix_tpu.tune import tune_pool
+
+HW = 256
+SR = 8000.0
+EDGES = [0.0, 400.0, 1600.0]
+
+
+def _cfg():
+    return UpmixConfig.streaming(EDGES, sr=SR, hw_block_size=HW)
+
+
+def test_tune_xla_sweep_picks_best():
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(2, 4), groups=(2,), engine="xla",
+        blocks=2, visits=2, verbose=False,
+    )
+    ok = [r for r in report["results"] if r["ok"]]
+    assert len(ok) == 2  # one XLA candidate per batch (group ignored)
+    best = report["best"]
+    assert best is not None and best in report["results"]
+    for r in ok:
+        assert r["seconds_per_block"] > 0
+        assert r["streams_per_chip"] == pytest.approx(
+            r["batch"] * (HW / SR) / r["seconds_per_block"]
+        )
+        assert r["us_per_block_stream"] == pytest.approx(
+            r["seconds_per_block"] / r["batch"] * 1e6
+        )
+    assert best["streams_per_chip"] == max(r["streams_per_chip"] for r in ok)
+    assert report["protocol"]["estimator"].startswith("min-of-visits")
+
+
+def test_tune_skips_indivisible_groups():
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(4,), groups=(3, 8), engine="pallas",
+        blocks=1, visits=1, verbose=False,
+    )
+    # 4 % 3 != 0 and 4 % 8 != 0: nothing to measure.
+    assert report["results"] == []
+    assert report["best"] is None
+
+
+def test_tune_records_failures_without_raising():
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(2,), groups=(2,), engine="bogus",
+        blocks=1, visits=1, verbose=False,
+    )
+    assert report["best"] is None
+    (rec,) = report["results"]
+    assert rec["ok"] is False
+    assert "ValueError" in rec["error"]
+
+
+def test_tune_pallas_candidate_on_cpu():
+    # The pallas pool runs in interpret mode on CPU — slow but exact;
+    # one tiny candidate proves the pallas arm of the sweep end-to-end
+    # (group 8 is the smallest lane-eligible grid group).
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(8,), groups=(8,), engine="pallas",
+        blocks=1, visits=1, verbose=False,
+    )
+    best = report["best"]
+    assert best is not None and best["engine"] == "pallas"
+    assert best["group"] == 8 and best["batch"] == 8
+
+
+def test_tune_cli_json(capsys):
+    import json
+
+    from upmix_tpu.tune import main
+
+    rc = main([
+        "--sr", str(SR), "--hw-block", str(HW),
+        "--edges", "0,400,1600", "--batches", "2", "--groups", "2",
+        "--engine", "xla", "--blocks", "1", "--visits", "1", "--json",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    report = json.loads(line)
+    assert report["best"]["batch"] == 2

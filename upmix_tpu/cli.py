@@ -202,6 +202,17 @@ def build_parser() -> argparse.ArgumentParser:
         "the pool state copies to host)",
     )
     p.add_argument(
+        "--metrics-http",
+        type=int,
+        default=None,
+        metavar="PORT",
+        help="with --serve-stream: serve observability metrics over "
+        "HTTP on PORT (GET /metrics = Prometheus text exposition, "
+        "/metrics.json = the full snapshot; 0 picks an ephemeral "
+        "port).  The same snapshot is always queryable on the stream "
+        "port itself via upmix_tpu.serve_stream.fetch_metrics",
+    )
+    p.add_argument(
         "--pool-group",
         type=int,
         default=16,
@@ -466,6 +477,8 @@ def main(argv=None) -> int:
         }}))
         return 0
 
+    if args.metrics_http is not None and args.serve_stream is None:
+        raise SystemExit("error: --metrics-http requires --serve-stream")
     if args.serve_stream is not None:
         if args.pipe or args.streaming or args.serve:
             raise SystemExit(
@@ -507,6 +520,7 @@ def main(argv=None) -> int:
             group=args.pool_group,
             snapshot_path=args.snapshot_path,
             snapshot_every=args.snapshot_every,
+            metrics_http_port=args.metrics_http,
         )
         try:
             import signal as _signal

@@ -21,6 +21,14 @@ Wire protocol (little-endian, fixed-size frames after the handshake):
     client -> server: hw_block * 2 float32 (interleaved stereo)
     server -> client: hw_block * out_channels float32 (interleaved)
 
+Metrics query (observability, any protocol version): a client may
+instead open a connection and send b"UPMQ" | u32 format | u32 0 —
+the server replies u32 payload length + the metrics payload (format
+0 = JSON `metrics_snapshot()`, 1 = Prometheus text) and closes.  The
+same snapshot is served over HTTP (GET /metrics, /metrics.json) when
+the server is built with `metrics_http_port` — the endpoint a
+Prometheus scraper points at.  See upmix_tpu/metrics.py.
+
 Clients half-close (shutdown(SHUT_WR)) at end of stream; the server
 drains the engine with zero blocks and closes when the output has
 caught up with the input.  Output is warmup-ALIGNED per connection
@@ -70,11 +78,15 @@ import queue
 import socket
 import struct
 import threading
+import time
 
 import numpy as np
 
+from upmix_tpu.metrics import ServerMetrics, prometheus_text
+
 MAGIC_HELLO = b"UPMX"
 MAGIC_REPLY = b"UPMR"
+MAGIC_METRICS = b"UPMQ"
 VERSION = 1
 VERSION2 = 2
 MIX_MODES = ("stereo_sum", "lcr")
@@ -165,6 +177,7 @@ class StreamServer:
         max_buffered_blocks: int = 32,
         checkpoint: "str | dict | None" = None,
         snapshot_every: float | None = None,
+        metrics_http_port: int | None = None,
     ):
         self.pool = pool
         self.hw = int(pool.hw_block_size)
@@ -192,7 +205,14 @@ class StreamServer:
         self._sock.bind((host, int(port)))
         self._sock.listen()
         self.address = self._sock.getsockname()
-        self.stats = {"accepted": 0, "rejected": 0, "blocks": 0, "frames": 0}
+        self.metrics = ServerMetrics()
+        # Back-compat alias: the pre-metrics public counter surface.
+        # Same dict object, so either name observes every increment.
+        self.stats = self.metrics.counters
+        self._t0 = time.monotonic()
+        self._metrics_http_port = metrics_http_port
+        self._http = None
+        self.metrics_http_address = None
         self.snapshot_path = None  # set by run_stream_server (CLI saves here)
         # Periodic checkpointing (needs snapshot_path): save_checkpoint
         # is non-destructive and point-in-time consistent, but its
@@ -212,7 +232,71 @@ class StreamServer:
             t = threading.Thread(target=fn, daemon=True)
             t.start()
             self._threads.append(t)
+        if self._metrics_http_port is not None:
+            self._start_metrics_http(self._metrics_http_port)
         return self
+
+    # -- observability -------------------------------------------------------
+
+    def metrics_snapshot(self) -> dict:
+        """Point-in-time metrics: counters + latency histograms (from
+        `self.metrics`) plus state gauges and static config info."""
+        with self._lock:
+            states = [s.state for s in self._slots]
+            queued = sum(
+                s.inq.qsize() for s in self._slots if s.inq is not None
+            )
+        snap = self.metrics.snapshot()
+        snap["gauges"] = {
+            "slots_active": states.count(_ST_ACTIVE),
+            "slots_draining": states.count(_ST_DRAINING),
+            "slots_parked": states.count(_ST_PARKED),
+            "slots_free": states.count(_ST_FREE),
+            "queued_input_blocks": queued,
+            "uptime_seconds": time.monotonic() - self._t0,
+        }
+        snap["config"] = {
+            "engine": type(self.pool).__name__,
+            "hw_block": self.hw,
+            "n_slots": self.n_slots,
+            "sr": float(self.pool.config.sr),
+            "lockstep": self.lockstep,
+        }
+        return snap
+
+    def _start_metrics_http(self, port: int):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        server = self
+
+        class _Handler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                if self.path in ("/metrics", "/metrics.json"):
+                    snap = server.metrics_snapshot()
+                    if self.path == "/metrics":
+                        body = prometheus_text(snap).encode()
+                        ctype = "text/plain; version=0.0.4"
+                    else:
+                        body = json.dumps(snap).encode()
+                        ctype = "application/json"
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_error(404)
+
+            def log_message(self, *args):
+                pass  # no per-scrape stderr noise
+
+        self._http = ThreadingHTTPServer(
+            (self.address[0], int(port)), _Handler
+        )
+        self.metrics_http_address = self._http.server_address
+        t = threading.Thread(target=self._http.serve_forever, daemon=True)
+        t.start()
+        self._threads.append(t)
 
     def _snapshot_loop(self):
         while not self._stop.wait(self.snapshot_every):
@@ -234,6 +318,9 @@ class StreamServer:
             self._sock.close()
         except OSError:
             pass
+        if self._http is not None:
+            self._http.shutdown()
+            self._http.server_close()
         for t in self._threads:
             t.join(timeout=5.0)
 
@@ -327,6 +414,7 @@ class StreamServer:
                 **arrays,
             )
         os.replace(tmp, path)
+        self.stats["checkpoints"] += 1
         return len(sessions)
 
     def _load_checkpoint(self, checkpoint):
@@ -458,6 +546,16 @@ class StreamServer:
         writer = None
         try:
             hello = _read_exact(conn, 12)
+            if len(hello) == 12 and hello[:4] == MAGIC_METRICS:
+                fmt = struct.unpack("<I", hello[4:8])[0]
+                snap = self.metrics_snapshot()
+                payload = (
+                    prometheus_text(snap).encode()
+                    if fmt == 1
+                    else json.dumps(snap).encode()
+                )
+                conn.sendall(struct.pack("<I", len(payload)) + payload)
+                return
             version = (
                 struct.unpack("<I", hello[4:8])[0] if len(hello) == 12 else 0
             )
@@ -485,6 +583,7 @@ class StreamServer:
                     self._reply(conn, version, 3)
                     self.stats["rejected"] += 1
                     return
+                self.stats["resumed"] += 1
             else:
                 # Slot claim + pool-row zeroing are ONE atomic step
                 # under _pool_lock: a checkpoint interleaving between
@@ -644,6 +743,7 @@ class StreamServer:
             # reached the pool, nor pool state whose output frames were
             # not yet counted.  Lock order: _pool_lock OUTER, _lock inner.
             with self._pool_lock:
+                t_cycle = _time.monotonic()
                 in_l = [zeros] * self.n_slots
                 in_r = [zeros] * self.n_slots
                 live = []
@@ -668,13 +768,21 @@ class StreamServer:
                             try:
                                 x = s.inq.get_nowait()
                             except queue.Empty:
-                                continue  # late client: zeros this tick
+                                # Late client: zeros this tick (only
+                                # reachable in realtime mode — lockstep
+                                # waits for every ACTIVE queue).
+                                self.stats["late_zero_blocks"] += 1
+                                continue
                             in_l[i] = np.ascontiguousarray(x[:, 0])
                             in_r[i] = np.ascontiguousarray(x[:, 1])
+                t_dispatch = _time.monotonic()
                 c, ls, rs = self.pool.push_blocks(
                     np.stack(in_l), np.stack(in_r)
                 )
                 c, ls, rs = np.asarray(c), np.asarray(ls), np.asarray(rs)
+                self.metrics.dispatch_seconds.record(
+                    _time.monotonic() - t_dispatch
+                )
                 self.stats["blocks"] += 1
                 # Mix once, vectorized over the whole pool; the per-slot
                 # loop below only slices and frames (matters on a busy
@@ -712,6 +820,9 @@ class StreamServer:
                     if done:
                         s.outq.put(None)
                         self._release_slot(s)
+                self.metrics.cycle_seconds.record(
+                    _time.monotonic() - t_cycle
+                )
 
 
 class StreamSession:
@@ -883,6 +994,27 @@ def stream_client(
         sock.close()
 
 
+def fetch_metrics(host: str, port: int, fmt: str = "json"):
+    """Query a running StreamServer's metrics over its own port.
+
+    fmt="json" returns the parsed `metrics_snapshot()` dict;
+    fmt="prometheus" returns the text exposition as a str.
+    """
+    fmt_code = {"json": 0, "prometheus": 1}[fmt]
+    with socket.create_connection((host, int(port))) as sock:
+        sock.sendall(MAGIC_METRICS + struct.pack("<II", fmt_code, 0))
+        head = _read_exact(sock, 4)
+        if len(head) < 4:
+            raise ConnectionError("metrics query: short reply")
+        (n,) = struct.unpack("<I", head)
+        payload = _read_exact(sock, n)
+    if len(payload) < n:
+        raise ConnectionError("metrics query: truncated payload")
+    if fmt == "json":
+        return json.loads(payload.decode("utf-8"))
+    return payload.decode("utf-8")
+
+
 def run_stream_server(
     port: int,
     sr: float,
@@ -903,6 +1035,7 @@ def run_stream_server(
     group: int = 16,
     snapshot_path: str | None = None,
     snapshot_every: float | None = None,
+    metrics_http_port: int | None = None,
 ) -> "StreamServer":
     """CLI entry: build the pool (auto engine) and serve until ^C.
 
@@ -940,16 +1073,23 @@ def run_stream_server(
     server = StreamServer(
         pool, host=host, port=port, lockstep=lockstep, sr=float(sr),
         checkpoint=checkpoint, snapshot_every=snapshot_every,
+        metrics_http_port=metrics_http_port,
     )
     server.snapshot_path = snapshot_path
     server.start()
     if verbose:
         parked = sum(1 for s in server._slots if s.state == _ST_PARKED)
         resumed = f", {parked} parked sessions" if parked else ""
+        http_note = ""
+        if server.metrics_http_address is not None:
+            http_note = (
+                f", metrics http://{server.metrics_http_address[0]}:"
+                f"{server.metrics_http_address[1]}/metrics"
+            )
         print(
             f"upmix-tpu stream server on {server.address[0]}:"
             f"{server.address[1]} — {n_streams} slots, hw {hw_block_size}, "
-            f"engine {type(pool).__name__}{resumed}",
+            f"engine {type(pool).__name__}{resumed}{http_note}",
             flush=True,
         )
     return server

@@ -1,0 +1,221 @@
+"""On-device serving-pool autotuner.
+
+The serving capacity of a pool depends on two knobs with hardware-
+specific optima: the stream-batch size B (v5e measured: capacity peaks
+at B≈4096 for the quarters pallas pool, B≈2048 for the window layout)
+and the pallas kernel's streams-per-grid-step G (measured optimum 16;
+32 ≈9% worse, 64 fails to compile).  Those numbers were found by hand
+with the interleaved min-of-visits protocol (DESIGN.md §6); this module
+packages that protocol as a framework feature so a deployment on NEW
+hardware can re-derive its own optimum instead of inheriting v5e's.
+
+    from upmix_tpu.tune import tune_pool
+    report = tune_pool(config, hw_block, batch_sizes=(1024, 2048, 4096))
+    best = report["best"]          # {"batch": ..., "group": ..., ...}
+
+or from the shell:
+
+    python -m upmix_tpu.tune --sr 48000 --hw-block 2048 \
+        --batches 1024,2048,4096 --groups 8,16
+
+Protocol notes (hard-won, see CLAUDE.md):
+- Candidates are visited ROUND-ROBIN and each keeps the MIN over
+  visits: transport/scheduler noise arrives in multi-second bursts, so
+  sequential per-candidate timing misattributes a burst to whichever
+  candidate it lands on.
+- Each visit times `blocks` chained `push_blocks` calls with device-
+  resident inputs and ONE tiny scalar fetch at the end: the pool's
+  carried state dependency-chains the steps, so the fetch bounds the
+  whole chain without pulling block outputs through a slow transport.
+- A candidate that fails to build or compile (e.g. Mosaic rejecting a
+  large G) is recorded with its error and excluded from `best` — the
+  tuner's job includes mapping the feasible region.
+
+The reference has no analog (its one tunable, threshold_factor, is a
+quality knob); this is TPU-framework machinery like XLA's own
+autotuning, applied to the serving layer.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+__all__ = ["tune_pool"]
+
+
+def _build_candidate(config, hw_block, batch, engine, group, layout, ola):
+    from upmix_tpu.models.streaming import make_stream_pool
+
+    return make_stream_pool(
+        config, hw_block, batch, engine=engine, group=group,
+        layout=layout, ola=ola,
+    )
+
+
+def tune_pool(
+    config,
+    hw_block: int,
+    batch_sizes=(512, 1024, 2048, 4096),
+    groups=(8, 16, 32),
+    engine: str = "pallas",
+    layout: str = "quarters",
+    ola: str = "time",
+    blocks: int = 16,
+    visits: int = 3,
+    include_xla: bool = False,
+    verbose: bool = True,
+) -> dict:
+    """Sweep (batch, group) serving-pool candidates on the attached
+    device; return per-candidate timings and the capacity-best choice.
+
+    Capacity model: a pool serving B streams at `t` seconds per block
+    sustains `B * (hw_block / sr) / t` realtime streams per chip.  The
+    sweep measures the sustained `push_blocks` path (the deployment
+    dispatch surface, donation policy included) — not a bare kernel
+    microbenchmark.
+
+    ``include_xla=True`` adds one BatchStreamingUpmixer candidate per
+    batch size (group is a pallas-only knob), so the report shows the
+    engine crossover too.  Returns::
+
+        {"results": [...], "best": {...} | None,
+         "protocol": {"blocks": ..., "visits": ...}}
+    """
+    hw_block = int(hw_block)
+    block_seconds = hw_block / float(config.sr)
+
+    candidates = []
+    for b in batch_sizes:
+        for g in groups:
+            if engine == "pallas" and int(b) % int(g) != 0:
+                continue  # pool constraint: stream count divides by group
+            candidates.append({"batch": int(b), "group": int(g),
+                               "engine": engine})
+        if include_xla:
+            candidates.append({"batch": int(b), "group": None,
+                               "engine": "xla"})
+
+    built = []
+    results = []
+    for cand in candidates:
+        label = (f"{cand['engine']}/B{cand['batch']}" +
+                 (f"/G{cand['group']}" if cand["group"] else ""))
+        rec = dict(cand, label=label, ok=False, error=None,
+                   seconds_per_block=None, us_per_block_stream=None,
+                   streams_per_chip=None)
+        try:
+            pool = _build_candidate(
+                config, hw_block, cand["batch"], cand["engine"],
+                cand["group"] or 16, layout, ola,
+            )
+            zl = np.zeros((cand["batch"], hw_block), np.float32)
+            # Warm: trigger compile + first-dispatch costs off the clock.
+            pool.push_blocks(zl, zl)
+            c, _, _ = pool.push_blocks(zl, zl)
+            float(np.asarray(c)[0, 0])
+        except Exception as e:  # build or compile rejection
+            rec["error"] = f"{type(e).__name__}: {e}"
+            results.append(rec)
+            if verbose:
+                print(f"tune: {label}: FAILED ({type(e).__name__})",
+                      flush=True)
+            continue
+        rec["visits"] = []
+        built.append((rec, pool, zl))
+        results.append(rec)
+
+    rng = np.random.default_rng(0)
+    for v in range(int(visits)):
+        for rec, pool, zl in built:
+            x = (rng.standard_normal((2, zl.shape[0], hw_block))
+                 .astype(np.float32) * 0.3)
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(int(blocks)):
+                out = pool.push_blocks(x[0], x[1])
+            float(np.asarray(out[0])[0, 0])  # bound the chained steps
+            dt = (time.perf_counter() - t0) / int(blocks)
+            rec["visits"].append(dt)
+            if verbose:
+                print(f"tune: visit {v} {rec['label']:>16s}: "
+                      f"{dt * 1e3:8.3f} ms/block", flush=True)
+
+    best = None
+    for rec in results:
+        if rec.get("visits"):
+            t = min(rec["visits"])
+            rec["ok"] = True
+            rec["seconds_per_block"] = t
+            rec["us_per_block_stream"] = t / rec["batch"] * 1e6
+            rec["streams_per_chip"] = rec["batch"] * block_seconds / t
+            if best is None or rec["streams_per_chip"] > best["streams_per_chip"]:
+                best = rec
+        rec.pop("visits", None)
+
+    if verbose and best is not None:
+        print(f"tune: best {best['label']}: "
+              f"{best['streams_per_chip']:.0f} realtime streams/chip "
+              f"({best['us_per_block_stream']:.2f} us/block/stream)",
+              flush=True)
+    return {
+        "results": results,
+        "best": best,
+        "protocol": {"blocks": int(blocks), "visits": int(visits),
+                     "estimator": "min-of-visits, interleaved",
+                     "layout": layout, "ola": ola},
+    }
+
+
+def main(argv=None):
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(
+        description="autotune the serving pool's (batch, group) for "
+        "the attached device"
+    )
+    ap.add_argument("--sr", type=float, default=48000.0)
+    ap.add_argument("--hw-block", type=int, default=2048)
+    ap.add_argument("--edges", default="0,500,2000,8000",
+                    help="band edges in Hz, comma-separated")
+    ap.add_argument("--batches", default="512,1024,2048,4096")
+    ap.add_argument("--groups", default="8,16,32")
+    ap.add_argument("--engine", default="pallas",
+                    choices=("pallas", "xla", "auto"))
+    ap.add_argument("--layout", default="quarters")
+    ap.add_argument("--ola", default="time", choices=("time", "spectral"))
+    ap.add_argument("--blocks", type=int, default=16)
+    ap.add_argument("--visits", type=int, default=3)
+    ap.add_argument("--include-xla", action="store_true")
+    ap.add_argument("--json", action="store_true",
+                    help="print the full report as one JSON line")
+    args = ap.parse_args(argv)
+
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    config = UpmixConfig.streaming(
+        [float(e) for e in args.edges.split(",")],
+        sr=args.sr, hw_block_size=args.hw_block,
+    )
+    report = tune_pool(
+        config, args.hw_block,
+        batch_sizes=[int(b) for b in args.batches.split(",")],
+        groups=[int(g) for g in args.groups.split(",")],
+        engine=args.engine, layout=args.layout, ola=args.ola,
+        blocks=args.blocks, visits=args.visits,
+        include_xla=args.include_xla, verbose=not args.json,
+    )
+    if args.json:
+        print(json.dumps(report))
+    elif report["best"] is None:
+        print("tune: no candidate compiled", flush=True)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
