@@ -163,3 +163,28 @@ def test_serve_requires_dash_input(tmp_path):
     )
     assert proc.returncode != 0
     assert "stdin" in proc.stderr
+
+
+def test_run_jobs_stats_latency_histogram(tmp_path):
+    # {"cmd": "stats"} after completed jobs must report their wall-time
+    # distribution (count matches n_ok; failures are not recorded).
+    a = _wav(tmp_path / "h.wav", seed=3)
+    jobs = "\n".join(
+        [
+            json.dumps({"in": a, "out_dir": str(tmp_path / "o")}),
+            json.dumps({"in": str(tmp_path / "nope.wav")}),  # fails
+            json.dumps({"in": a, "out_dir": str(tmp_path / "o")}),
+            json.dumps({"cmd": "stats"}),
+        ]
+    )
+    dst = io.StringIO()
+    n_ok, n_fail = run_jobs(
+        io.StringIO(jobs), dst,
+        band_edges=[0.0, 400.0, 1600.0], max_block_size=512,
+    )
+    assert n_ok == 2 and n_fail == 1
+    stats = json.loads(dst.getvalue().splitlines()[-1])
+    hs = stats["job_seconds"]
+    assert hs["count"] == 2
+    assert hs["sum"] > 0 and hs["max"] > 0
+    assert hs["p50"] <= hs["p95"] <= hs["p99"]

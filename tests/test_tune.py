@@ -38,6 +38,7 @@ def test_tune_xla_sweep_picks_best():
         )
     assert best["streams_per_chip"] == max(r["streams_per_chip"] for r in ok)
     assert report["protocol"]["estimator"].startswith("min-of-visits")
+    assert report["protocol"]["transport_floor_seconds"] > 0
 
 
 def test_tune_skips_indivisible_groups():

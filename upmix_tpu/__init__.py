@@ -19,6 +19,10 @@ Public surface:
   - aot: jax.export deployment artifacts — freeze a config-specialized
     offline pipeline or streaming step to a version-stable file a serving
     host loads without re-tracing
+  - serve_stream: multi-client TCP stream server (StreamServer,
+    stream_client, fetch_metrics) with checkpoint/resume + metrics
+  - metrics: serving observability (latency histograms, Prometheus text)
+  - tune: on-device serving-pool autotuner (tune_pool)
 """
 
 from upmix_tpu.config import (

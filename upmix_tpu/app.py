@@ -433,7 +433,8 @@ def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
     other pipeline flags are process-wide (**offline_kwargs), keeping the
     compile cache effective.  {"cmd": "ping"} answers {"ok": true,
     "pong": true} (a readiness probe); {"cmd": "stats"} reports job and
-    cache counters.  A failing job reports {"ok": false, "error": ...}
+    cache counters plus completed-job wall-time percentiles
+    (p50/p95/p99 via upmix_tpu.metrics.LatencyHistogram).  A failing job reports {"ok": false, "error": ...}
     on its own line; the server keeps going.
 
     Returns (n_ok, n_failed).  The warm caches are bounded: at most 8
@@ -457,7 +458,10 @@ def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
                 self.move_to_end(key)
             return super().get(key, default)
 
+    from upmix_tpu.metrics import LatencyHistogram
+
     cache: OrderedDict = _LruDict()
+    job_hist = LatencyHistogram()  # completed-job wall time
     n_ok = 0
     n_fail = 0
     for line in src:
@@ -472,6 +476,7 @@ def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
             if job.get("cmd") == "ping":
                 resp = {"ok": True, "pong": True}
             elif job.get("cmd") == "stats":
+                hs = job_hist.snapshot()
                 resp = {
                     "ok": True,
                     "n_ok": n_ok,
@@ -480,6 +485,13 @@ def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
                     "programs_cached": sum(
                         len(u._cache) for u in cache.values()
                     ),
+                    # Wall-time distribution of COMPLETED jobs (the
+                    # cold-compile first job dominates max; p50/p95 are
+                    # the warm serving latencies an operator watches).
+                    "job_seconds": {
+                        k: hs[k]
+                        for k in ("count", "sum", "max", "p50", "p95", "p99")
+                    },
                 }
             else:
                 unknown = set(job) - {"in", "out_dir", "export_mode"}
@@ -509,6 +521,7 @@ def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
                     "audio_seconds": round(result.audio_seconds, 3),
                     "wall_s": round(_time.perf_counter() - t0, 3),
                 }
+                job_hist.record(_time.perf_counter() - t0)
                 n_ok += 1
         except Exception as exc:  # job isolation: the server survives
             n_fail += 1
