@@ -249,3 +249,34 @@ def test_cli_save_aot_requires_sr_and_dash(tmp_path):
                 "8000",
             ]
         )
+
+
+def test_cli_fetch_metrics(capsys):
+    # --fetch-metrics is a pure network client: query a live stream
+    # server's metrics in JSON and Prometheus form through the CLI.
+    import json
+
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.streaming import BatchStreamingUpmixer
+    from upmix_tpu.serve_stream import StreamServer
+
+    cfg = UpmixConfig.streaming([0.0, 400.0, 1600.0], sr=8000.0,
+                                hw_block_size=256)
+    pool = BatchStreamingUpmixer(cfg, 256, n_streams=2)
+    with StreamServer(pool, lockstep=True) as srv:
+        addr = f"{srv.address[0]}:{srv.address[1]}"
+        assert main(["-", "--fetch-metrics", addr]) == 0
+        snap = json.loads(capsys.readouterr().out)
+        assert snap["config"]["n_slots"] == 2
+        assert main(["-", "--fetch-metrics", addr, "--prometheus"]) == 0
+        assert "upmix_blocks_total" in capsys.readouterr().out
+
+
+def test_cli_fetch_metrics_validation(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["-", "--fetch-metrics", "nonsense"])  # no port
+    with pytest.raises(SystemExit):
+        main(["-", "--prometheus"])  # requires --fetch-metrics
+    # Dead port: connection error surfaces as a clean CLI error.
+    with pytest.raises(SystemExit):
+        main(["-", "--fetch-metrics", "127.0.0.1:9"])

@@ -299,6 +299,20 @@ def build_parser() -> argparse.ArgumentParser:
         "rate must match the server's",
     )
     p.add_argument(
+        "--fetch-metrics",
+        default=None,
+        metavar="HOST:PORT",
+        help="print a running `--serve-stream` server's metrics snapshot "
+        "and exit (no TPU or JAX work; JSON by default, Prometheus text "
+        "with --prometheus)",
+    )
+    p.add_argument(
+        "--prometheus",
+        action="store_true",
+        help="with --fetch-metrics: print the Prometheus text exposition "
+        "instead of JSON",
+    )
+    p.add_argument(
         "--meter",
         action="store_true",
         help="print the realtime factor (audio-sec per wall-sec) after each file",
@@ -340,6 +354,31 @@ def main(argv=None) -> int:
 
     import time
 
+    if args.fetch_metrics is not None:
+        host, _, port_s = args.fetch_metrics.rpartition(":")
+        try:
+            port = int(port_s)
+        except ValueError:
+            port = -1
+        if not host or not 0 < port < 65536:
+            raise SystemExit(
+                "error: --fetch-metrics expects HOST:PORT, got "
+                f"{args.fetch_metrics!r}"
+            )
+        import json as _json
+
+        from upmix_tpu.serve_stream import fetch_metrics
+
+        try:
+            if args.prometheus:
+                print(fetch_metrics(host, port, fmt="prometheus"), end="")
+            else:
+                print(_json.dumps(fetch_metrics(host, port)))
+        except (OSError, ConnectionError) as exc:
+            raise SystemExit(f"error: {host}:{port}: {exc}")
+        return 0
+    if args.prometheus:
+        raise SystemExit("error: --prometheus requires --fetch-metrics")
     if args.connect is not None:
         # Network-client mode: no local JAX/TPU work — the files stream
         # through a remote --serve-stream server block by block.
