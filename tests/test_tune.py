@@ -89,3 +89,46 @@ def test_tune_cli_json(capsys):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     report = json.loads(line)
     assert report["best"]["batch"] == 2
+
+
+def test_tune_xla_one_candidate_per_batch():
+    # group is a pallas-only knob: --engine xla with 3 group values must
+    # NOT time the same pool three times under G-labels.
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(2,), groups=(2, 4, 8), engine="xla",
+        blocks=1, visits=1, verbose=False,
+    )
+    assert len(report["results"]) == 1
+    (rec,) = report["results"]
+    assert rec["ok"] and rec["group"] is None and "/G" not in rec["label"]
+
+
+def test_tune_auto_dedupes_groupless_resolution():
+    # engine='auto' on the CPU backend resolves to the XLA pool, which
+    # ignores group — only the first group per batch is timed; the rest
+    # are recorded as duplicates, not measured again.
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(2,), groups=(1, 2), engine="auto",
+        blocks=1, visits=1, verbose=False,
+    )
+    ok = [r for r in report["results"] if r["ok"]]
+    dup = [r for r in report["results"] if r["error"]
+           and "duplicate" in r["error"]]
+    assert len(ok) == 1 and len(dup) == 1
+
+
+def test_tune_cli_json_exit_code_on_total_failure(capsys):
+    import json
+
+    from upmix_tpu.tune import main
+
+    # batch 4 indivisible by group 3 -> no candidates at all; the
+    # scripted (--json) path must exit nonzero like the human path.
+    rc = main([
+        "--sr", str(SR), "--hw-block", str(HW),
+        "--edges", "0,400,1600", "--batches", "4", "--groups", "3",
+        "--engine", "pallas", "--blocks", "1", "--visits", "1", "--json",
+    ])
+    assert rc == 1
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line)["best"] is None

@@ -54,27 +54,40 @@ class LatencyHistogram:
             if s > self._max:
                 self._max = s
 
+    def _quantile_from(self, counts, n, smax, q: float) -> float:
+        """Upper-bound q-quantile from an already-captured counts
+        vector (the first bucket boundary whose cumulative count
+        reaches q·N) — the same estimator Prometheus's
+        histogram_quantile uses, minus the within-bucket
+        interpolation.  Returns 0.0 when empty."""
+        if n == 0:
+            return 0.0
+        target = q * n
+        cum = 0
+        for i, c in enumerate(counts):
+            cum += c
+            if cum >= target:
+                return self.bounds[i] if i < len(self.bounds) else smax
+        return smax
+
     def quantile(self, q: float) -> float:
-        """Upper-bound estimate of the q-quantile (the first bucket
-        boundary whose cumulative count reaches q·N) — the same
-        estimator Prometheus's histogram_quantile uses, minus the
-        within-bucket interpolation.  Returns 0.0 when empty."""
         with self._lock:
-            n = self._count
-            if n == 0:
-                return 0.0
-            target = q * n
-            cum = 0
-            for i, c in enumerate(self._counts):
-                cum += c
-                if cum >= target:
-                    return self.bounds[i] if i < len(self.bounds) else self._max
-            return self._max
+            return self._quantile_from(self._counts, self._count,
+                                       self._max, q)
 
     def snapshot(self) -> dict:
+        # One lock acquisition captures counts AND quantiles: a record()
+        # landing between a counts copy and a later quantile() call
+        # would make p50/p95/p99 inconsistent with count/buckets in the
+        # same snapshot.
         with self._lock:
             counts = list(self._counts)
             total, ssum, smax = self._count, self._sum, self._max
+            quantiles = {
+                f"p{int(q * 100)}": self._quantile_from(counts, total,
+                                                        smax, q)
+                for q in (0.5, 0.95, 0.99)
+            }
         cum = 0
         buckets = []
         for b, c in zip(self.bounds, counts):
@@ -86,8 +99,7 @@ class LatencyHistogram:
             "max": smax,
             "buckets": buckets,  # cumulative, Prometheus 'le' semantics
         }
-        for q in (0.5, 0.95, 0.99):
-            snap[f"p{int(q * 100)}"] = self.quantile(q)
+        snap.update(quantiles)
         return snap
 
 

@@ -492,6 +492,7 @@ class PallasStreamPool:
         self.config = config
         self.hw_block_size = hw = int(hw_block_size)
         self.n_streams = int(n_streams)
+        self.group = int(group)
         self.mesh = mesh
         self.warmup_blocks = stream_warmup_blocks(config)
         if layout not in ("window", "quarters"):

@@ -484,6 +484,11 @@ class StreamServer:
             slot.gen += 1
             for blk in rec["blocks"]:
                 slot.inq.put_nowait(np.asarray(blk, np.float32))
+            # Session counters are incremented under _lock (dict += is
+            # a non-atomic read-modify-write; concurrent handshakes
+            # would lose increments).
+            self.stats["resumed"] += 1
+            self.stats["accepted"] += 1
         self._wake.set()
         return idx, slot
 
@@ -520,6 +525,7 @@ class StreamServer:
                     s.skip = (self.pool.warmup_blocks - 1) * self.hw
                     s.gen += 1
                     s.token = os.urandom(_TOKEN_LEN)
+                    self.stats["accepted"] += 1
                     return i, s
         return None, None
 
@@ -581,9 +587,9 @@ class StreamServer:
                 idx, slot = self._resume_slot(token, mix)
                 if slot is None:
                     self._reply(conn, version, 3)
-                    self.stats["rejected"] += 1
+                    with self._lock:
+                        self.stats["rejected"] += 1
                     return
-                self.stats["resumed"] += 1
             else:
                 # Slot claim + pool-row zeroing are ONE atomic step
                 # under _pool_lock: a checkpoint interleaving between
@@ -599,11 +605,11 @@ class StreamServer:
                         self.pool.reset_streams([idx])
                 if slot is None:
                     self._reply(conn, version, 1)
-                    self.stats["rejected"] += 1
+                    with self._lock:
+                        self.stats["rejected"] += 1
                     return
             out_ch = 3 if MIX_MODES[mix] == "lcr" else 2
             self._reply(conn, version, 0, idx, out_ch, slot)
-            self.stats["accepted"] += 1
 
             writer = threading.Thread(
                 target=self._writer_loop, args=(conn, slot.outq),

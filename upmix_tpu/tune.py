@@ -95,17 +95,25 @@ def tune_pool(
 
     candidates = []
     for b in batch_sizes:
-        for g in groups:
-            if engine == "pallas" and int(b) % int(g) != 0:
-                continue  # pool constraint: stream count divides by group
-            candidates.append({"batch": int(b), "group": int(g),
-                               "engine": engine})
-        if include_xla:
+        if engine == "xla":
+            # group is a pallas-only knob: one candidate per batch,
+            # not one per group value (they'd be the same pool thrice,
+            # mislabeled .../G8, .../G16, .../G32).
+            candidates.append({"batch": int(b), "group": None,
+                               "engine": "xla"})
+        else:
+            for g in groups:
+                if int(b) % int(g) != 0:
+                    continue  # pool constraint: streams divide by group
+                candidates.append({"batch": int(b), "group": int(g),
+                                   "engine": engine})
+        if include_xla and engine != "xla":
             candidates.append({"batch": int(b), "group": None,
                                "engine": "xla"})
 
     built = []
     results = []
+    seen_groupless = set()  # 'auto' resolving to XLA ignores group
     for cand in candidates:
         label = (f"{cand['engine']}/B{cand['batch']}" +
                  (f"/G{cand['group']}" if cand["group"] else ""))
@@ -117,6 +125,15 @@ def tune_pool(
                 config, hw_block, cand["batch"], cand["engine"],
                 cand["group"] or 16, layout, ola,
             )
+            if not hasattr(pool, "group"):
+                # engine='auto' resolved to the XLA pool: group is
+                # meaningless, so time only one candidate per batch.
+                key = (cand["batch"], type(pool).__name__)
+                if key in seen_groupless:
+                    rec["error"] = "duplicate: resolved engine ignores group"
+                    results.append(rec)
+                    continue
+                seen_groupless.add(key)
             zl = np.zeros((cand["batch"], hw_block), np.float32)
             # Warm: trigger compile + first-dispatch costs off the clock.
             pool.push_blocks(zl, zl)
@@ -257,8 +274,9 @@ def main(argv=None):
         print(json.dumps(report))
     elif report["best"] is None:
         print("tune: no candidate compiled", flush=True)
-        return 1
-    return 0
+    # A sweep where every candidate failed is a failure regardless of
+    # the output format — scripted (--json) runs must see exit 1 too.
+    return 0 if report["best"] is not None else 1
 
 
 if __name__ == "__main__":
