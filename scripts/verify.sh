@@ -5,9 +5,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== native build (lib + standalone binary) =="
+echo "== native build (lib + standalone binary + TSan race gate) =="
 make -C native
 make -C native cli
+make -C native tsan
 
 echo "== test suite (CPU backend, 8-device virtual mesh) =="
 python -m pytest tests/ -q

@@ -225,13 +225,21 @@ def test_native_pool_under_tsan():
 
     root = os.path.join(os.path.dirname(__file__), "..")
     tsan_lib = os.path.join(root, "native", "libupmix_host_tsan.so")
-    if not os.path.exists(tsan_lib):
-        pytest.skip("TSan build not present (make -C native tsan)")
     pre = subprocess.run(
         ["g++", "-print-file-name=libtsan.so"], capture_output=True, text=True
     ).stdout.strip()
     if not pre or not os.path.exists(pre):
         pytest.skip("libtsan not found")
+    if not os.path.exists(tsan_lib):
+        # Build on demand like the main lib (module-level fixture above):
+        # the race gate must actually RUN in the default suite, not
+        # green-light because nobody typed `make -C native tsan`.
+        subprocess.run(
+            ["make", "-C", os.path.join(root, "native"), "tsan"],
+            capture_output=True,
+        )
+    if not os.path.exists(tsan_lib):
+        pytest.skip("TSan build failed (make -C native tsan)")
     code = """
 import sys
 sys.path.insert(0, %r)
