@@ -256,3 +256,79 @@ print("DIST_OK")
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "DIST_OK" in out.stdout
+
+
+# -- production geometry (VERDICT round-3 item 1) ------------------------
+# The default 44.1 kHz config's largest bucket is a 65536-sample block
+# with a 49,152-sample halo (block - hop at 75% overlap) — by far the
+# largest communication footprint the framework ships.  These tests run
+# that real geometry (not a scaled-down stand-in) through the 8-way
+# virtual mesh.
+
+
+def _prod_cfg():
+    # Reference defaults: main.py:62-73 edges, max_block_size 2^16 ->
+    # blocks 65536/65536/16384/4096/1024/256 (SURVEY.md §4 goldens).
+    return UpmixConfig.make(
+        [0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0], sr=44100.0
+    )
+
+
+def test_production_geometry_plan():
+    cfg = _prod_cfg()
+    plan = sequence_plan(cfg, 2**17, 8)
+    assert plan.halo == 65536 - 16384 == 49152
+    # chunk is padded up to the bucket lcm (65536), so the halo NEVER
+    # exceeds a shard's local chunk even when the input is far shorter
+    # than n_seq * halo — the degenerate split the geometry rules out.
+    assert plan.chunk == 65536 >= plan.halo
+    assert plan.n_padded == 8 * 65536
+    tiny = sequence_plan(cfg, 1000, 8)
+    assert tiny.chunk >= tiny.halo
+
+
+def test_production_geometry_seq8_parity_vs_oracle():
+    cfg = _prod_cfg()
+    mesh = make_mesh({"seq": 8})
+    su = ShardedUpmixer(cfg, mesh)
+    L, R = make_stereo(2**17, cfg.sr, seed=3)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    got = su.process(L32, R32)
+    for name, r, g in zip("C Ls Rs".split(), ref, got):
+        s = snr_db(r, np.asarray(g))
+        assert s > 60.0, f"{name}: {s:.1f} dB"
+
+
+def test_production_geometry_short_input_padding():
+    # Input much shorter than n_seq * halo: most shards see pure padding
+    # and the halo spans multiple shards' worth of real signal — the
+    # exchange must still reconstruct.
+    cfg = _prod_cfg()
+    mesh = make_mesh({"seq": 8})
+    su = ShardedUpmixer(cfg, mesh)
+    n = 70000  # > one block (65536) so the big bucket produces signal
+    L, R = make_stereo(n, cfg.sr, seed=4)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    got = su.process(L32, R32)
+    for name, r, g in zip("C Ls Rs".split(), ref, got):
+        s = snr_db(r, np.asarray(g))
+        assert s > 60.0, f"{name}: {s:.1f} dB"
+
+
+def test_production_geometry_dp_sp_mm_kernel():
+    # data x seq mesh with the matmul-transform kernels (the TPU path's
+    # program structure, pallas interpreted off) at full geometry.
+    cfg = _prod_cfg()
+    mesh = make_mesh({"data": 2, "seq": 4})
+    su = ShardedUpmixer(cfg, mesh, kernel="mm", use_pallas=False)
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((2, 2, 2**17)) * 0.3).astype(np.float32)
+    y = np.asarray(su.process_batch(x))
+    assert y.shape == (2, 3, 2**17)
+    for b in range(2):
+        ref = oracle_multiband(x[b, 0], x[b, 1], cfg)
+        for ch in range(3):
+            s = snr_db(ref[ch], y[b, ch])
+            assert s > 60.0, f"batch {b} ch {ch}: {s:.1f} dB"
