@@ -55,11 +55,20 @@ constexpr int kMaxBands = 8;  // reference MAX_BANDS clamp (upmix.cpp:444-445)
 // FFT: iterative radix-2 complex FFT for power-of-two sizes.
 // ---------------------------------------------------------------------------
 
-struct Fft {
+// Templated on the scalar type: FftT<double> is the parity engine
+// (bit-exact with the original radix-2 double path was NOT required —
+// the oracle bar is SNR); FftT<float> is the fast mode (half the memory
+// traffic, twice the SIMD width).  Stages are fused in pairs into
+// radix-4 butterflies ("radix-2^2": two DIT radix-2 stages on
+// bit-reversed input collapse into one 4-point pass; the second stage's
+// odd twiddle W^(k+m) = -i * W^k), halving the number of passes over
+// the data.
+template <typename T>
+struct FftT {
   int n = 0;
-  std::vector<int> rev;        // bit-reversal permutation
-  std::vector<double> tw_re;   // stage twiddles, packed
-  std::vector<double> tw_im;
+  std::vector<int> rev;   // bit-reversal permutation
+  std::vector<T> tw_re;   // packed twiddles W_n^k, k < n/2
+  std::vector<T> tw_im;
 
   void init(int size) {
     n = size;
@@ -72,17 +81,17 @@ struct Fft {
         if (i & (1 << b)) r |= 1 << (log2n - 1 - b);
       rev[i] = r;
     }
-    tw_re.assign(n / 2, 0.0);
-    tw_im.assign(n / 2, 0.0);
+    tw_re.assign(n / 2, T(0));
+    tw_im.assign(n / 2, T(0));
     for (int k = 0; k < n / 2; ++k) {
       double a = -2.0 * M_PI * k / n;
-      tw_re[k] = std::cos(a);
-      tw_im[k] = std::sin(a);
+      tw_re[k] = (T)std::cos(a);
+      tw_im[k] = (T)std::sin(a);
     }
   }
 
   // In-place forward transform (sign -1).  For inverse, conjugate in/out.
-  void forward(double* re, double* im) const {
+  void forward(T* re, T* im) const {
     for (int i = 0; i < n; ++i) {
       int j = rev[i];
       if (j > i) {
@@ -90,34 +99,72 @@ struct Fft {
         std::swap(im[i], im[j]);
       }
     }
-    for (int len = 2; len <= n; len <<= 1) {
-      int half = len >> 1;
-      int step = n / len;
-      for (int i = 0; i < n; i += len) {
-        for (int k = 0; k < half; ++k) {
-          double wr = tw_re[k * step], wi = tw_im[k * step];
-          int a = i + k, b = i + k + half;
-          double xr = re[b] * wr - im[b] * wi;
-          double xi = re[b] * wi + im[b] * wr;
-          re[b] = re[a] - xr;
-          im[b] = im[a] - xi;
-          re[a] += xr;
-          im[a] += xi;
+    int log2n = 0;
+    while ((1 << log2n) < n) ++log2n;
+    int len = 2;
+    if (log2n & 1) {
+      // Odd stage count: one plain radix-2 stage (twiddle 1), the rest
+      // fuse in pairs below.
+      for (int i = 0; i < n; i += 2) {
+        T xr = re[i + 1], xi = im[i + 1];
+        re[i + 1] = re[i] - xr;
+        im[i + 1] = im[i] - xi;
+        re[i] += xr;
+        im[i] += xi;
+      }
+      len = 4;
+    }
+    // Fused pass for the stage pair (len, 2*len): radix-4 butterflies on
+    // x0 = x[i+k], x1 = x[i+k+m], x2 = x[i+k+2m], x3 = x[i+k+3m] with
+    // m = len/2, w1 = W^(2k*step), w2 = W^(k*step), step = n/(2*len).
+    for (; len <= n / 2; len <<= 2) {
+      int m = len >> 1;
+      int step = n / (2 * len);
+      for (int i = 0; i < n; i += 2 * len) {
+        for (int k = 0; k < m; ++k) {
+          T w1r = tw_re[2 * k * step], w1i = tw_im[2 * k * step];
+          T w2r = tw_re[k * step], w2i = tw_im[k * step];
+          int a = i + k, b = a + m, c = a + 2 * m, d = a + 3 * m;
+          // stage 1 (len): (x0, x1) and (x2, x3), both with w1
+          T tr = re[b] * w1r - im[b] * w1i;
+          T ti = re[b] * w1i + im[b] * w1r;
+          T y0r = re[a] + tr, y0i = im[a] + ti;
+          T y1r = re[a] - tr, y1i = im[a] - ti;
+          T ur = re[d] * w1r - im[d] * w1i;
+          T ui = re[d] * w1i + im[d] * w1r;
+          T y2r = re[c] + ur, y2i = im[c] + ui;
+          T y3r = re[c] - ur, y3i = im[c] - ui;
+          // stage 2 (2*len): (y0, y2) with w2; (y1, y3) with -i*w2
+          T vr = y2r * w2r - y2i * w2i;
+          T vi = y2r * w2i + y2i * w2r;
+          re[a] = y0r + vr; im[a] = y0i + vi;
+          re[c] = y0r - vr; im[c] = y0i - vi;
+          T sr0 = y3r * w2r - y3i * w2i;
+          T si0 = y3r * w2i + y3i * w2r;
+          T sr = si0, si = -sr0;  // multiply by -i
+          re[b] = y1r + sr; im[b] = y1i + si;
+          re[d] = y1r - sr; im[d] = y1i - si;
         }
       }
     }
+    // The initial parity stage guarantees the fused pairs cover every
+    // remaining stage exactly: (len, 2*len) with len = {2 or 4}·4^j up
+    // to (n/2, n).
   }
 
-  void inverse(double* re, double* im) const {
+  void inverse(T* re, T* im) const {
     for (int i = 0; i < n; ++i) im[i] = -im[i];
     forward(re, im);
-    double s = 1.0 / n;
+    T s = T(1) / (T)n;
     for (int i = 0; i < n; ++i) {
       re[i] *= s;
       im[i] *= -s;
     }
   }
 };
+
+using Fft = FftT<double>;
+using FftF = FftT<float>;
 
 // ---------------------------------------------------------------------------
 // Host-side config math (mirrors upmix_tpu/config.py, which mirrors the
@@ -457,21 +504,23 @@ extern "C" {
 // changes; the Python loader refuses libraries with a different value so
 // a stale .so cannot silently drop arguments (e.g. round 2 added the
 // trailing `window` parameter, round 3 `n_threads`).
-int upmix_abi_version() { return 3; }
+int upmix_abi_version() { return 4; }
 
-// xover_mode: 0 = raised_cosine (live-fade), 1 = hard_zero
-// synthesis:  0 = wola, 1 = analysis (C++-reference parity)
-// rounding:   0 = python, 1 = cpp
-// window:     0 = blackman_harris, 1 = sqrt_hann, 2 = hann, 3 = blackman,
-//             4 = hamming, 5 = rect (see make_window)
-// n_threads:  total threads processing bands (main included): 1 = serial,
-//             0 = auto (min(n_bands, hardware_concurrency)).  Band outputs
-//             are summed in band order on the caller's thread, so results
-//             are bit-identical at any thread count.
-void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
-                   int xover_mode, int synthesis, int rounding,
-                   double threshold_multi, double xo_fraction, int window,
-                   int n_threads) {
+}  // extern "C"
+
+namespace {
+
+// Shared engine construction.  win_data/win_off non-null = caller
+// supplies each band's analysis-window coefficients (concatenated
+// float32 + n_win+1 offsets; band i's window must be exactly its block
+// size long) — the custom-window path, reference parity with
+// python-prototype/main.py:65's arbitrary window_func.  Otherwise the
+// window is generated internally from `window` (kind enum).
+void* engine_create(double sr, int hw_block, const double* edges, int n_edges,
+                    int xover_mode, int synthesis, int rounding,
+                    double threshold_multi, double xo_fraction, int window,
+                    const float* win_data, const long long* win_off, int n_win,
+                    int n_threads) {
   if (window < 0 || window > 5) return nullptr;
   if (n_threads < 0) return nullptr;
   if (sr <= 0 || hw_block < 4 || n_edges < 1) return nullptr;
@@ -498,7 +547,14 @@ void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
     b.hop = b.block / 4;  // fixed 75% overlap in the streaming engine
     if (b.hop < 1 || hw_block % b.hop != 0) { delete eng; return nullptr; }
     b.passes = hw_block / b.hop;
-    b.aw = make_window(window, b.block);
+    if (win_data) {
+      if ((int)i >= n_win) { delete eng; return nullptr; }
+      long long a = win_off[i], z = win_off[i + 1];
+      if (z - a != (long long)b.block) { delete eng; return nullptr; }
+      b.aw.assign(win_data + a, win_data + z);
+    } else {
+      b.aw = make_window(window, b.block);
+    }
     b.sw = synthesis == 0 ? design_wola_synthesis(b.aw, b.hop) : b.aw;
     double w_hi = e[i + 1] * xo_fraction;
     b.gain = band_gain_curve(e[i], e[i + 1], sr, b.block, xover_mode,
@@ -555,6 +611,45 @@ void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
   for (int i = 0; i + 1 < n_threads; ++i)
     eng->workers.emplace_back(worker_loop, eng);
   return eng;
+}
+
+}  // namespace
+
+extern "C" {
+
+// xover_mode: 0 = raised_cosine (live-fade), 1 = hard_zero
+// synthesis:  0 = wola, 1 = analysis (C++-reference parity)
+// rounding:   0 = python, 1 = cpp
+// window:     0 = blackman_harris, 1 = sqrt_hann, 2 = hann, 3 = blackman,
+//             4 = hamming, 5 = rect (see make_window)
+// n_threads:  total threads processing bands (main included): 1 = serial,
+//             0 = auto (min(n_bands, hardware_concurrency)).  Band outputs
+//             are summed in band order on the caller's thread, so results
+//             are bit-identical at any thread count.
+void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
+                   int xover_mode, int synthesis, int rounding,
+                   double threshold_multi, double xo_fraction, int window,
+                   int n_threads) {
+  return engine_create(sr, hw_block, edges, n_edges, xover_mode, synthesis,
+                       rounding, threshold_multi, xo_fraction, window,
+                       nullptr, nullptr, 0, n_threads);
+}
+
+// Custom analysis windows: win_data is every band's window concatenated
+// (float32); win_off has n_win+1 entries, band i = win_data[off[i],
+// off[i+1]) and MUST be exactly that band's block size long (the caller
+// derives block sizes from the same chain_bands sizing rule).  n_win
+// must cover every band the edges produce.
+void* upmix_create_custom(double sr, int hw_block, const double* edges,
+                          int n_edges, int xover_mode, int synthesis,
+                          int rounding, double threshold_multi,
+                          double xo_fraction, const float* win_data,
+                          const long long* win_off, int n_win,
+                          int n_threads) {
+  if (!win_data || !win_off || n_win < 1) return nullptr;
+  return engine_create(sr, hw_block, edges, n_edges, xover_mode, synthesis,
+                       rounding, threshold_multi, xo_fraction, 0, win_data,
+                       win_off, n_win, n_threads);
 }
 
 void upmix_destroy(void* h) { delete static_cast<Engine*>(h); }

@@ -55,7 +55,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--window",
         default="blackman_harris",
-        choices=["blackman_harris", "sqrt_hann", "hann", "blackman", "hamming", "rect"],
+        help="analysis window: blackman_harris, sqrt_hann, hann, "
+        "blackman, hamming, rect, or a name registered via "
+        "upmix_tpu.ops.windows.register_window (default blackman_harris)",
+    )
+    p.add_argument(
+        "--window-file",
+        default=None,
+        metavar="FILE",
+        help="load a custom analysis-window VECTOR (.npy, or whitespace-"
+        "separated text) and use it instead of --window; it is linearly "
+        "resampled to each band's block size (reference parity: "
+        "main.py:65 accepts any window_func callable)",
     )
     p.add_argument(
         "--xover-mode",
@@ -341,8 +352,32 @@ def parse_edges(text: str):
     return edges
 
 
+def load_window_file(path: str) -> str:
+    """Load a window vector from FILE (.npy or text) and register it
+    under a content-derived name; returns the name.  Content-derived so
+    two runs with the same file hit the same jit cache entry and a
+    changed file cannot silently reuse a stale compiled program."""
+    import hashlib
+
+    import numpy as np
+
+    from upmix_tpu.ops.windows import is_known_window, register_window_vector
+
+    if path.endswith(".npy"):
+        vec = np.load(path)
+    else:
+        vec = np.loadtxt(path, dtype=np.float64)
+    vec = np.asarray(vec, np.float32).ravel()
+    name = f"file:{hashlib.sha1(vec.tobytes()).hexdigest()[:10]}"
+    if not is_known_window(name):
+        register_window_vector(name, vec)
+    return name
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.window_file is not None:
+        args.window = load_window_file(args.window_file)
     edges = parse_edges(args.band_edges)
     if args.pad_granularity is not None and args.pad_granularity < 1:
         raise SystemExit("error: --pad-granularity must be >= 1")

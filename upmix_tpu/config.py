@@ -109,7 +109,18 @@ class BandSpec:
 
     def __post_init__(self):
         if self.window not in _WINDOW_NAMES:
-            raise ValueError(f"unknown window {self.window!r}; one of {_WINDOW_NAMES}")
+            # Not a built-in: accept user-registered windows (the
+            # runtime registry lives in ops.windows; imported lazily —
+            # ops.windows imports EPS from this module).
+            from upmix_tpu.ops.windows import is_known_window
+
+            if not is_known_window(self.window):
+                from upmix_tpu.ops.windows import window_names
+
+                raise ValueError(
+                    f"unknown window {self.window!r}; one of "
+                    f"{tuple(window_names())}"
+                )
         if self.hop_size < 1:
             # Reference: center_extraction.py:252-254.
             raise ValueError("Overlap too large; hop size < 1 is not allowed.")

@@ -40,7 +40,7 @@ def is_available() -> bool:
         return False
 
 
-_ABI_VERSION = 3  # must match upmix_abi_version() in upmix_host.cpp
+_ABI_VERSION = 4  # must match upmix_abi_version() in upmix_host.cpp
 
 
 def _load():
@@ -70,6 +70,22 @@ def _load():
             ctypes.c_double,  # threshold_multi
             ctypes.c_double,  # xo_fraction
             ctypes.c_int,  # window
+            ctypes.c_int,  # n_threads
+        ]
+        lib.upmix_create_custom.restype = ctypes.c_void_p
+        lib.upmix_create_custom.argtypes = [
+            ctypes.c_double,  # sr
+            ctypes.c_int,  # hw_block
+            ctypes.POINTER(ctypes.c_double),  # edges
+            ctypes.c_int,  # n_edges
+            ctypes.c_int,  # xover_mode
+            ctypes.c_int,  # synthesis
+            ctypes.c_int,  # rounding
+            ctypes.c_double,  # threshold_multi
+            ctypes.c_double,  # xo_fraction
+            _f32p,  # win_data (all bands' windows, concatenated)
+            ctypes.POINTER(ctypes.c_longlong),  # win_off (n_win + 1)
+            ctypes.c_int,  # n_win
             ctypes.c_int,  # n_threads
         ]
         lib.upmix_destroy.argtypes = [ctypes.c_void_p]
@@ -126,21 +142,62 @@ class NativeStreamingUpmixer:
         self._lib = lib
         self.hw_block_size = int(hw_block_size)
         self.sr = float(sr)
-        if window not in _WINDOWS:
-            raise ValueError(f"unknown window {window!r}; one of {sorted(_WINDOWS)}")
-        self._h = lib.upmix_create(
-            ctypes.c_double(self.sr),
-            self.hw_block_size,
-            edges.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            len(edges),
-            _XOVER_MODES[xover_mode],
-            _SYNTHESIS[synthesis],
-            _ROUNDING[bin_rounding],
-            ctypes.c_double(threshold_factor),
-            ctypes.c_double(xo_fraction),
-            _WINDOWS[window],
-            int(n_threads),
-        )
+        if window in _WINDOWS:
+            self._h = lib.upmix_create(
+                ctypes.c_double(self.sr),
+                self.hw_block_size,
+                edges.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                len(edges),
+                _XOVER_MODES[xover_mode],
+                _SYNTHESIS[synthesis],
+                _ROUNDING[bin_rounding],
+                ctypes.c_double(threshold_factor),
+                ctypes.c_double(xo_fraction),
+                _WINDOWS[window],
+                int(n_threads),
+            )
+        else:
+            # Registered custom window (upmix_tpu.ops.windows registry):
+            # generate each band's float32 coefficients in Python — the
+            # SAME vectors the oracle and the JAX kernels bake — and pass
+            # them through the concatenated-windows create.  Band block
+            # sizes come from the same chain_bands sizing rule the C++
+            # engine applies internally (hw*4 cap, 8-band clamp).
+            from upmix_tpu.config import MAX_BANDS_STREAM, chain_bands
+            from upmix_tpu.ops.windows import make_window
+
+            bands = chain_bands(
+                [float(e) for e in edges],
+                overlap=0.75,
+                window=window,  # validates registry membership
+                sr=self.sr,
+                xover_mode=xover_mode,
+                max_block_size=self.hw_block_size * 4,
+                threshold_factor=threshold_factor,
+                xo_fraction=xo_fraction,
+                bin_rounding=bin_rounding,
+            )[:MAX_BANDS_STREAM]
+            vecs = [make_window(window, b.block_size) for b in bands]
+            win_data = np.ascontiguousarray(
+                np.concatenate(vecs), dtype=np.float32
+            )
+            win_off = np.zeros(len(vecs) + 1, dtype=np.int64)
+            win_off[1:] = np.cumsum([len(v) for v in vecs])
+            self._h = lib.upmix_create_custom(
+                ctypes.c_double(self.sr),
+                self.hw_block_size,
+                edges.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                len(edges),
+                _XOVER_MODES[xover_mode],
+                _SYNTHESIS[synthesis],
+                _ROUNDING[bin_rounding],
+                ctypes.c_double(threshold_factor),
+                ctypes.c_double(xo_fraction),
+                _ptr(win_data),
+                win_off.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                len(vecs),
+                int(n_threads),
+            )
         if not self._h:
             raise ValueError(
                 "upmix_create failed (bad sr/hw_block/edges combination)"

@@ -63,12 +63,108 @@ _WINDOWS = {
     "rect": make_rect,
 }
 
+# User-registered windows (reference parity: main.py:65 and
+# center_extraction.py:240-249 accept ANY callable as window_func; this
+# registry is the hashable-config equivalent — the name string flows
+# through BandSpec/UpmixConfig unchanged, so configs stay valid static
+# jit arguments and every kernel path picks the window up through
+# make_window()).
+_CUSTOM: dict = {}
+
+
+def register_window(name: str, fn, overwrite: bool = False) -> str:
+    """Register a custom analysis-window generator under `name`.
+
+    `fn(N) -> array[N]` is called per band with that band's block size
+    (exactly the reference's window_func contract).  The name can then
+    be used anywhere a built-in window name is accepted (UpmixConfig,
+    the CLI's --window, the native engine).  Registration is
+    process-wide; jitted programs cache by config, so redefining a name
+    mid-process requires overwrite=True and fresh model objects.
+    """
+    name = str(name)
+    if name in _WINDOWS:
+        raise ValueError(f"{name!r} is a built-in window name")
+    if name in _CUSTOM and not overwrite:
+        raise ValueError(
+            f"window {name!r} already registered; pass overwrite=True "
+            "(and rebuild any models created with the old definition)"
+        )
+    probe = np.asarray(fn(16), dtype=np.float32)
+    if probe.shape != (16,) or not np.all(np.isfinite(probe)):
+        raise ValueError(
+            f"window fn for {name!r} must return a finite length-N 1-D "
+            f"array; got shape {probe.shape}"
+        )
+    _CUSTOM[name] = fn
+    return name
+
+
+def window_from_vector(vec) -> "callable":
+    """Wrap a fixed window VECTOR as a window generator.
+
+    Bands have different block sizes (dynamic resolution,
+    center_extraction.py:173-197), so a single vector serves them by
+    linear resampling over [0, 1] (endpoints aligned); a band whose
+    block size equals the vector length gets the vector verbatim.
+    The original float32 vector is exposed as `.vector` so the native
+    engine can apply identical semantics.
+    """
+    base = np.asarray(vec, dtype=np.float32).ravel()
+    if base.size < 2:
+        raise ValueError("window vector needs at least 2 samples")
+    if not np.all(np.isfinite(base)):
+        raise ValueError("window vector must be finite")
+
+    def fn(N: int) -> np.ndarray:
+        N = int(N)
+        if N == base.size:
+            return base.copy()
+        x = np.linspace(0.0, 1.0, N)
+        xp = np.linspace(0.0, 1.0, base.size)
+        return np.interp(x, xp, base.astype(np.float64)).astype(np.float32)
+
+    fn.vector = base
+    return fn
+
+
+def register_window_vector(name: str, vec, overwrite: bool = False) -> str:
+    """register_window() for a fixed coefficient vector (resampled per
+    band — see window_from_vector)."""
+    return register_window(name, window_from_vector(vec), overwrite=overwrite)
+
+
+def window_names() -> tuple:
+    """All currently valid window names (built-ins first)."""
+    return tuple(_WINDOWS) + tuple(_CUSTOM)
+
+
+def is_known_window(name: str) -> bool:
+    return name in _WINDOWS or name in _CUSTOM
+
+
+def custom_window_vector(name: str):
+    """The registered vector behind `name` if it was vector-backed
+    (register_window_vector / --window-file), else None.  Lets the
+    native engine reproduce the exact per-band resampling."""
+    fn = _CUSTOM.get(name)
+    return getattr(fn, "vector", None) if fn is not None else None
+
 
 def make_window(name: str, N: int) -> np.ndarray:
-    try:
-        return _WINDOWS[name](N)
-    except KeyError:
-        raise ValueError(f"unknown window {name!r}; one of {sorted(_WINDOWS)}") from None
+    fn = _WINDOWS.get(name) or _CUSTOM.get(name)
+    if fn is None:
+        raise ValueError(
+            f"unknown window {name!r}; one of {sorted(window_names())} "
+            "(register custom windows via upmix_tpu.ops.windows."
+            "register_window)"
+        )
+    w = np.asarray(fn(int(N)), dtype=np.float32)
+    if w.shape != (int(N),):
+        raise ValueError(
+            f"window {name!r} returned shape {w.shape}, expected ({N},)"
+        )
+    return w
 
 
 def design_wola_synthesis_window(analysis_window: np.ndarray, overlap: float) -> np.ndarray:
