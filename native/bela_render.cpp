@@ -39,7 +39,7 @@ extern "C" {
 void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
                    int xover_mode, int synthesis, int rounding,
                    double threshold_multi, double xo_fraction, int window,
-                   int n_threads);
+                   int n_threads, int precision);
 void upmix_destroy(void* h);
 int upmix_process_block(void* h, const float* inL, const float* inR,
                         float* outC, float* outLs, float* outRs);
@@ -60,10 +60,18 @@ std::vector<float> gInL, gInR, gC, gLs, gRs;
 
 bool setup(BelaContext* context, void*) {
   const int hw = (int)context->audioFrames;
+  // Bela: one core, float32 fast mode — the single-core ARM target is
+  // exactly where halving the memory traffic buys real-time headroom
+  // (reference bela/upmix.cpp:516-553 fights for this budget in double).
+  // Override with -DUPMIX_BELA_PRECISION=0 for the double parity mode.
+#ifndef UPMIX_BELA_PRECISION
+#define UPMIX_BELA_PRECISION 1
+#endif
   gEngine = upmix_create(context->audioSampleRate, hw, kEdges, kNumEdges,
                          /*xover_mode=*/0, /*synthesis=*/1, /*rounding=*/1,
                          /*threshold_multi=*/32.0, /*xo_fraction=*/0.25,
-                         /*window=*/0, /*n_threads=*/1);  // Bela: one core
+                         /*window=*/0, /*n_threads=*/1,
+                         /*precision=*/UPMIX_BELA_PRECISION);
   if (!gEngine) return false;
   gInL.assign(hw, 0.0f);
   gInR.assign(hw, 0.0f);

@@ -23,7 +23,7 @@ extern "C" {
 void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
                    int xover_mode, int synthesis, int rounding,
                    double threshold_multi, double xo_fraction, int window,
-                   int n_threads);
+                   int n_threads, int precision);
 void upmix_destroy(void* h);
 int upmix_latency_blocks(void* h);
 int upmix_process_block(void* h, const float* inL, const float* inR,
@@ -50,6 +50,7 @@ int usage(const char* argv0) {
       "          [--xover raised_cosine|hard_zero] [--window bh|sqrt_hann|"
       "hann|blackman|hamming|rect]\n"
       "          [--synthesis analysis|wola] [--rounding cpp|python]\n"
+      "          [--precision double|float]\n"
       "raw float32 interleaved stereo: stdin -> stdout\n",
       argv0);
   return 2;
@@ -87,6 +88,7 @@ int main(int argc, char** argv) {
   std::string mix = "stereo_sum";
   std::vector<double> edges = {0.0, 500.0, 2000.0, 8000.0};
   int xover = 0, synthesis = 1, rounding = 1, window = 0;  // pipe defaults
+  int precision = 0;  // double = parity mode; float = fast mode
 
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
@@ -127,6 +129,11 @@ int main(int argc, char** argv) {
       if (v == "python") rounding = 0;
       else if (v == "cpp") rounding = 1;
       else { std::fprintf(stderr, "unknown --rounding %s\n", v.c_str()); return 2; }
+    } else if (a == "--precision") {
+      std::string v = next("--precision");
+      if (v == "double") precision = 0;
+      else if (v == "float") precision = 1;
+      else { std::fprintf(stderr, "unknown --precision %s\n", v.c_str()); return 2; }
     } else if (a == "--window") {
       std::string w = next("--window");
       if (w == "bh" || w == "blackman_harris") window = 0;
@@ -144,7 +151,8 @@ int main(int argc, char** argv) {
   if (mix != "stereo_sum" && mix != "lcr") return usage(argv[0]);
 
   void* h = upmix_create(sr, hw, edges.data(), (int)edges.size(), xover,
-                         synthesis, rounding, 32.0, 0.25, window, n_threads);
+                         synthesis, rounding, 32.0, 0.25, window, n_threads,
+                         precision);
   if (!h) {
     std::fprintf(stderr, "upmix_create failed (bad sr/hw/edges)\n");
     return 1;

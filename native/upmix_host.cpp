@@ -40,6 +40,7 @@
 #include <cstdint>
 #include <cstring>
 #include <fenv.h>
+#include <memory>
 #include <mutex>
 #include <new>
 #include <thread>
@@ -69,6 +70,12 @@ struct FftT {
   std::vector<int> rev;   // bit-reversal permutation
   std::vector<T> tw_re;   // packed twiddles W_n^k, k < n/2
   std::vector<T> tw_im;
+  // Half-size plan chain for inverse_real (real-output inverse via one
+  // n/2-point complex inverse).  Measured negative alternative (do not
+  // retry): per-stage CONTIGUOUS twiddle tables to help the
+  // auto-vectorizer — interleaved A/B showed a wash on double and -3%
+  // on float; the butterflies are memory-pass-bound, not gather-bound.
+  std::unique_ptr<FftT<T>> half;
 
   void init(int size) {
     n = size;
@@ -87,6 +94,10 @@ struct FftT {
       double a = -2.0 * M_PI * k / n;
       tw_re[k] = (T)std::cos(a);
       tw_im[k] = (T)std::sin(a);
+    }
+    if (n >= 4) {
+      half.reset(new FftT<T>());
+      half->init(n / 2);
     }
   }
 
@@ -159,6 +170,36 @@ struct FftT {
     for (int i = 0; i < n; ++i) {
       re[i] *= s;
       im[i] *= -s;
+    }
+  }
+
+  // Real-output inverse from a conjugate-symmetric half-spectrum
+  // (Sre/Sim hold n/2+1 bins) via ONE n/2-point complex inverse — the
+  // classic irfft decimation: Z[k] = Ze[k] + i·W^{-k}·Zo[k] packs the
+  // even/odd sample streams into one half-length transform, so a lone
+  // real signal (the Rs channel) costs the same per-sample as the two
+  // channels sharing the packed complex inverse.  zre/zim are n/2
+  // scratch; out receives n real samples.
+  void inverse_real(const T* Sre, const T* Sim, T* zre, T* zim,
+                    T* out) const {
+    int h = n / 2;
+    for (int k = 0; k < h; ++k) {
+      int kc = h - k;
+      T xr = Sre[k], xi = Sim[k];
+      T yr = Sre[kc], yi = -Sim[kc];
+      T er = T(0.5) * (xr + yr), ei = T(0.5) * (xi + yi);
+      T dr = T(0.5) * (xr - yr), di = T(0.5) * (xi - yi);
+      // Zo = conj(W^k)·D with W^k = e^{-2πik/n} from the twiddle table.
+      T wr = tw_re[k], wi = tw_im[k];
+      T zor = wr * dr + wi * di;
+      T zoi = wr * di - wi * dr;
+      zre[k] = er - zoi;
+      zim[k] = ei + zor;
+    }
+    half->inverse(zre, zim);
+    for (int m = 0; m < h; ++m) {
+      out[2 * m] = zre[m];
+      out[2 * m + 1] = zim[m];
     }
   }
 };
@@ -321,10 +362,11 @@ std::vector<double> band_gain_curve(double f_low, double f_high, double sr,
 // worker pool needs no locking around the DSP); the serial engine shares
 // ONE max-block-sized instance across all bands — the pre-pool memory
 // footprint.
-struct Scratch {
-  std::vector<double> zre, zim, wre, wim;
+template <typename T>
+struct ScratchT {
+  std::vector<T> zre, zim, wre, wim;
   // spectra scratch per pass: L/R/C/Ls/Rs half-spectra
-  std::vector<double> sLre, sLim, sRre, sRim, sCre, sCim, sSre, sSim,
+  std::vector<T> sLre, sLim, sRre, sRim, sCre, sCim, sSre, sSim,
       sTre, sTim;
 
   void alloc(int block) {
@@ -336,13 +378,19 @@ struct Scratch {
   }
 };
 
+using Scratch = ScratchT<double>;
+using ScratchF = ScratchT<float>;
+
 struct Band {
   int block = 0, hop = 0, passes = 0;
   std::vector<float> aw, sw;
   std::vector<double> gain;        // [block/2 + 1]
+  std::vector<float> gainf;        // float copy (fast mode)
   std::vector<float> accum;        // OLA accumulators [3][block] flattened
   Fft* fft = nullptr;              // shared per block size (read-only plan)
+  FftF* fftf = nullptr;            // float-precision plan (fast mode)
   Scratch* sc = nullptr;           // own in pooled mode, shared in serial
+  ScratchF* scf = nullptr;         // float scratch (fast mode)
 
   // per-hw-block output buffers (summed by the main thread, in band order)
   std::vector<float> blkC, blkLs, blkRs;
@@ -358,7 +406,9 @@ struct Engine {
   std::vector<float> histL, histR;  // shared input history, newest at tail
   std::vector<Band> bands;
   std::vector<Fft> ffts;            // one per distinct block size
+  std::vector<FftF> fftfs;          // float plans (fast mode)
   std::vector<Scratch> scratches;   // per band (pooled) or one shared (serial)
+  std::vector<ScratchF> scratchesf; // float scratch (fast mode)
 
   // Worker pool (band task parallelism).  Protocol: the main thread
   // publishes `next = 0, remaining = n` under the mutex and wakes the
@@ -405,71 +455,77 @@ void worker_loop(Engine* e) {
 // One pass of one band: read history window at offset, produce hop samples
 // of (C, Ls, Rs) into out[3][hop] (float32, matching oracle numerics).
 // Touches only band-owned scratch (and the engine's read-only history).
-void band_pass(Engine& e, Band& b, int offset, float* outC, float* outLs,
-               float* outRs) {
+// Templated on the working precision: T=double is the parity mode
+// (oracle's float64 spectra); T=float is the fast mode — half the memory
+// traffic and twice the SIMD width through the FFTs and the mask, still
+// comfortably >60 dB vs the oracle (the output is float32 either way).
+template <typename T>
+void band_pass_impl(Engine& e, Band& b, ScratchT<T>& sc, const FftT<T>& fft,
+                    const T* gain, int offset, float* outC, float* outLs,
+                    float* outRs) {
   int B = b.block, H = b.hop, NB = B / 2 + 1;
+  const T eps = (T)kEps;
 
   // Packed forward FFT: z = wL + i*wR.
   for (int i = 0; i < B; ++i) {
     float l = e.histL[offset + i] * b.aw[i];
     float r = e.histR[offset + i] * b.aw[i];
-    b.sc->zre[i] = (double)l;
-    b.sc->zim[i] = (double)r;
+    sc.zre[i] = (T)l;
+    sc.zim[i] = (T)r;
   }
-  b.fft->forward(b.sc->zre.data(), b.sc->zim.data());
+  fft.forward(sc.zre.data(), sc.zim.data());
   // Unpack: L[k] = (Z[k] + conj(Z[N-k]))/2; R[k] = (Z[k] - conj(Z[N-k]))/2i
   for (int k = 0; k < NB; ++k) {
     int kc = (B - k) & (B - 1);
-    double ar = b.sc->zre[k], ai = b.sc->zim[k];
-    double br = b.sc->zre[kc], bi = -b.sc->zim[kc];
-    double lre = 0.5 * (ar + br), lim = 0.5 * (ai + bi);
-    double rre = 0.5 * (ai - bi), rim = -0.5 * (ar - br);
-    double g = b.gain[k];
-    b.sc->sLre[k] = lre * g; b.sc->sLim[k] = lim * g;
-    b.sc->sRre[k] = rre * g; b.sc->sRim[k] = rim * g;
+    T ar = sc.zre[k], ai = sc.zim[k];
+    T br = sc.zre[kc], bi = -sc.zim[kc];
+    T lre = T(0.5) * (ar + br), lim = T(0.5) * (ai + bi);
+    T rre = T(0.5) * (ai - bi), rim = T(-0.5) * (ar - br);
+    T g = gain[k];
+    sc.sLre[k] = lre * g; sc.sLim[k] = lim * g;
+    sc.sRre[k] = rre * g; sc.sRim[k] = rim * g;
   }
 
-  // Center-extraction mask (reference math, double precision like the
-  // oracle's float64 spectra).
+  // Center-extraction mask (reference math; T=double matches the
+  // oracle's float64 spectra exactly, T=float holds >60 dB).
   for (int k = 0; k < NB; ++k) {
-    double lre = b.sc->sLre[k], lim = b.sc->sLim[k];
-    double rre = b.sc->sRre[k], rim = b.sc->sRim[k];
-    double magl = std::sqrt(lre * lre + lim * lim);
-    double magr = std::sqrt(rre * rre + rim * rim);
-    double cross = magl * magr;  // |L * conj(R)| == |L||R|
-    double coh = cross / (cross + kEps);
-    double bal = (magl - magr) / (magl + magr + kEps);
-    double f = 0.5 * coh * (1.0 - std::fabs(bal));
-    double cre = f * (lre + rre), cim = f * (lim + rim);
-    b.sc->sCre[k] = cre; b.sc->sCim[k] = cim;
-    b.sc->sSre[k] = lre - cre; b.sc->sSim[k] = lim - cim;   // Ls
-    b.sc->sTre[k] = rre - cre; b.sc->sTim[k] = rim - cim;   // Rs
+    T lre = sc.sLre[k], lim = sc.sLim[k];
+    T rre = sc.sRre[k], rim = sc.sRim[k];
+    T magl = std::sqrt(lre * lre + lim * lim);
+    T magr = std::sqrt(rre * rre + rim * rim);
+    T cross = magl * magr;  // |L * conj(R)| == |L||R|
+    T coh = cross / (cross + eps);
+    T bal = (magl - magr) / (magl + magr + eps);
+    T f = T(0.5) * coh * (T(1) - std::fabs(bal));
+    T cre = f * (lre + rre), cim = f * (lim + rim);
+    sc.sCre[k] = cre; sc.sCim[k] = cim;
+    sc.sSre[k] = lre - cre; sc.sSim[k] = lim - cim;   // Ls
+    sc.sTre[k] = rre - cre; sc.sTim[k] = rim - cim;   // Rs
   }
 
   // Packed inverse 1: c + i*ls from full spectra via conjugate symmetry.
   for (int k = 0; k < B; ++k) {
-    double cr, ci, lr, li;
-    if (k < NB) { cr = b.sc->sCre[k]; ci = b.sc->sCim[k]; lr = b.sc->sSre[k]; li = b.sc->sSim[k]; }
-    else { int kc = B - k; cr = b.sc->sCre[kc]; ci = -b.sc->sCim[kc]; lr = b.sc->sSre[kc]; li = -b.sc->sSim[kc]; }
-    b.sc->zre[k] = cr - li;
-    b.sc->zim[k] = ci + lr;
+    T cr, ci, lr, li;
+    if (k < NB) { cr = sc.sCre[k]; ci = sc.sCim[k]; lr = sc.sSre[k]; li = sc.sSim[k]; }
+    else { int kc = B - k; cr = sc.sCre[kc]; ci = -sc.sCim[kc]; lr = sc.sSre[kc]; li = -sc.sSim[kc]; }
+    sc.zre[k] = cr - li;
+    sc.zim[k] = ci + lr;
   }
-  b.fft->inverse(b.sc->zre.data(), b.sc->zim.data());
-  // Inverse 2: rs (imag input zero by symmetry packing with nothing).
-  for (int k = 0; k < B; ++k) {
-    if (k < NB) { b.sc->wre[k] = b.sc->sTre[k]; b.sc->wim[k] = b.sc->sTim[k]; }
-    else { int kc = B - k; b.sc->wre[k] = b.sc->sTre[kc]; b.sc->wim[k] = -b.sc->sTim[kc]; }
-  }
-  b.fft->inverse(b.sc->wre.data(), b.sc->wim.data());
+  fft.inverse(sc.zre.data(), sc.zim.data());
+  // Inverse 2: rs alone — half-size real inverse (one B/2-point complex
+  // transform instead of a full B-point one on the symmetry-packed
+  // spectrum; wim's two halves are the Z scratch, wre receives rs).
+  fft.inverse_real(sc.sTre.data(), sc.sTim.data(), sc.wim.data(),
+                   sc.wim.data() + B / 2, sc.wre.data());
 
   // OLA accumulate (float32, synthesis-windowed — oracle casts the irfft
   // to float32 BEFORE the window multiply, reference ce.py:124-137).
   float* aC = b.acc(0); float* aL = b.acc(1); float* aR = b.acc(2);
   for (int i = 0; i < B; ++i) {
     float sw = b.sw[i];
-    aC[i] += (float)b.sc->zre[i] * sw;
-    aL[i] += (float)b.sc->zim[i] * sw;
-    aR[i] += (float)b.sc->wre[i] * sw;
+    aC[i] += (float)sc.zre[i] * sw;
+    aL[i] += (float)sc.zim[i] * sw;
+    aR[i] += (float)sc.wre[i] * sw;
   }
   // Emit + shift.
   std::memcpy(outC, aC, sizeof(float) * H);
@@ -481,6 +537,18 @@ void band_pass(Engine& e, Band& b, int offset, float* outC, float* outLs,
   std::memset(aC + B - H, 0, sizeof(float) * H);
   std::memset(aL + B - H, 0, sizeof(float) * H);
   std::memset(aR + B - H, 0, sizeof(float) * H);
+}
+
+// Precision dispatch: a band carries EITHER double resources (parity
+// mode) or float resources (fast mode), decided at engine creation.
+void band_pass(Engine& e, Band& b, int offset, float* outC, float* outLs,
+               float* outRs) {
+  if (b.scf)
+    band_pass_impl<float>(e, b, *b.scf, *b.fftf, b.gainf.data(), offset,
+                          outC, outLs, outRs);
+  else
+    band_pass_impl<double>(e, b, *b.sc, *b.fft, b.gain.data(), offset,
+                           outC, outLs, outRs);
 }
 
 // One band's full hardware block (all passes) into the band-owned output
@@ -503,8 +571,8 @@ extern "C" {
 // Bumped whenever the upmix_create signature (or any other ABI surface)
 // changes; the Python loader refuses libraries with a different value so
 // a stale .so cannot silently drop arguments (e.g. round 2 added the
-// trailing `window` parameter, round 3 `n_threads`).
-int upmix_abi_version() { return 4; }
+// trailing `window` parameter, round 3 `n_threads`, round 4 `precision`).
+int upmix_abi_version() { return 5; }
 
 }  // extern "C"
 
@@ -520,9 +588,10 @@ void* engine_create(double sr, int hw_block, const double* edges, int n_edges,
                     int xover_mode, int synthesis, int rounding,
                     double threshold_multi, double xo_fraction, int window,
                     const float* win_data, const long long* win_off, int n_win,
-                    int n_threads) {
+                    int n_threads, int precision) {
   if (window < 0 || window > 5) return nullptr;
   if (n_threads < 0) return nullptr;
+  if (precision < 0 || precision > 1) return nullptr;
   if (sr <= 0 || hw_block < 4 || n_edges < 1) return nullptr;
   std::vector<double> e(edges, edges + n_edges);
   if (e.back() < sr / 2.0) e.push_back(sr / 2.0);
@@ -564,22 +633,42 @@ void* engine_create(double sr, int hw_block, const double* edges, int n_edges,
     b.blkC.resize(hw_block); b.blkLs.resize(hw_block); b.blkRs.resize(hw_block);
     eng->bands.push_back(std::move(b));
   }
-  // Shared FFT plans per distinct block size.
-  eng->ffts.reserve(eng->bands.size());
-  for (auto& b : eng->bands) {
-    Fft* found = nullptr;
-    for (auto& f : eng->ffts)
-      if (f.n == b.block) { found = &f; break; }
-    if (!found) {
-      eng->ffts.emplace_back();
-      eng->ffts.back().init(b.block);
-      found = &eng->ffts.back();
+  // Shared FFT plans per distinct block size, in the selected working
+  // precision only (a band carries EITHER double or float resources).
+  if (precision == 0) {
+    eng->ffts.reserve(eng->bands.size());
+    for (auto& b : eng->bands) {
+      bool found = false;
+      for (auto& f : eng->ffts)
+        if (f.n == b.block) { found = true; break; }
+      if (!found) {
+        eng->ffts.emplace_back();
+        eng->ffts.back().init(b.block);
+      }
+    }
+    // (Re-resolve pointers after vector growth is done.)
+    for (auto& b : eng->bands)
+      for (auto& f : eng->ffts)
+        if (f.n == b.block) { b.fft = &f; break; }
+  } else {
+    eng->fftfs.reserve(eng->bands.size());
+    for (auto& b : eng->bands) {
+      bool found = false;
+      for (auto& f : eng->fftfs)
+        if (f.n == b.block) { found = true; break; }
+      if (!found) {
+        eng->fftfs.emplace_back();
+        eng->fftfs.back().init(b.block);
+      }
+    }
+    for (auto& b : eng->bands) {
+      for (auto& f : eng->fftfs)
+        if (f.n == b.block) { b.fftf = &f; break; }
+      // The gain curve is designed in double (same bin math as parity
+      // mode), then narrowed once at creation.
+      b.gainf.assign(b.gain.begin(), b.gain.end());
     }
   }
-  // (Re-resolve pointers after vector growth is done.)
-  for (auto& b : eng->bands)
-    for (auto& f : eng->ffts)
-      if (f.n == b.block) { b.fft = &f; break; }
 
   // Worker pool: n_threads counts the caller's thread, so spawn one
   // fewer.  `next` starts past the end so idle workers sleep until the
@@ -593,18 +682,34 @@ void* engine_create(double sr, int hw_block, const double* edges, int n_edges,
   // Scratch: per band when workers will run concurrently; one shared
   // max-block instance in serial mode (the pre-pool memory footprint —
   // matters on embedded targets like Bela, which pin n_threads=1).
-  if (n_threads > 1) {
-    eng->scratches.resize(eng->bands.size());
-    for (size_t i = 0; i < eng->bands.size(); ++i) {
-      eng->scratches[i].alloc(eng->bands[i].block);
-      eng->bands[i].sc = &eng->scratches[i];
+  if (precision == 0) {
+    if (n_threads > 1) {
+      eng->scratches.resize(eng->bands.size());
+      for (size_t i = 0; i < eng->bands.size(); ++i) {
+        eng->scratches[i].alloc(eng->bands[i].block);
+        eng->bands[i].sc = &eng->scratches[i];
+      }
+    } else {
+      int maxb = 0;
+      for (auto& b : eng->bands) maxb = b.block > maxb ? b.block : maxb;
+      eng->scratches.resize(1);
+      eng->scratches[0].alloc(maxb);
+      for (auto& b : eng->bands) b.sc = &eng->scratches[0];
     }
   } else {
-    int maxb = 0;
-    for (auto& b : eng->bands) maxb = b.block > maxb ? b.block : maxb;
-    eng->scratches.resize(1);
-    eng->scratches[0].alloc(maxb);
-    for (auto& b : eng->bands) b.sc = &eng->scratches[0];
+    if (n_threads > 1) {
+      eng->scratchesf.resize(eng->bands.size());
+      for (size_t i = 0; i < eng->bands.size(); ++i) {
+        eng->scratchesf[i].alloc(eng->bands[i].block);
+        eng->bands[i].scf = &eng->scratchesf[i];
+      }
+    } else {
+      int maxb = 0;
+      for (auto& b : eng->bands) maxb = b.block > maxb ? b.block : maxb;
+      eng->scratchesf.resize(1);
+      eng->scratchesf[0].alloc(maxb);
+      for (auto& b : eng->bands) b.scf = &eng->scratchesf[0];
+    }
   }
   eng->next = eng->bands.size();
   eng->remaining = 0;
@@ -626,13 +731,16 @@ extern "C" {
 //             0 = auto (min(n_bands, hardware_concurrency)).  Band outputs
 //             are summed in band order on the caller's thread, so results
 //             are bit-identical at any thread count.
+// precision:  0 = double working precision (parity mode, matches the
+//             oracle's float64 spectra), 1 = float32 fast mode (half the
+//             memory traffic / twice the SIMD width; >60 dB vs oracle).
 void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
                    int xover_mode, int synthesis, int rounding,
                    double threshold_multi, double xo_fraction, int window,
-                   int n_threads) {
+                   int n_threads, int precision) {
   return engine_create(sr, hw_block, edges, n_edges, xover_mode, synthesis,
                        rounding, threshold_multi, xo_fraction, window,
-                       nullptr, nullptr, 0, n_threads);
+                       nullptr, nullptr, 0, n_threads, precision);
 }
 
 // Custom analysis windows: win_data is every band's window concatenated
@@ -645,11 +753,11 @@ void* upmix_create_custom(double sr, int hw_block, const double* edges,
                           int rounding, double threshold_multi,
                           double xo_fraction, const float* win_data,
                           const long long* win_off, int n_win,
-                          int n_threads) {
+                          int n_threads, int precision) {
   if (!win_data || !win_off || n_win < 1) return nullptr;
   return engine_create(sr, hw_block, edges, n_edges, xover_mode, synthesis,
                        rounding, threshold_multi, xo_fraction, 0, win_data,
-                       win_off, n_win, n_threads);
+                       win_off, n_win, n_threads, precision);
 }
 
 void upmix_destroy(void* h) { delete static_cast<Engine*>(h); }

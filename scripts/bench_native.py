@@ -30,19 +30,25 @@ def main():
     L = (rng.standard_normal(n) * 0.3).astype(np.float32)
     R = (rng.standard_normal(n) * 0.3).astype(np.float32)
     print(f"cores visible: {os.cpu_count()}")
-    for nt in (1, 0, 2, 4):
-        eng = native.NativeStreamingUpmixer(
-            EDGES, sr=SR, hw_block_size=HW, n_threads=nt
-        )
-        eng.process_signal(L[: 8 * HW], R[: 8 * HW])  # warm
-        eng.reset()
-        t0 = time.perf_counter()
-        eng.process_signal(L, R, mix="stereo_sum")
-        dt = time.perf_counter() - t0
-        print(
-            f"n_threads={nt}: {n / SR / dt:7.1f}x realtime"
-            f"  ({dt * 1e3 / N_BLOCKS:.3f} ms/block, deadline {HW / SR * 1e3:.1f} ms)"
-        )
+    for prec in ("double", "float"):
+        for nt in (1, 0, 2, 4):
+            eng = native.NativeStreamingUpmixer(
+                EDGES, sr=SR, hw_block_size=HW, n_threads=nt, precision=prec
+            )
+            eng.process_signal(L[: 8 * HW], R[: 8 * HW])  # warm
+            eng.reset()
+            best = float("inf")
+            for _ in range(3):
+                eng.reset()
+                t0 = time.perf_counter()
+                eng.process_signal(L, R, mix="stereo_sum")
+                best = min(best, time.perf_counter() - t0)
+            dt = best
+            print(
+                f"{prec:6s} n_threads={nt}: {n / SR / dt:7.1f}x realtime"
+                f"  ({dt * 1e3 / N_BLOCKS:.3f} ms/block,"
+                f" deadline {HW / SR * 1e3:.1f} ms)"
+            )
 
 
 if __name__ == "__main__":

@@ -106,8 +106,11 @@ def test_bela_mock_agrees_with_native_stereo_sum():
         pytest.skip("native lib unavailable")
     L, R = make_stereo(12 * HW, SR, seed=6)
     L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    # The Bela adapter defaults to the float32 fast mode (bela_render.cpp
+    # UPMIX_BELA_PRECISION) — match it for the bit-for-bit comparison.
     eng = native.NativeStreamingUpmixer(
-        EDGES, sr=SR, hw_block_size=HW, synthesis="analysis", bin_rounding="cpp"
+        EDGES, sr=SR, hw_block_size=HW, synthesis="analysis",
+        bin_rounding="cpp", precision="float",
     )
     ref_l, ref_r = eng.process_signal(L32, R32, mix="stereo_sum")
     got_l, got_r = run_mock(L32, R32)

@@ -48,6 +48,60 @@ def test_native_parity_vs_oracle_cpp_mode():
     assert snr_db(ref_r, got_r) > 60.0
 
 
+@pytest.mark.parametrize("synthesis,rounding", [("analysis", "cpp"), ("wola", "python")])
+def test_native_float_fast_mode_parity_vs_oracle(synthesis, rounding):
+    # The float32 fast mode (precision="float") must hold the same >60 dB
+    # oracle bar as the double parity mode in both synthesis modes.
+    cfg = UpmixConfig.streaming(
+        EDGES, sr=SR, hw_block_size=HW, synthesis=synthesis, bin_rounding=rounding
+    )
+    eng = native.NativeStreamingUpmixer(
+        EDGES, sr=SR, hw_block_size=HW, synthesis=synthesis,
+        bin_rounding=rounding, precision="float",
+    )
+    L, R = make_stereo(16 * HW, SR, seed=0)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref_l, ref_r = oracle_stream_multiband(L32, R32, cfg, HW)
+    got_l, got_r = eng.process_signal(L32, R32, mix="stereo_sum")
+    assert snr_db(ref_l, got_l) > 60.0
+    assert snr_db(ref_r, got_r) > 60.0
+
+
+def test_native_float_mode_close_to_double_mode():
+    # Fast mode should track the parity mode far tighter than the oracle
+    # bar (same algorithm, narrower scalar) — catch gross wiring mistakes
+    # like a wrong gain table or missing unpack term.
+    kw = dict(sr=SR, hw_block_size=HW, synthesis="analysis", bin_rounding="cpp")
+    eng_d = native.NativeStreamingUpmixer(EDGES, **kw)
+    eng_f = native.NativeStreamingUpmixer(EDGES, precision="float", **kw)
+    L, R = make_stereo(16 * HW, SR, seed=2)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    dl, dr = eng_d.process_signal(L32, R32, mix="stereo_sum")
+    fl, fr = eng_f.process_signal(L32, R32, mix="stereo_sum")
+    assert snr_db(dl, fl) > 80.0
+    assert snr_db(dr, fr) > 80.0
+
+
+def test_native_float_mode_pool_bit_identical():
+    # The deterministic band-order reduction must hold in fast mode too.
+    kw = dict(sr=SR, hw_block_size=HW, precision="float")
+    eng1 = native.NativeStreamingUpmixer(EDGES, n_threads=1, **kw)
+    eng4 = native.NativeStreamingUpmixer(EDGES, n_threads=4, **kw)
+    L, R = make_stereo(12 * HW, SR, seed=3)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    a = eng1.process_signal(L32, R32)
+    b = eng4.process_signal(L32, R32)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_native_rejects_bad_precision():
+    with pytest.raises(ValueError):
+        native.NativeStreamingUpmixer(
+            EDGES, sr=SR, hw_block_size=HW, precision="half"
+        )
+
+
 def test_native_parity_vs_oracle_wola_mode():
     cfg = UpmixConfig.streaming(
         EDGES, sr=SR, hw_block_size=HW, synthesis="wola", bin_rounding="python"
@@ -230,14 +284,15 @@ def test_native_pool_under_tsan():
     ).stdout.strip()
     if not pre or not os.path.exists(pre):
         pytest.skip("libtsan not found")
-    if not os.path.exists(tsan_lib):
-        # Build on demand like the main lib (module-level fixture above):
-        # the race gate must actually RUN in the default suite, not
-        # green-light because nobody typed `make -C native tsan`.
-        subprocess.run(
-            ["make", "-C", os.path.join(root, "native"), "tsan"],
-            capture_output=True,
-        )
+    # Build on demand like the main lib (module-level fixture above):
+    # the race gate must actually RUN in the default suite, not
+    # green-light because nobody typed `make -C native tsan`.  Always
+    # invoke make (it no-ops when fresh) — an existing but STALE build
+    # from an older ABI would otherwise fail the version check below.
+    subprocess.run(
+        ["make", "-C", os.path.join(root, "native"), "tsan"],
+        capture_output=True,
+    )
     if not os.path.exists(tsan_lib):
         pytest.skip("TSan build failed (make -C native tsan)")
     code = """

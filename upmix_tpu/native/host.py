@@ -40,7 +40,9 @@ def is_available() -> bool:
         return False
 
 
-_ABI_VERSION = 4  # must match upmix_abi_version() in upmix_host.cpp
+_ABI_VERSION = 5  # must match upmix_abi_version() in upmix_host.cpp
+
+_PRECISIONS = {"double": 0, "float": 1}
 
 
 def _load():
@@ -71,6 +73,7 @@ def _load():
             ctypes.c_double,  # xo_fraction
             ctypes.c_int,  # window
             ctypes.c_int,  # n_threads
+            ctypes.c_int,  # precision
         ]
         lib.upmix_create_custom.restype = ctypes.c_void_p
         lib.upmix_create_custom.argtypes = [
@@ -87,6 +90,7 @@ def _load():
             ctypes.POINTER(ctypes.c_longlong),  # win_off (n_win + 1)
             ctypes.c_int,  # n_win
             ctypes.c_int,  # n_threads
+            ctypes.c_int,  # precision
         ]
         lib.upmix_destroy.argtypes = [ctypes.c_void_p]
         lib.upmix_num_bands.restype = ctypes.c_int
@@ -130,13 +134,25 @@ class NativeStreamingUpmixer:
         xo_fraction: float = 0.25,
         window: str = "blackman_harris",
         n_threads: int = 1,
+        precision: str = "double",
     ):
         """n_threads: band-parallel worker count inside the engine (the
         native equivalent of the reference's ThreadPoolExecutor over
         bands, center_extraction.py:499-511).  1 = serial (default —
         real-time callers usually pin one core), 0 = auto
         (min(n_bands, cores)).  Outputs are bit-identical either way:
-        the band sum is reduced in band order on the calling thread."""
+        the band sum is reduced in band order on the calling thread.
+
+        precision: working precision of the FFT/mask pipeline.
+        "double" (default) matches the oracle's float64 spectra;
+        "float" is the fast mode — half the memory traffic, roughly
+        2x throughput on SIMD cores, still >60 dB vs the oracle
+        (engine outputs are float32 either way)."""
+        if precision not in _PRECISIONS:
+            raise ValueError(
+                f"unknown precision {precision!r}; one of "
+                f"{tuple(_PRECISIONS)}"
+            )
         lib = _load()
         edges = np.asarray(list(band_edges), dtype=np.float64)
         self._lib = lib
@@ -155,6 +171,7 @@ class NativeStreamingUpmixer:
                 ctypes.c_double(xo_fraction),
                 _WINDOWS[window],
                 int(n_threads),
+                _PRECISIONS[precision],
             )
         else:
             # Registered custom window (upmix_tpu.ops.windows registry):
@@ -197,6 +214,7 @@ class NativeStreamingUpmixer:
                 win_off.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
                 len(vecs),
                 int(n_threads),
+                _PRECISIONS[precision],
             )
         if not self._h:
             raise ValueError(
