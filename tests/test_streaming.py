@@ -1036,3 +1036,48 @@ def test_pallas_pool_restore_after_json_round_trip(layout, ola):
         rb = b.push_blocks(blocks[t, :, 0], blocks[t, :, 1])
     for x, y in zip(ra, rb):
         np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+@pytest.mark.parametrize("engine", ["pallas", "xla"])
+def test_sustained_runner_matches_push_blocks(engine):
+    # make_sustained_runner chains n_blocks steps in ONE compiled
+    # program (the chip-side capacity protocol, used by tune.py's scan
+    # mode); its per-iteration C outputs must match the dispatched
+    # push_blocks path on the same inputs.
+    from upmix_tpu.models.streaming import (
+        BatchStreamingUpmixer,
+        PallasStreamPool,
+    )
+
+    cfg = _stream_cfg()
+    S, n_blocks, unroll = 8, 12, 4
+    rng = np.random.default_rng(7)
+    blocks = rng.standard_normal((n_blocks, 2, S, HW)).astype(np.float32) * 0.3
+    if engine == "pallas":
+        pool = PallasStreamPool(cfg, HW, n_streams=S, group=8)
+    else:
+        pool = BatchStreamingUpmixer(cfg, HW, n_streams=S, donate=False)
+    want = []
+    for t in range(n_blocks):
+        c, _, _ = pool.push_blocks(blocks[t, 0], blocks[t, 1])
+        want.append(np.asarray(c))
+    assert np.abs(np.asarray(want[-1])).max() > 0  # past warmup silence
+
+    run, fresh = pool.make_sustained_runner(n_blocks, unroll)
+    _, cs = run(fresh(), blocks)
+    cs = np.asarray(cs)
+    assert cs.shape == (n_blocks // unroll, S, HW)
+    for i in range(n_blocks // unroll):
+        ref = want[(i + 1) * unroll - 1]
+        np.testing.assert_allclose(cs[i], ref, atol=1e-5, rtol=0)
+
+
+def test_sustained_runner_clamps_unroll_to_divisor():
+    from upmix_tpu.models.streaming import BatchStreamingUpmixer
+
+    cfg = _stream_cfg()
+    pool = BatchStreamingUpmixer(cfg, HW, n_streams=2)
+    run, fresh = pool.make_sustained_runner(10, unroll=4)  # -> unroll 2
+    blocks = np.zeros((10, 2, 2, HW), np.float32)
+    _, cs = run(fresh(), blocks)
+    assert np.asarray(cs).shape == (5, 2, HW)

@@ -132,3 +132,34 @@ def test_tune_cli_json_exit_code_on_total_failure(capsys):
     assert rc == 1
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(line)["best"] is None
+
+
+def test_tune_scan_protocol_xla():
+    # scan protocol: one-dispatch chained steps per visit (chip-side
+    # capacity); must resolve a best candidate and label the protocol.
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(2, 4), groups=(2,), engine="xla",
+        blocks=4, visits=2, protocol="scan", unroll=2, verbose=False,
+    )
+    ok = [r for r in report["results"] if r["ok"]]
+    assert len(ok) == 2
+    assert report["best"] is not None
+    assert report["protocol"]["name"] == "scan"
+    assert report["protocol"]["unroll"] == 2
+    for r in ok:
+        assert r["seconds_per_block"] > 0
+
+
+def test_tune_scan_protocol_pallas_interpret():
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(8,), groups=(8,), engine="pallas",
+        blocks=2, visits=1, protocol="scan", unroll=2, verbose=False,
+    )
+    best = report["best"]
+    assert best is not None and best["engine"] == "pallas"
+    assert best["group"] == 8
+
+
+def test_tune_rejects_unknown_protocol():
+    with pytest.raises(ValueError):
+        tune_pool(_cfg(), HW, protocol="bogus")

@@ -627,12 +627,57 @@ class PallasStreamPool:
         # In the quarters layout, the input blocks themselves become the
         # newest history quarter — when donating, donate them too so the
         # state outputs alias their buffers.
+        self._raw_step = step  # un-jitted: make_sustained_runner scans it
         if donate:
             dn = (0, 1, 2) if layout == "quarters" else (0,)
             self._step = jax.jit(step, donate_argnums=dn)
         else:
             self._step = jax.jit(step)
         self.state = self._fresh_state()
+
+    def make_sustained_runner(self, n_blocks: int, unroll: int = 8):
+        """One-dispatch sustained capacity runner (the chip-side
+        protocol behind the BASELINE.md pool rows).
+
+        Returns ``(run, fresh)``: ``run(state, blocks)`` with ``blocks``
+        a device-resident ``[n_blocks, 2, n_streams, hw]`` float32 array
+        chains ``n_blocks`` steps inside ONE compiled program and
+        returns ``(final_state, cs)`` where ``cs`` holds one C output
+        block per scan iteration (kept as a scan output so the emit
+        path cannot be dead-code-eliminated; fetch one scalar of
+        ``cs[-1]`` to bound the whole chain).  Timing `run` measures
+        chip-side sustained cost with NO per-block host or transport
+        overhead — on a remote tunnel this is the only way to see chip
+        capacity (per-block ``push_blocks`` dispatch pays the RTT every
+        block; see upmix_tpu.tune protocol notes).
+
+        ``unroll`` steps run per scan iteration: the quarters layout's
+        history rotation rides the scan carry back-edge where XLA
+        inserts copies (measured 6.71 ms/block at unroll 1 vs 2.23 at
+        unroll 8, B=4096 — scripts/bench_pool_quarters.py), so the
+        rotation must be unrolled to measure the real capacity.
+        ``unroll`` is clamped to a divisor of ``n_blocks``.
+        """
+        n_blocks = int(n_blocks)
+        unroll = max(1, min(int(unroll), n_blocks))
+        while n_blocks % unroll:
+            unroll -= 1
+        step = self._raw_step
+
+        def multi(state, xs):  # xs [unroll, 2, S, hw]
+            out = None
+            for u in range(unroll):
+                state, out = step(state, xs[u, 0], xs[u, 1])
+            return state, out[0]
+
+        @jax.jit
+        def run(state, blocks):
+            g = blocks.reshape(
+                n_blocks // unroll, unroll, *blocks.shape[1:]
+            )
+            return jax.lax.scan(multi, state, g)
+
+        return run, self._fresh_state
 
     def _fresh_state(self):
         S, W = self.n_streams, self.plan.window
@@ -947,10 +992,39 @@ class BatchStreamingUpmixer:
         # at S=128) — the pallas pool is the engine where it hurts.
         self.donate = bool(donate)
         vstep = jax.vmap(step)
+        self._raw_step = vstep  # un-jitted: make_sustained_runner scans it
         self._step = (
             jax.jit(vstep, donate_argnums=(0,)) if donate else jax.jit(vstep)
         )
         self.state = self._fresh_state()
+
+    def make_sustained_runner(self, n_blocks: int, unroll: int = 1):
+        """One-dispatch sustained capacity runner — same contract as
+        PallasStreamPool.make_sustained_runner (blocks
+        ``[n_blocks, 2, n_streams, hw]``; returns ``(run, fresh)``).
+        This engine's state is flat arrays (no quarter rotation), so a
+        plain 1-step scan already measures true capacity; ``unroll`` is
+        accepted for protocol symmetry."""
+        n_blocks = int(n_blocks)
+        unroll = max(1, min(int(unroll), n_blocks))
+        while n_blocks % unroll:
+            unroll -= 1
+        step = self._raw_step
+
+        def multi(state, xs):  # xs [unroll, 2, S, hw]
+            out = None
+            for u in range(unroll):
+                state, out = step(state, jnp.swapaxes(xs[u], 0, 1))
+            return state, out[:, 0]
+
+        @jax.jit
+        def run(state, blocks):
+            g = blocks.reshape(
+                n_blocks // unroll, unroll, *blocks.shape[1:]
+            )
+            return jax.lax.scan(multi, state, g)
+
+        return run, self._fresh_state
 
     def _fresh_state(self):
         one = init_stream_state(self.config, self.hw_block_size)

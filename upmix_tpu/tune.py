@@ -37,6 +37,13 @@ Protocol notes (hard-won, see CLAUDE.md):
   push_blocks dispatch pays the RTT, so when the floor approaches the
   per-block time the ABSOLUTE capacity is transport-gated (a lower
   bound) while same-batch candidate comparisons remain valid.
+- `protocol="scan"` sidesteps the RTT entirely: each visit runs
+  `blocks` steps dependency-chained in ONE compiled program
+  (make_sustained_runner) with a single scalar fetch, so chip-side
+  capacity — and the G ordering — resolves even on a link whose RTT
+  exceeds the per-block time.  The one remaining transport cost (one
+  RTT per visit) is an additive constant shared by every candidate;
+  raise `blocks` (48 is comfortable) to shrink it below the noise.
 
 The reference has no analog (its one tunable, threshold_factor, is a
 quality knob); this is TPU-framework machinery like XLA's own
@@ -72,16 +79,34 @@ def tune_pool(
     blocks: int = 16,
     visits: int = 3,
     include_xla: bool = False,
+    protocol: str = "dispatch",
+    unroll: int = 8,
     verbose: bool = True,
 ) -> dict:
     """Sweep (batch, group) serving-pool candidates on the attached
     device; return per-candidate timings and the capacity-best choice.
 
     Capacity model: a pool serving B streams at `t` seconds per block
-    sustains `B * (hw_block / sr) / t` realtime streams per chip.  The
-    sweep measures the sustained `push_blocks` path (the deployment
-    dispatch surface, donation policy included) — not a bare kernel
-    microbenchmark.
+    sustains `B * (hw_block / sr) / t` realtime streams per chip.
+
+    Two measurement protocols (``protocol=``):
+
+    - ``"dispatch"`` (default): times the sustained `push_blocks` path
+      — the deployment dispatch surface, donation policy and per-block
+      host overhead included.  On a direct-attach host this IS serving
+      capacity; through a high-RTT transport every block pays the round
+      trip, so the sweep measures the link and cannot resolve chip-side
+      knobs like G (round-3 on-chip validation: floor 28.8 ms vs 45-52
+      ms/block candidates).
+    - ``"scan"``: times `make_sustained_runner` — `blocks` steps
+      dependency-chained inside ONE compiled program per visit, one
+      scalar fetch at the end.  Transport cost is paid once per visit
+      instead of once per block, so chip-side capacity (the BASELINE.md
+      protocol) resolves even through the dev tunnel.  `unroll` steps
+      run per scan iteration (the quarters layout needs >1 to keep its
+      rotation off the scan back-edge).  Host-side per-block costs are
+      EXCLUDED — use "dispatch" to budget a host-attached deployment's
+      end-to-end block cycle.
 
     ``include_xla=True`` adds one BatchStreamingUpmixer candidate per
     batch size (group is a pallas-only knob), so the report shows the
@@ -92,6 +117,10 @@ def tune_pool(
     """
     hw_block = int(hw_block)
     block_seconds = hw_block / float(config.sr)
+    if protocol not in ("dispatch", "scan"):
+        raise ValueError(
+            f"unknown protocol {protocol!r}; one of ('dispatch', 'scan')"
+        )
 
     candidates = []
     for b in batch_sizes:
@@ -114,6 +143,7 @@ def tune_pool(
     built = []
     results = []
     seen_groupless = set()  # 'auto' resolving to XLA ignores group
+    scan_inputs = {}  # batch -> shared device blocks [blocks, 2, B, hw]
     for cand in candidates:
         label = (f"{cand['engine']}/B{cand['batch']}" +
                  (f"/G{cand['group']}" if cand["group"] else ""))
@@ -134,6 +164,30 @@ def tune_pool(
                     results.append(rec)
                     continue
                 seen_groupless.add(key)
+            import jax
+            import jax.numpy as jnp
+
+            if protocol == "scan":
+                run, fresh = pool.make_sustained_runner(blocks, unroll)
+                # ONE input tensor per batch size, generated on device
+                # and shared by every same-batch candidate (it can be
+                # GBs at production batch sizes).
+                blk = scan_inputs.get(cand["batch"])
+                if blk is None:
+                    blk = jax.jit(
+                        lambda k, b=cand["batch"]: jax.random.normal(
+                            k, (blocks, 2, b, hw_block), jnp.float32
+                        ) * 0.3
+                    )(jax.random.PRNGKey(cand["batch"]))
+                    blk.block_until_ready()
+                    scan_inputs[cand["batch"]] = blk
+                # Warm: compile + one full chain off the clock.
+                _, cs = run(fresh(), blk)
+                float(np.asarray(cs[-1, 0, 0]))
+                rec["visits"] = []
+                built.append((rec, (run, fresh), blk, None))
+                results.append(rec)
+                continue
             zl = np.zeros((cand["batch"], hw_block), np.float32)
             # Warm: trigger compile + first-dispatch costs off the clock.
             pool.push_blocks(zl, zl)
@@ -188,12 +242,20 @@ def tune_pool(
 
     for v in range(int(visits)):
         for rec, pool, xl, xr in built:
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(int(blocks)):
-                out = pool.push_blocks(xl, xr)
-            float(np.asarray(out[0])[0, 0])  # bound the chained steps
-            dt = (time.perf_counter() - t0) / int(blocks)
+            if protocol == "scan":
+                run, fresh = pool
+                st = fresh()  # state allocation outside the timed region
+                t0 = time.perf_counter()
+                _, cs = run(st, xl)
+                float(np.asarray(cs[-1, 0, 0]))  # bound the whole chain
+                dt = (time.perf_counter() - t0) / int(blocks)
+            else:
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(int(blocks)):
+                    out = pool.push_blocks(xl, xr)
+                float(np.asarray(out[0])[0, 0])  # bound the chained steps
+                dt = (time.perf_counter() - t0) / int(blocks)
             rec["visits"].append(dt)
             if verbose:
                 print(f"tune: visit {v} {rec['label']:>16s}: "
@@ -222,7 +284,9 @@ def tune_pool(
     return {
         "results": results,
         "best": best,
-        "protocol": {"blocks": int(blocks), "visits": int(visits),
+        "protocol": {"name": protocol, "blocks": int(blocks),
+                     "visits": int(visits),
+                     "unroll": int(unroll) if protocol == "scan" else None,
                      "estimator": "min-of-visits, interleaved",
                      "layout": layout, "ola": ola,
                      "transport_floor_seconds": transport_floor},
@@ -250,6 +314,15 @@ def main(argv=None):
     ap.add_argument("--blocks", type=int, default=16)
     ap.add_argument("--visits", type=int, default=3)
     ap.add_argument("--include-xla", action="store_true")
+    ap.add_argument("--protocol", default="dispatch",
+                    choices=("dispatch", "scan"),
+                    help="dispatch = sustained push_blocks (deployment "
+                    "surface, transport included); scan = one-dispatch "
+                    "chained steps (chip-side capacity, resolves G even "
+                    "through a high-RTT link)")
+    ap.add_argument("--unroll", type=int, default=8,
+                    help="scan protocol: steps per scan iteration "
+                    "(quarters layout needs >1)")
     ap.add_argument("--json", action="store_true",
                     help="print the full report as one JSON line")
     args = ap.parse_args(argv)
@@ -268,7 +341,8 @@ def main(argv=None):
         groups=[int(g) for g in args.groups.split(",")],
         engine=args.engine, layout=args.layout, ola=args.ola,
         blocks=args.blocks, visits=args.visits,
-        include_xla=args.include_xla, verbose=not args.json,
+        include_xla=args.include_xla, protocol=args.protocol,
+        unroll=args.unroll, verbose=not args.json,
     )
     if args.json:
         print(json.dumps(report))
