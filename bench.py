@@ -9,6 +9,9 @@ what `vs_baseline` is normalized against.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+plus "snr_db"/"snr_ok": worst-slice parity of the benched program vs
+the float64 NumPy oracle (exit 1 below the 60 dB bar, so a numerics
+regression cannot ship a fast wrong number — BENCH_SNR=0 skips).
 """
 
 import json
@@ -22,17 +25,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TARGET_REALTIME = 1000.0  # BASELINE.md north star: >1000x realtime/chip
 
-SR = 44100.0
-BAND_EDGES = (0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0)
+SR = float(os.environ.get("BENCH_SR", 44100.0))
+BAND_EDGES = tuple(
+    float(e)
+    for e in os.environ.get("BENCH_EDGES", "0,30,120,480,1920,7680").split(",")
+)
+MAX_BLOCK = int(os.environ.get("BENCH_MAX_BLOCK", 65536))
 N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", 2**21))  # ~47.6 s of audio
 ITERS = max(1, int(os.environ.get("BENCH_ITERS", 3)))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 1))
+LOOPS = max(1, int(os.environ.get("BENCH_LOOPS", 7)))
 # Pipeline applications chained INSIDE one jitted call: the dev tunnel
 # adds ~1 ms of RPC latency per dispatch (measured: 10x inner chaining
 # drops per-application time from ~7.1 to ~6.1 ms), which is a transport
 # artifact, not a property of the TPU — chaining measures the sustained
 # on-device throughput a host-attached deployment sees.
 INNER = max(1, int(os.environ.get("BENCH_INNER", 10)))  # 1 = single-dispatch timing
+# Numerics gate (VERDICT r3 weak #6: a silent kernel regression must not
+# ship a fast wrong number): after timing, ONE extra dispatch returns
+# small slices of the first chained application's output (probes ride
+# the same compiled program — no second compile, ~0.6 MB fetched), and
+# they are held to the float64 NumPy oracle.  BENCH_SNR=0 skips.
+SNR_CHECK = os.environ.get("BENCH_SNR", "1") != "0"
+SNR_BAR_DB = 60.0  # BASELINE.md correctness bar
+PROBE_W = min(16384, N_SAMPLES // 4)
+PROBE_STARTS = tuple(
+    sorted({0, N_SAMPLES // 2, N_SAMPLES - PROBE_W})
+)  # head (onset transient included), middle, tail
 
 
 def main():
@@ -45,7 +64,7 @@ def main():
 
     enable_compilation_cache()  # fresh processes reuse compiled programs
 
-    config = UpmixConfig.make(list(BAND_EDGES), sr=SR)
+    config = UpmixConfig.make(list(BAND_EDGES), sr=SR, max_block_size=MAX_BLOCK)
     base_fn = build_offline_fn(config, N_SAMPLES)
 
     # Timing must be robust to remote/tunneled device runtimes where
@@ -57,10 +76,23 @@ def main():
         # INNER chained applications per dispatch (see INNER above); each
         # feeds a tiny function of its output into the next input, so the
         # device cannot skip or overlap them incorrectly.
-        for _ in range(INNER):
+        probes = None
+        for i in range(INNER):
             c, ls, rs = base_fn(L + seed, R - seed)
+            if i == 0:
+                # Parity probes of the FIRST application: with seed=0 it
+                # runs on exactly (L, R), so one post-timing dispatch at
+                # seed=0 yields oracle-comparable slices.  [3, 3, W] is
+                # ~0.6 MB — negligible next to the [3, N] outputs the
+                # program already materializes.
+                probes = jnp.stack(
+                    [
+                        jnp.stack([ch[s:s + PROBE_W] for s in PROBE_STARTS])
+                        for ch in (c, ls, rs)
+                    ]
+                )
             seed = c[0] * 1e-6
-        return c, ls, rs, seed
+        return c, ls, rs, seed, probes
 
     fn = jax.jit(step)
 
@@ -87,9 +119,9 @@ def main():
     # spacing samples distinct noise windows, and the minimum loop is the
     # one that ran in a calm window — transport noise only ever ADDS time.
     times = []
-    for k in range(7):
+    for k in range(LOOPS):
         if k:
-            time.sleep(3.0)
+            time.sleep(3.0 if LOOPS >= 7 else 0.0)
         t0 = time.perf_counter()
         run(ITERS)
         times.append((time.perf_counter() - t0) / (ITERS * INNER))
@@ -98,22 +130,54 @@ def main():
     realtime_factor = audio_sec / sec_per_iter
     median_factor = audio_sec / sorted(times)[len(times) // 2]
 
+    snr_db = None
+    if SNR_CHECK:
+        from upmix_tpu.oracle import oracle_multiband
+
+        # One more dispatch at seed=0: its first chained application runs
+        # on exactly (L, R), and the fetched probes are its output slices.
+        out = fn(L, R, jnp.zeros((), jnp.float32))
+        probes = np.asarray(out[4], np.float64)  # [3 ch, 3 slices, W]
+        ref = np.stack(
+            oracle_multiband(
+                np.asarray(L, np.float32), np.asarray(R, np.float32), config
+            )
+        )
+        snr_db = float("inf")
+        for ci in range(3):
+            for si, s in enumerate(PROBE_STARTS):
+                r = ref[ci, s:s + PROBE_W].astype(np.float64)
+                e = probes[ci, si] - r
+                snr = 10.0 * np.log10(
+                    max((r**2).sum(), 1e-30) / max((e**2).sum(), 1e-30)
+                )
+                snr_db = min(snr_db, float(snr))
+
     # value = min-of-7 (the calm-window estimate; transport noise only
     # ever ADDS time).  median_* records the same run's median loop so
     # cross-round comparisons can use either estimator (round 1 reported
     # median-of-3; round 2+ report min-of-7 — VERDICT r2 weak #4).
-    print(
-        json.dumps(
-            {
-                "metric": "offline_upmix_realtime_factor",
-                "value": round(realtime_factor, 2),
-                "unit": "audio_sec/sec/chip",
-                "vs_baseline": round(realtime_factor / TARGET_REALTIME, 4),
-                "estimator": "min_of_7_loops",
-                "median_value": round(median_factor, 2),
-            }
+    record = {
+        "metric": "offline_upmix_realtime_factor",
+        "value": round(realtime_factor, 2),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(realtime_factor / TARGET_REALTIME, 4),
+        "estimator": f"min_of_{LOOPS}_loops",
+        "median_value": round(median_factor, 2),
+    }
+    if snr_db is not None:
+        # Worst-slice SNR of the benched program class vs the float64
+        # oracle (head incl. onset / middle / tail probes).
+        record["snr_db"] = round(snr_db, 1)
+        record["snr_ok"] = bool(snr_db >= SNR_BAR_DB)
+    print(json.dumps(record))
+    if snr_db is not None and snr_db < SNR_BAR_DB:
+        print(
+            f"BENCH NUMERICS GATE FAILED: worst probe SNR {snr_db:.1f} dB "
+            f"< {SNR_BAR_DB} dB bar — the speed number above is not valid",
+            file=sys.stderr,
         )
-    )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
