@@ -9,6 +9,8 @@ from upmix_tpu.ops.windows import (
     make_blackman,
     make_hamming,
     make_rect,
+    register_window,
+    register_window_vector,
 )
 from upmix_tpu.ops.gains import band_gain_curve
 from upmix_tpu.ops.framing import frame_signal, overlap_add
@@ -23,6 +25,8 @@ __all__ = [
     "make_blackman",
     "make_hamming",
     "make_rect",
+    "register_window",
+    "register_window_vector",
     "band_gain_curve",
     "frame_signal",
     "overlap_add",
