@@ -427,6 +427,127 @@ def test_pallas_pool_multi_group_slot_churn():
             assert np.abs(np.asarray(c[9])).max() == 0.0
 
 
+def test_pallas_pool_multi_hop_matches_sequential():
+    # Temporal batching (push_blocks_multi / pool_step_lcr hops=T): T
+    # consecutive blocks in ONE kernel launch run the same per-hop op
+    # sequence with the OLA carries chained as values instead of HBM
+    # round trips.  Must match T sequential push_blocks to float
+    # tolerance (FMA fusion context differs — the quarters-vs-window
+    # contract), including warmup gating that crosses a multi-hop call
+    # boundary (warmup=4; hops=6 covers it mid-call).
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks = 8, 12
+    rng = np.random.default_rng(43)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    seq = PallasStreamPool(cfg, HW, n_streams=S, group=8)
+    seq_out = [seq.push_blocks(blk[:, 0], blk[:, 1]) for blk in blocks]
+    warm = seq.warmup_blocks
+
+    for hops in (2, 6):
+        multi = PallasStreamPool(cfg, HW, n_streams=S, group=8)
+        for t0 in range(0, n_blocks, hops):
+            xl = np.concatenate(
+                [blocks[t0 + i, :, 0] for i in range(hops)], axis=1
+            )
+            xr = np.concatenate(
+                [blocks[t0 + i, :, 1] for i in range(hops)], axis=1
+            )
+            out = multi.push_blocks_multi(xl, xr)
+            for i in range(hops):
+                t = t0 + i
+                got = np.stack(
+                    [np.asarray(o[:, i * HW : (i + 1) * HW]) for o in out]
+                )
+                want = np.stack([np.asarray(o) for o in seq_out[t]])
+                if t < warm - 1:
+                    assert np.abs(got).max() == 0.0, (
+                        f"hops={hops} block {t} not silent in warmup"
+                    )
+                if np.abs(want).max() > 0:
+                    assert snr_db(want, got) > 100.0, f"hops={hops} block {t}"
+        # The state advanced identically: one more sequential block on
+        # both pools must agree too.
+        ref = seq_out if n_blocks < len(blocks) else None
+        del ref
+        np.testing.assert_array_equal(
+            np.asarray(multi.state["t"]), np.asarray(seq.state["t"])
+        )
+
+
+def test_pallas_pool_multi_hop_runner_and_errors():
+    # make_sustained_runner(hops=T) consumes [n_blocks//T, 2, S, T*hw]
+    # slabs and matches the hops=1 runner; the window layout and bad
+    # shapes are rejected.
+    import jax.numpy as jnp
+
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks = 8, 8
+    rng = np.random.default_rng(44)
+    blocks = rng.standard_normal((n_blocks, 2, S, HW)).astype(np.float32) * 0.3
+
+    pool = PallasStreamPool(cfg, HW, n_streams=S, group=8)
+    run1, fresh = pool.make_sustained_runner(n_blocks, unroll=2)
+    _, cs1 = run1(fresh(), jnp.asarray(blocks))
+
+    run2, fresh2 = pool.make_sustained_runner(n_blocks, unroll=2, hops=4)
+    slabs = (
+        blocks.reshape(n_blocks // 4, 4, 2, S, HW)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(n_blocks // 4, 2, S, 4 * HW)
+    )
+    _, cs2 = run2(fresh2(), jnp.asarray(slabs))
+    want = np.asarray(cs1[-1])  # last emitted C block
+    got = np.asarray(cs2[-1][:, -HW:])
+    assert snr_db(want, got) > 100.0
+
+    w = PallasStreamPool(cfg, HW, n_streams=S, group=8, layout="window")
+    with pytest.raises(ValueError, match="quarters"):
+        w._get_multi_step(2)
+    with pytest.raises(ValueError, match="multiple of hops"):
+        pool.make_sustained_runner(6, hops=4)
+    with pytest.raises(ValueError, match="push_blocks_multi expects"):
+        pool.push_blocks_multi(
+            np.zeros((S, HW + 1), np.float32), np.zeros((S, HW + 1), np.float32)
+        )
+
+
+def test_pallas_pool_multi_hop_spectral():
+    # The spectral-OLA dataflow chains its packed carry across hops the
+    # same way.
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    cfg = _stream_cfg()
+    S, n_blocks, hops = 8, 8, 4
+    rng = np.random.default_rng(45)
+    blocks = rng.standard_normal((n_blocks, S, 2, HW)).astype(np.float32) * 0.3
+
+    seq = PallasStreamPool(cfg, HW, n_streams=S, group=8, ola="spectral")
+    seq_out = [seq.push_blocks(blk[:, 0], blk[:, 1]) for blk in blocks]
+
+    multi = PallasStreamPool(cfg, HW, n_streams=S, group=8, ola="spectral")
+    for t0 in range(0, n_blocks, hops):
+        xl = np.concatenate(
+            [blocks[t0 + i, :, 0] for i in range(hops)], axis=1
+        )
+        xr = np.concatenate(
+            [blocks[t0 + i, :, 1] for i in range(hops)], axis=1
+        )
+        out = multi.push_blocks_multi(xl, xr)
+        for i in range(hops):
+            t = t0 + i
+            got = np.stack(
+                [np.asarray(o[:, i * HW : (i + 1) * HW]) for o in out]
+            )
+            want = np.stack([np.asarray(o) for o in seq_out[t]])
+            if np.abs(want).max() > 0:
+                assert snr_db(want, got) > 100.0, f"spectral block {t}"
+
+
 def test_pallas_pool_snapshot_resume():
     # snapshot() is the checkpoint format: restoring into a fresh pool
     # resumes bit-identically.

@@ -633,38 +633,180 @@ class PallasStreamPool:
             self._step = jax.jit(step, donate_argnums=dn)
         else:
             self._step = jax.jit(step)
+        self._multi_steps = {}  # hops -> (raw, jitted) temporal-batch steps
         self.state = self._fresh_state()
 
-    def make_sustained_runner(self, n_blocks: int, unroll: int = 8):
+    def _get_multi_step(self, hops: int):
+        """(raw, jitted) step processing ``hops`` consecutive hardware
+        blocks per stream in ONE kernel launch (temporal batching): the
+        OLA carries chain across hops inside the kernel and the history
+        quarters are read once per call instead of once per block.
+        Signature: step(state, xl, xr) with xl/xr [S, hops*hw] ->
+        (state, (C, Ls, Rs) each [S, hops*hw]).  Quarters layout only;
+        trades per-block latency (one dispatch spans ``hops`` block
+        deadlines) for throughput — the sustained/batch path's knob."""
+        from upmix_tpu.ops.pallas_pool import pool_step_lcr
+
+        hops = int(hops)
+        if hops < 1:
+            raise ValueError(f"hops must be >= 1, got {hops}")
+        if hops in self._multi_steps:
+            return self._multi_steps[hops]
+        if self.layout != "quarters":
+            raise ValueError(
+                "multi-hop steps need layout='quarters' (the window "
+                "layout would re-shift the history per hop)"
+            )
+        if self._step is None:
+            raise ValueError(
+                "multi-hop steps are unavailable on an AOT-loaded pool "
+                "(its plan carries no kernel weights); export the "
+                "multi-hop program instead or build a live pool"
+            )
+        plan = self.plan
+        hw = self.hw_block_size
+        nq = plan.window // hw
+        ola, interpret = self.ola, self._interpret
+
+        def step(state, xl, xr):  # xl/xr [S, hops*hw]
+            xls = [xl[:, i * hw : (i + 1) * hw] for i in range(hops)]
+            xrs = [xr[:, i * hw : (i + 1) * hw] for i in range(hops)]
+            histL = (*state["histL"], *xls)
+            histR = (*state["histR"], *xrs)
+            t = state["t"] + 1  # t of the FIRST hop
+            if ola == "spectral":
+                olas = tuple(state["ola"][str(b.B)] for b in plan.buckets)
+            else:
+                olas = tuple(
+                    tuple(state["ola"][str(b.B)][o] for o in range(3))
+                    for b in plan.buckets
+                )
+            (oc, ols, ors), new_olas = pool_step_lcr(
+                histL, histR, t, olas, plan, interpret=interpret, hops=hops
+            )
+            ola_state = {
+                str(b.B): new_olas[bi] for bi, b in enumerate(plan.buckets)
+            }
+            return (
+                {
+                    "histL": histL[-(nq - 1):],
+                    "histR": histR[-(nq - 1):],
+                    "t": state["t"] + hops,
+                    "ola": ola_state,
+                },
+                (oc, ols, ors),
+            )
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec
+
+            try:
+                from jax import shard_map as _shard_map
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map as _shard_map
+
+            step = _shard_map(
+                step,
+                mesh=self.mesh,
+                in_specs=(
+                    PartitionSpec("data"),
+                    PartitionSpec("data"),
+                    PartitionSpec("data"),
+                ),
+                out_specs=(PartitionSpec("data"), PartitionSpec("data")),
+                check_vma=False,
+            )
+        jitted = (
+            jax.jit(step, donate_argnums=(0, 1, 2))
+            if self.donate
+            else jax.jit(step)
+        )
+        self._multi_steps[hops] = (step, jitted)
+        return self._multi_steps[hops]
+
+    def push_blocks_multi(self, in_l, in_r):
+        """``hops`` consecutive hardware blocks for EVERY stream in one
+        dispatch: [n_streams, hops*hw] x2 -> (C, Ls, Rs) each
+        [n_streams, hops*hw].  ``hops`` is inferred from the input
+        width.  See _get_multi_step for the latency/throughput trade."""
+        xl = jnp.asarray(in_l, jnp.float32)
+        xr = jnp.asarray(in_r, jnp.float32)
+        hw = self.hw_block_size
+        S = self.n_streams
+        if (
+            xl.shape != xr.shape
+            or xl.ndim != 2
+            or xl.shape[0] != S
+            or xl.shape[1] % hw
+            or xl.shape[1] == 0
+        ):
+            raise ValueError(
+                f"push_blocks_multi expects two [{S}, k*{hw}] channel "
+                f"arrays; got {tuple(xl.shape)} / {tuple(xr.shape)}"
+            )
+        hops = xl.shape[1] // hw
+        if hops == 1:
+            return self.push_blocks(xl, xr)
+        _, jitted = self._get_multi_step(hops)
+        if self._shardings is not None:
+            xl = jax.device_put(xl, self._shardings(xl))
+            xr = jax.device_put(xr, self._shardings(xr))
+        try:
+            self.state, out = jitted(self.state, xl, xr)
+        except Exception:
+            if self.donate:
+                self.reset()
+            raise
+        return out
+
+    def make_sustained_runner(
+        self, n_blocks: int, unroll: int = 8, hops: int = 1
+    ):
         """One-dispatch sustained capacity runner (the chip-side
         protocol behind the BASELINE.md pool rows).
 
         Returns ``(run, fresh)``: ``run(state, blocks)`` with ``blocks``
-        a device-resident ``[n_blocks, 2, n_streams, hw]`` float32 array
-        chains ``n_blocks`` steps inside ONE compiled program and
-        returns ``(final_state, cs)`` where ``cs`` holds one C output
-        block per scan iteration (kept as a scan output so the emit
-        path cannot be dead-code-eliminated; fetch one scalar of
-        ``cs[-1]`` to bound the whole chain).  Timing `run` measures
-        chip-side sustained cost with NO per-block host or transport
-        overhead — on a remote tunnel this is the only way to see chip
-        capacity (per-block ``push_blocks`` dispatch pays the RTT every
-        block; see upmix_tpu.tune protocol notes).
+        a device-resident ``[n_blocks // hops, 2, n_streams, hops*hw]``
+        float32 array (at the default ``hops=1``:
+        ``[n_blocks, 2, n_streams, hw]``) chains ``n_blocks`` block
+        steps inside ONE compiled program and returns
+        ``(final_state, cs)`` where ``cs`` holds one C output slab per
+        scan iteration (kept as a scan output so the emit path cannot
+        be dead-code-eliminated; fetch one scalar of ``cs[-1]`` to
+        bound the whole chain).  Timing `run` measures chip-side
+        sustained cost with NO per-block host or transport overhead —
+        on a remote tunnel this is the only way to see chip capacity
+        (per-block ``push_blocks`` dispatch pays the RTT every block;
+        see upmix_tpu.tune protocol notes).
 
         ``unroll`` steps run per scan iteration: the quarters layout's
         history rotation rides the scan carry back-edge where XLA
         inserts copies (measured 6.71 ms/block at unroll 1 vs 2.23 at
         unroll 8, B=4096 — scripts/bench_pool_quarters.py), so the
         rotation must be unrolled to measure the real capacity.
-        ``unroll`` is clamped to a divisor of ``n_blocks``.
+        ``unroll`` is clamped to a divisor of the step count.
+
+        ``hops=T`` runs T consecutive blocks per KERNEL launch
+        (temporal batching, quarters layout only — see
+        _get_multi_step); ``n_blocks`` must be a multiple of T.
         """
         n_blocks = int(n_blocks)
-        unroll = max(1, min(int(unroll), n_blocks))
-        while n_blocks % unroll:
+        hops = int(hops)
+        if hops > 1:
+            if n_blocks % hops:
+                raise ValueError(
+                    f"n_blocks ({n_blocks}) must be a multiple of hops "
+                    f"({hops})"
+                )
+            step, _ = self._get_multi_step(hops)
+        else:
+            step = self._raw_step
+        n_steps = n_blocks // hops
+        unroll = max(1, min(int(unroll), n_steps))
+        while n_steps % unroll:
             unroll -= 1
-        step = self._raw_step
 
-        def multi(state, xs):  # xs [unroll, 2, S, hw]
+        def multi(state, xs):  # xs [unroll, 2, S, hops*hw]
             out = None
             for u in range(unroll):
                 state, out = step(state, xs[u, 0], xs[u, 1])
@@ -673,7 +815,7 @@ class PallasStreamPool:
         @jax.jit
         def run(state, blocks):
             g = blocks.reshape(
-                n_blocks // unroll, unroll, *blocks.shape[1:]
+                n_steps // unroll, unroll, *blocks.shape[1:]
             )
             return jax.lax.scan(multi, state, g)
 

@@ -246,14 +246,18 @@ def _read_span(qrefs, start: int, stop: int, hw: int):
     return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
 
 
-def _spectral_bucket(b, hw, G, nq, histL, histR, wref, carry_in, carry_out,
-                     ready, accs):
+def _spectral_bucket(b, hw, G, nq, histL, histR, wref, carry_val, ready,
+                     accs):
     """Spectral-OLA bucket body: sequential framing -> forward dot ->
     mask -> frame spectra stacked on LANES (slot i = frame i-(Kr-1),
     carry first) -> one window dot per Q hops against the rearranged
     inverse weight -> lane-concat of hop outputs.  No [3PG, B] rec, no
     shifted-pad fold, no [G, B] time-domain carries — the two largest
-    VPU-materialization items of the time-OLA kernel (DESIGN.md §6)."""
+    VPU-materialization items of the time-OLA kernel (DESIGN.md §6).
+
+    The carry arrives and returns as a VALUE (not a ref) so the
+    multi-hop kernel can chain hops without round-tripping the carry
+    through the output ref between hops."""
     B, H, P, Kr, kp, Q = b.B, b.H, b.P, b.Kr, b.kp, b.Q
     K = b.gains.shape[1]
     wf_hi, wf_lo, wq_hi, wq_lo, g_ref = wref
@@ -306,7 +310,7 @@ def _spectral_bucket(b, hw, G, nq, histL, histR, wref, carry_in, carry_out,
         if kp > 2 * K:
             spec = jnp.pad(spec, ((0, 0), (0, kp - 2 * K)))
         lanes = spec.reshape(G, P * kp)  # frame p at lane block p
-        c_o = carry_in[:, o * cw : (o + 1) * cw]
+        c_o = carry_val[:, o * cw : (o + 1) * cw]
         S_os.append(jnp.concatenate([c_o, lanes], axis=1))  # [G, (Kr-1+P)*kp]
     S_all = jnp.concatenate(S_os, axis=0)  # [3G, .] rows (o, s)
     outs = []
@@ -318,21 +322,37 @@ def _spectral_bucket(b, hw, G, nq, histL, histR, wref, carry_in, carry_out,
         part = y[o * G : (o + 1) * G]
         accs[o] = part if accs[o] is None else accs[o] + part
     newc = jnp.concatenate([S_os[o][:, P * kp :] for o in range(3)], axis=1)
-    carry_out[...] = jnp.where(ready, newc, carry_in[...])
+    return jnp.where(ready, newc, carry_val)
 
 
-def _build_pool_kernel(plan: PoolPlan, nq: int | None = None):
+def _build_pool_kernel(plan: PoolPlan, nq: int | None = None, hops: int = 1):
     """Pool kernel body.  nq=None: one [G, window] history ref per
     channel (the wrapper shifts the window in XLA each block).  nq=k:
     the history arrives as k [G, hw] QUARTER refs per channel in logical
     order oldest->newest, the newest being the current input block — no
-    per-block shift copy anywhere (CLAUDE.md round-4 candidate #2)."""
+    per-block shift copy anywhere (CLAUDE.md round-4 candidate #2).
+
+    hops=T (quarters layout only): T consecutive hardware blocks run
+    inside THIS kernel invocation — the history arrives as nq-1+T
+    quarter refs per channel (hop i reads quarters [i, i+nq)), the OLA
+    carries chain across hops as VALUES (one HBM read before hop 0, one
+    write after hop T-1), and the outputs are [G, T*hw].  Temporal
+    batching: per block, history operand reads drop from nq quarters to
+    (nq-1+T)/T and carry traffic drops by T; per-hop compute is
+    unchanged.  Trades per-block serving latency (one dispatch covers
+    T deadlines) for throughput — the sustained/batch path's knob."""
     hw, G = plan.hw, plan.group
     buckets = plan.buckets
     counts = [len(b.arrays) for b in buckets]
     spectral = plan.ola == "spectral"
     n_carry = 1 if spectral else 3  # refs per bucket: one packed
     # spectral-carry lane block vs three [G, B] LCR accumulators
+    hops = int(hops)
+    if hops < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
+    if hops > 1 and nq is None:
+        raise ValueError("multi-hop pool kernel requires the quarters layout")
+    nh = None if nq is None else nq - 1 + hops  # quarter refs per channel
 
     warmup = plan.window // hw
     # Snapshot the profiling flags at build time (trace-consistent).
@@ -341,16 +361,18 @@ def _build_pool_kernel(plan: PoolPlan, nq: int | None = None):
     nomask = _PROF_NOMASK or now
     if spectral and (now or noola or nodot or nofold or nomask):
         raise ValueError("profiling fabrications only support ola='time'")
+    if hops > 1 and (now or noola or nodot or nofold or nomask):
+        raise ValueError("profiling fabrications only support hops=1")
 
     def kernel(*refs):
         if nq is None:
-            histL, histR = refs[0], refs[1]  # [G, window]
+            histL_all, histR_all = refs[0], refs[1]  # [G, window]
             pos = 2
         else:
-            histL = refs[:nq]  # nq x [G, hw], oldest -> newest
-            histR = refs[nq : 2 * nq]
-            pos = 2 * nq
-        t_ref = refs[pos]  # [G, 1] int32 — blocks seen (AFTER this one)
+            histL_all = refs[:nh]  # nh x [G, hw], oldest -> newest
+            histR_all = refs[nh : 2 * nh]
+            pos = 2 * nh
+        t_ref = refs[pos]  # [G, 1] int32 — blocks seen AFTER the FIRST hop
         pos += 1
         wrefs = []
         for c in counts:
@@ -376,178 +398,223 @@ def _build_pool_kernel(plan: PoolPlan, nq: int | None = None):
                 ola_out.append(refs[pos : pos + n_carry])
                 pos += n_carry
 
-        # Warmup gating IN the kernel (per stream): not-ready streams
-        # emit silence and hold their OLA state (the reference's degraded
-        # mode, bela/upmix.cpp:485-491).  Doing the select here on VMEM
-        # tiles saves the XLA-side where over every [S, B] carry (~6% of
-        # step time at S=2048).
-        ready = t_ref[...] >= warmup  # [G, 1]
+        # OLA carries live as VALUES across hops: one ref read here, one
+        # ref write after the last hop.
+        carry_vals = [
+            None if noola else [r[...] for r in ola_in[bi]]
+            for bi in range(len(buckets))
+        ]
+        hop_emits = []  # per hop: [3] x [G, hw], warmup-gated
 
-        accs = [None, None, None]
-        for bi, b in enumerate(buckets):
-            B, H, P = b.B, b.H, b.P
-            K = b.gains.shape[1]
-            if spectral:
-                _spectral_bucket(
-                    b, hw, G, nq, histL, histR, wrefs[bi],
-                    ola_in[bi][0], ola_out[bi][0], ready, accs,
-                )
-                continue
-            if now:
-                wf_hi = wf_lo = wi_hi = wi_lo = g_ref = None
+        for hop in range(hops):
+            if nq is None:
+                histL, histR = histL_all, histR_all
             else:
-                wf_hi, wf_lo, wi_hi, wi_lo, g_ref = wrefs[bi]
-            # Grouped framing (the omnibus kernel's trick, pallas_upmix.py
-            # _kernel): frames p ≡ j (mod Kr) start at j*H + m*B, so group
-            # j is ONE contiguous [G, M*B] slice, reshaped to [G*M, B]
-            # rows (stream, m).  The reshape materializes an offset-0
-            # layout, making the axis-0 concat legal even when H < 128
-            # lanes (Mosaic rejects concats of slices whose lane offsets
-            # mismatch on the non-concat dim).  When P does not fill whole
-            # groups (B > hw), fall back to one group per pass — those
-            # have H >= 128 in practice, so the slices are lane-aligned.
-            Kr = B // H
-            if P % Kr == 0:
-                NG, M = Kr, P // Kr
-            else:
-                NG, M = P, 1
-            if nq is not None:
-                # Quarter-held history: group slices may span quarter
-                # boundaries -> lane-axis concat of per-quarter slices.
-                # When the slice offsets (j*H) are not 128-lane-aligned
-                # (e.g. the H=64 bucket), Mosaic's concat rules are the
-                # risk (CLAUDE.md) — pre-materialize ONE aligned base
-                # value covering the bucket's span and slice groups from
-                # it instead (the base concat's inputs are whole/aligned
-                # quarter slices).
-                needed = (NG - 1) * H + M * B
-                if H % 128 == 0 and hw % 128 == 0:
-                    srcL = srcR = None
+                histL = histL_all[hop : hop + nq]
+                histR = histR_all[hop : hop + nq]
+            # Warmup gating IN the kernel (per stream): not-ready streams
+            # emit silence and hold their OLA state (the reference's
+            # degraded mode, bela/upmix.cpp:485-491).  Doing the select
+            # here on VMEM tiles saves the XLA-side where over every
+            # [S, B] carry (~6% of step time at S=2048).
+            ready = t_ref[...] + hop >= warmup  # [G, 1]
+
+            accs = [None, None, None]
+            for bi, b in enumerate(buckets):
+                B, H, P = b.B, b.H, b.P
+                K = b.gains.shape[1]
+                if spectral:
+                    carry_vals[bi][0] = _spectral_bucket(
+                        b, hw, G, nq, histL, histR, wrefs[bi],
+                        carry_vals[bi][0], ready, accs,
+                    )
+                    continue
+                if now:
+                    wf_hi = wf_lo = wi_hi = wi_lo = g_ref = None
                 else:
-                    unit = hw if hw % 128 else 128
-                    blen = min(plan.window, -(-needed // unit) * unit)
-                    srcL = _read_span(histL, 0, blen, hw)
-                    srcR = _read_span(histR, 0, blen, hw)
-            zs = []
-            for ci, ch_ref in enumerate((histL, histR)):
-                for j in range(NG):
-                    if nq is None:
-                        flat = ch_ref[:, j * H : j * H + M * B]  # [G, M*B]
-                    elif srcL is not None:
-                        src = srcL if ci == 0 else srcR
-                        flat = src[:, j * H : j * H + M * B]
+                    wf_hi, wf_lo, wi_hi, wi_lo, g_ref = wrefs[bi]
+                # Grouped framing (the omnibus kernel's trick,
+                # pallas_upmix.py _kernel): frames p ≡ j (mod Kr) start at
+                # j*H + m*B, so group j is ONE contiguous [G, M*B] slice,
+                # reshaped to [G*M, B] rows (stream, m).  The reshape
+                # materializes an offset-0 layout, making the axis-0
+                # concat legal even when H < 128 lanes (Mosaic rejects
+                # concats of slices whose lane offsets mismatch on the
+                # non-concat dim).  When P does not fill whole groups
+                # (B > hw), fall back to one group per pass — those have
+                # H >= 128 in practice, so the slices are lane-aligned.
+                Kr = B // H
+                if P % Kr == 0:
+                    NG, M = Kr, P // Kr
+                else:
+                    NG, M = P, 1
+                if nq is not None:
+                    # Quarter-held history: group slices may span quarter
+                    # boundaries -> lane-axis concat of per-quarter
+                    # slices.  When the slice offsets (j*H) are not
+                    # 128-lane-aligned (e.g. the H=64 bucket), Mosaic's
+                    # concat rules are the risk (CLAUDE.md) —
+                    # pre-materialize ONE aligned base value covering the
+                    # bucket's span and slice groups from it instead (the
+                    # base concat's inputs are whole/aligned quarter
+                    # slices).
+                    needed = (NG - 1) * H + M * B
+                    if H % 128 == 0 and hw % 128 == 0:
+                        srcL = srcR = None
                     else:
-                        flat = _read_span(ch_ref, j * H, j * H + M * B, hw)
-                    zs.append(flat.reshape(G * M, B))
-            Z = jnp.concatenate(zs, axis=0)  # [2*P*G, B] rows (ch, j, s, m)
-            F = P * G
-            if nodot:  # fabrication: wide slice/pad of Z, no MXU
-                if 2 * K <= B:
-                    s2 = Z[:, : 2 * K]
+                        unit = hw if hw % 128 else 128
+                        blen = min(plan.window, -(-needed // unit) * unit)
+                        srcL = _read_span(histL, 0, blen, hw)
+                        srcR = _read_span(histR, 0, blen, hw)
+                zs = []
+                for ci, ch_ref in enumerate((histL, histR)):
+                    for j in range(NG):
+                        if nq is None:
+                            flat = ch_ref[:, j * H : j * H + M * B]
+                        elif srcL is not None:
+                            src = srcL if ci == 0 else srcR
+                            flat = src[:, j * H : j * H + M * B]
+                        else:
+                            flat = _read_span(ch_ref, j * H, j * H + M * B, hw)
+                        zs.append(flat.reshape(G * M, B))
+                Z = jnp.concatenate(zs, axis=0)  # [2*P*G, B] (ch, j, s, m)
+                F = P * G
+                if nodot:  # fabrication: wide slice/pad of Z, no MXU
+                    if 2 * K <= B:
+                        s2 = Z[:, : 2 * K]
+                    else:
+                        s2 = jnp.pad(Z, ((0, 0), (0, 2 * K - B)))
                 else:
-                    s2 = jnp.pad(Z, ((0, 0), (0, 2 * K - B)))
-            else:
-                s2 = _dot3(Z, wf_hi[...], wf_lo[...])  # [2PG, 2K]
-            if nomask:  # fabrication: 3 output spectra = L, R, L rows
-                S = jnp.concatenate([s2, s2[:F]], axis=0)  # [3PG, 2K]
-            else:
-                sl, sr = s2[:F], s2[F:]
-                gains_list = [g_ref[i, :] for i in range(b.gains.shape[0])]
-                c_re, c_im, l_re, l_im, r_re, r_im = _mask_sum(
-                    sl[:, :K], sl[:, K:], sr[:, :K], sr[:, K:], gains_list
-                )
-                S = jnp.concatenate(
-                    [
-                        jnp.concatenate([c_re, c_im], axis=1),
-                        jnp.concatenate([l_re, l_im], axis=1),
-                        jnp.concatenate([r_re, r_im], axis=1),
-                    ],
-                    axis=0,
-                )  # [3PG, 2K]
-            if nodot:  # fabrication: reuse Z rows, scalar dep on S
-                rec = jnp.concatenate([Z, Z[:F]], axis=0) + S[0, 0]
-            else:
-                rec = _dot3(S, wi_hi[...], wi_lo[...])  # [3PG, B] (o,j,s,m)
-            L = (P - 1) * H + B
-            GM = G * M
-            for o in range(3):
-                rec_o = rec[o * F : (o + 1) * F]  # [PG, B] rows (j, s, m)
-                if nofold:  # fabrication: pad+add only, no shifted fold
-                    w = min(hw, B)
-                    emit = rec_o[:G, :w]
-                    if w < hw:
-                        emit = jnp.pad(emit, ((0, 0), (0, hw - w)))
+                    s2 = _dot3(Z, wf_hi[...], wf_lo[...])  # [2PG, 2K]
+                if nomask:  # fabrication: 3 output spectra = L, R, L rows
+                    S = jnp.concatenate([s2, s2[:F]], axis=0)  # [3PG, 2K]
+                else:
+                    sl, sr = s2[:F], s2[F:]
+                    gains_list = [
+                        g_ref[i, :] for i in range(b.gains.shape[0])
+                    ]
+                    c_re, c_im, l_re, l_im, r_re, r_im = _mask_sum(
+                        sl[:, :K], sl[:, K:], sr[:, :K], sr[:, K:],
+                        gains_list,
+                    )
+                    S = jnp.concatenate(
+                        [
+                            jnp.concatenate([c_re, c_im], axis=1),
+                            jnp.concatenate([l_re, l_im], axis=1),
+                            jnp.concatenate([r_re, r_im], axis=1),
+                        ],
+                        axis=0,
+                    )  # [3PG, 2K]
+                if nodot:  # fabrication: reuse Z rows, scalar dep on S
+                    rec = jnp.concatenate([Z, Z[:F]], axis=0) + S[0, 0]
+                else:
+                    rec = _dot3(S, wi_hi[...], wi_lo[...])  # [3PG, B]
+                L = (P - 1) * H + B
+                GM = G * M
+                for o in range(3):
+                    rec_o = rec[o * F : (o + 1) * F]  # [PG, B] (j, s, m)
+                    if nofold:  # fabrication: pad+add, no shifted fold
+                        w = min(hw, B)
+                        emit = rec_o[:G, :w]
+                        if w < hw:
+                            emit = jnp.pad(emit, ((0, 0), (0, hw - w)))
+                        accs[o] = emit if accs[o] is None else accs[o] + emit
+                        if not noola:
+                            carry_vals[bi][o] = jnp.where(
+                                ready,
+                                rec_o[:G] + carry_vals[bi][o],
+                                carry_vals[bi][o],
+                            )
+                        continue
+                    acc = None
+                    for j in range(NG):
+                        # Group j's M frames are contiguous per stream:
+                        # rows (s, m) flatten back to [G, M*B] at j*H.
+                        flat = rec_o[j * GM : (j + 1) * GM].reshape(
+                            G, M * B
+                        )
+                        part = jnp.pad(
+                            flat, ((0, 0), (j * H, L - j * H - M * B))
+                        )
+                        acc = part if acc is None else acc + part
+                    carry = 0.0 if noola else carry_vals[bi][o]
+                    if L > B:
+                        full = jnp.concatenate(
+                            [acc[:, :B] + carry, acc[:, B:]], axis=1
+                        )  # [G, L]
+                    else:  # P == 1: L == B and acc[:, B:] would be a
+                        # zero-width slice, which Mosaic rejects
+                        # ("positive constant sizes").
+                        full = acc + carry
+                    emit = full[:, : P * H]  # [G, hw]
                     accs[o] = emit if accs[o] is None else accs[o] + emit
                     if not noola:
-                        ola_out[bi][o][...] = jnp.where(
-                            ready,
-                            rec_o[:G] + ola_in[bi][o][...],
-                            ola_in[bi][o][...],
+                        tail = jnp.concatenate(
+                            [full[:, P * H :], jnp.zeros((G, H), jnp.float32)],
+                            axis=1,
                         )
-                    continue
-                acc = None
-                for j in range(NG):
-                    # Group j's M frames are contiguous per stream: rows
-                    # (s, m) flatten back to [G, M*B], landing at j*H.
-                    flat = rec_o[j * GM : (j + 1) * GM].reshape(G, M * B)
-                    part = jnp.pad(
-                        flat, ((0, 0), (j * H, L - j * H - M * B))
-                    )
-                    acc = part if acc is None else acc + part
-                carry = 0.0 if noola else ola_in[bi][o][...]
-                if L > B:
-                    full = jnp.concatenate(
-                        [acc[:, :B] + carry, acc[:, B:]], axis=1
-                    )  # [G, L]
-                else:  # P == 1: L == B and acc[:, B:] would be a zero-width
-                    # slice, which Mosaic rejects ("positive constant sizes").
-                    full = acc + carry
-                emit = full[:, : P * H]  # [G, hw]
-                accs[o] = emit if accs[o] is None else accs[o] + emit
-                if not noola:
-                    tail = jnp.concatenate(
-                        [full[:, P * H :], jnp.zeros((G, H), jnp.float32)],
-                        axis=1,
-                    )
-                    ola_out[bi][o][...] = jnp.where(
-                        ready, tail, ola_in[bi][o][...]
-                    )
-        zero = jnp.zeros((G, hw), jnp.float32)
-        outC[...] = jnp.where(ready, accs[0], zero)
-        outLs[...] = jnp.where(ready, accs[1], zero)
-        outRs[...] = jnp.where(ready, accs[2], zero)
+                        carry_vals[bi][o] = jnp.where(
+                            ready, tail, carry_vals[bi][o]
+                        )
+            zero = jnp.zeros((G, hw), jnp.float32)
+            hop_emits.append(
+                [jnp.where(ready, accs[o], zero) for o in range(3)]
+            )
+
+        for o, out_ref in enumerate((outC, outLs, outRs)):
+            if hops == 1:
+                out_ref[...] = hop_emits[0][o]
+            else:
+                out_ref[...] = jnp.concatenate(
+                    [hop_emits[hop][o] for hop in range(hops)], axis=1
+                )
+        if not noola:
+            for bi in range(len(buckets)):
+                for ci in range(n_carry):
+                    ola_out[bi][ci][...] = carry_vals[bi][ci]
 
     return kernel
 
 
-def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False):
-    """One hardware block for every stream.
+def pool_step_lcr(
+    histL, histR, t, olas, plan: PoolPlan, interpret: bool = False,
+    hops: int = 1,
+):
+    """One hardware block for every stream — or ``hops`` consecutive
+    blocks in ONE kernel launch (temporal batching).
 
     histL/histR: either [S, window] float32 — the UPDATED shared history
     whose last hw samples are the current input block — or a
-    tuple/list of window//hw QUARTER arrays [S, hw] in logical order
-    oldest->newest (the newest being the current input block; the
-    quarters layout needs no per-block shift copy).  t: [S] int32 —
-    blocks seen per stream INCLUDING this one (warmup gating happens in
-    the kernel: streams with t < K emit silence and hold their OLA
-    state).  olas: per bucket a tuple of three [S, B] accumulators
-    (C, Ls, Rs) for ola="time" plans, or ONE packed [S, spec_width]
-    spectral-carry array for ola="spectral" plans.  Returns
-    (outC, outLs, outRs) each [S, hw] and the new olas structure.
+    tuple/list of window//hw - 1 + hops QUARTER arrays [S, hw] in
+    logical order oldest->newest (the newest ``hops`` being the input
+    blocks; the quarters layout needs no per-block shift copy).  The
+    window layout only supports hops=1.  t: [S] int32 — blocks seen per
+    stream INCLUDING the first hop of this call (warmup gating happens
+    in the kernel: hop i of a stream with t + i < K emits silence and
+    holds its OLA state).  olas: per bucket a tuple of three [S, B]
+    accumulators (C, Ls, Rs) for ola="time" plans, or ONE packed
+    [S, spec_width] spectral-carry array for ola="spectral" plans; with
+    hops > 1 the carries chain across hops INSIDE the kernel (one HBM
+    read + one write per call instead of per block).  Returns
+    (outC, outLs, outRs) each [S, hops*hw] and the new olas structure.
     """
     S, G = plan.n_streams, plan.group
     n_groups = S // G
     spectral = plan.ola == "spectral"
     now, noola = _PROF_NOW, _PROF_NOOLA
     w_arrays = [] if now else plan.arrays()
+    hops = int(hops)
 
     quarters = isinstance(histL, (tuple, list))
+    if hops > 1 and not quarters:
+        raise ValueError("hops > 1 requires the quarters history layout")
     if quarters:
         nq = plan.window // plan.hw
-        if len(histL) != nq or len(histR) != nq:
+        nh = nq - 1 + hops
+        if len(histL) != nh or len(histR) != nh:
             raise ValueError(
-                f"quarters layout needs {nq} [S, hw] arrays per channel; "
-                f"got {len(histL)}/{len(histR)}"
+                f"quarters layout needs {nh} [S, hw] arrays per channel "
+                f"at hops={hops}; got {len(histL)}/{len(histR)}"
             )
         hist_args = [*histL, *histR]
         in_specs = [
@@ -592,10 +659,12 @@ def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False
                 )
 
     out_specs = [
-        pl.BlockSpec((G, plan.hw), lambda s: (s, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec(
+            (G, hops * plan.hw), lambda s: (s, 0), memory_space=pltpu.VMEM
+        )
         for _ in range(3)
     ]
-    out_shapes = [jax.ShapeDtypeStruct((S, plan.hw), jnp.float32)] * 3
+    out_shapes = [jax.ShapeDtypeStruct((S, hops * plan.hw), jnp.float32)] * 3
     if not noola:
         for b in plan.buckets:
             if spectral:
@@ -618,7 +687,7 @@ def pool_step_lcr(histL, histR, t, olas, plan: PoolPlan, interpret: bool = False
                 out_shapes.append(jax.ShapeDtypeStruct((S, b.B), jnp.float32))
 
     call = pl.pallas_call(
-        _build_pool_kernel(plan, nq=nq),
+        _build_pool_kernel(plan, nq=nq, hops=hops),
         grid=(n_groups,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
