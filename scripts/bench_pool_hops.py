@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SR, HW = 48000.0, 2048
 EDGES = [0.0, 500.0, 2000.0, 8000.0]
-N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 48))
+# 24 (not 48): every hops variant holds its own device copy of the
+# input (N_BLOCKS*2*B*HW*4 bytes each) and they must ALL stay alive for
+# the interleaved protocol — 48 blocks x 4 variants at B=4096 is
+# 12.9 GB and OOMs the v5e's 16 GB HBM (measured 2026-08-19).
+N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", 24))
 VISITS = int(os.environ.get("BENCH_VISITS", 5))
 B = int(os.environ.get("BENCH_B", 4096))
 G = int(os.environ.get("BENCH_G", 16))
@@ -74,12 +78,16 @@ def main():
     ref = None
     alive = {}
     for name, (T, run, fresh) in engines.items():
-        blocks = slabs(T)
-        blocks.block_until_ready()
         try:
+            # slabs() inside the try: each variant keeps a full device
+            # copy of the input alive (N_BLOCKS*2*B*HW*4 bytes — 1.6 GB
+            # at the default geometry), so a big-T candidate can OOM HBM
+            # here as well as in the kernel itself.
+            blocks = slabs(T)
+            blocks.block_until_ready()
             _, oc = run(fresh(), blocks)
             got = np.asarray(oc[-1, :4, -HW:])  # last emitted C block
-        except Exception as e:  # e.g. Mosaic reject / VMEM blowup at big T
+        except Exception as e:  # e.g. Mosaic reject / VMEM/HBM blowup at big T
             print(f"{name}: FAILED to compile/run: {type(e).__name__}: {e}",
                   flush=True)
             continue

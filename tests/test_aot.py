@@ -138,6 +138,64 @@ def test_stream_pool_artifact_interpret_matches_live(tmp_path):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+def test_stream_pool_multihop_artifact_matches_live(tmp_path):
+    # hops=T artifact: the frozen program is the temporal-batch step —
+    # the loaded pool serves T blocks per push_blocks_multi call and
+    # matches the live pool's multi-hop path exactly.
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    hw, S, T = 256, 8, 2
+    cfg = UpmixConfig.streaming([0.0, 400.0, 1600.0], sr=SR, hw_block_size=hw)
+    path = str(tmp_path / "pool_t2.upmixaot")
+    meta = aot.save_stream_pool(
+        path, cfg, hw, S, group=8, platforms=["cpu"], interpret=True, hops=T
+    )
+    assert meta["hops"] == T
+
+    art = aot.load(path)
+    live = PallasStreamPool(cfg, hw, n_streams=S, group=8, interpret=True)
+
+    rng = np.random.default_rng(11)
+    n_calls = (live.warmup_blocks + 4 + T - 1) // T
+    slabs = rng.standard_normal(
+        (n_calls, 2, S, T * hw)
+    ).astype(np.float32) * 0.3
+    for t in range(n_calls):
+        want = live.push_blocks_multi(slabs[t, 0], slabs[t, 1])
+        got = art.push_blocks_multi(slabs[t, 0], slabs[t, 1])
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # A multi-hop artifact has no single-hop program: push_blocks must
+    # refuse with the actionable error, not run a wrong shape.
+    with pytest.raises(ValueError, match="push_blocks_multi"):
+        art.push_blocks(np.zeros((S, hw), np.float32),
+                        np.zeros((S, hw), np.float32))
+    # ... and a mismatched hops width reaches the AOT guard.
+    with pytest.raises(ValueError, match="AOT-loaded"):
+        art.push_blocks_multi(np.zeros((S, 4 * hw), np.float32),
+                              np.zeros((S, 4 * hw), np.float32))
+    # The sustained runner scans the raw step, which artifacts don't carry.
+    with pytest.raises(ValueError, match="AOT-loaded"):
+        art.make_sustained_runner(4, 1, hops=T)
+
+
+def test_stream_pool_single_hop_artifact_rejects_multi(tmp_path):
+    # A single-hop artifact asked for a multi-hop push must hit the
+    # clean AOT guard (regression: _shape_only pools used to lack the
+    # _multi_steps cache and raised AttributeError here).
+    hw, S = 256, 8
+    cfg = UpmixConfig.streaming([0.0, 400.0, 1600.0], sr=SR, hw_block_size=hw)
+    path = str(tmp_path / "pool_t1.upmixaot")
+    aot.save_stream_pool(
+        path, cfg, hw, S, group=8, platforms=["cpu"], interpret=True
+    )
+    art = aot.load(path)
+    with pytest.raises(ValueError, match="AOT-loaded"):
+        art.push_blocks_multi(np.zeros((S, 2 * hw), np.float32),
+                              np.zeros((S, 2 * hw), np.float32))
+
+
 def test_stream_pool_artifact_tpu_serialization(tmp_path):
     # The default pool artifact lowers the real Mosaic kernel for "tpu"
     # even from this CPU build host (the StableHLO embeds the versioned

@@ -163,3 +163,69 @@ def test_tune_scan_protocol_pallas_interpret():
 def test_tune_rejects_unknown_protocol():
     with pytest.raises(ValueError):
         tune_pool(_cfg(), HW, protocol="bogus")
+
+
+def test_tune_hops_sweep_scan_pallas():
+    # Temporal batching knob: hops=2 candidates run 2 blocks per kernel
+    # launch (make_sustained_runner(hops=2)); both depths must measure
+    # and the multi-hop one must carry the /T label.
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(8,), groups=(8,), engine="pallas",
+        blocks=2, visits=1, protocol="scan", unroll=1, hops=(1, 2),
+        verbose=False,
+    )
+    ok = [r for r in report["results"] if r["ok"]]
+    assert len(ok) == 2
+    assert {r["hops"] for r in ok} == {1, 2}
+    (t2,) = [r for r in ok if r["hops"] == 2]
+    assert t2["label"].endswith("/T2")
+    assert report["protocol"]["hops"] == [1, 2]
+    assert report["best"] is not None
+
+
+def test_tune_hops_dispatch_uses_push_blocks_multi():
+    # dispatch protocol at hops=2: blocks are timed through
+    # push_blocks_multi, 2 blocks per call; per-BLOCK normalization.
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(8,), groups=(8,), engine="pallas",
+        blocks=2, visits=1, protocol="dispatch", hops=(2,),
+        verbose=False,
+    )
+    (rec,) = report["results"]
+    assert rec["ok"] and rec["hops"] == 2 and rec["label"].endswith("/T2")
+    assert rec["seconds_per_block"] > 0
+
+
+def test_tune_hops_infeasible_on_xla_resolution():
+    # engine='auto' resolves to the XLA pool on CPU, which has no
+    # multi-hop kernel: a hops>1 candidate is recorded infeasible, not
+    # raised and not silently dropped.
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(2,), groups=(1,), engine="auto",
+        blocks=2, visits=1, hops=(2,), verbose=False,
+    )
+    assert report["best"] is None
+    (rec,) = report["results"]
+    assert rec["ok"] is False and "multi-hop" in rec["error"]
+
+
+def test_tune_hops_must_divide_blocks():
+    # A depth that doesn't divide the visit length can't run whole
+    # slabs; it is skipped like an indivisible group.
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(8,), groups=(8,), engine="pallas",
+        blocks=3, visits=1, hops=(2,), verbose=False,
+    )
+    assert report["results"] == [] and report["best"] is None
+
+
+def test_tune_hops_window_layout_records_rejection():
+    # The window layout re-shifts history per hop and rejects hops>1;
+    # the tuner records that as a candidate failure.
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(8,), groups=(8,), engine="pallas",
+        layout="window", blocks=2, visits=1, protocol="scan",
+        unroll=1, hops=(2,), verbose=False,
+    )
+    (rec,) = report["results"]
+    assert rec["ok"] is False and "quarters" in rec["error"]

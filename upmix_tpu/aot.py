@@ -144,6 +144,7 @@ def export_stream_pool(
     ola: str = "time",
     platforms: Sequence[str] | None = ("tpu",),
     interpret: bool = False,
+    hops: int = 1,
 ):
     """Export the pallas serving-pool step (state, [S,hw], [S,hw]) ->
     (state, (C, Ls, Rs)).
@@ -156,6 +157,13 @@ def export_stream_pool(
     kernel (CPU-runnable; testing only — a real serving host wants the
     Mosaic form).  Raises ValueError when the config is not pool-kernel
     eligible (same bar as PallasStreamPool).
+
+    ``hops=T`` exports the temporal-batching step instead — T
+    consecutive hardware blocks per launch, signature (state,
+    [S, T*hw], [S, T*hw]) -> (state, (C, Ls, Rs) each [S, T*hw]);
+    quarters layout only.  The loaded artifact serves through
+    push_blocks_multi (its single-hop push_blocks raises — a multi-hop
+    program cannot take one block).
     """
     import jax
     from jax import export as jax_export
@@ -163,7 +171,7 @@ def export_stream_pool(
     from upmix_tpu.models.streaming import PallasStreamPool
 
     # jax.jit is lazy, so constructing the pool traces/compiles nothing;
-    # its jitted _step is exactly the program to export.
+    # its jitted step is exactly the program to export.
     pool = PallasStreamPool(
         config,
         hw_block_size,
@@ -173,13 +181,18 @@ def export_stream_pool(
         layout=layout,
         ola=ola,
     )
+    hops = int(hops)
+    if hops > 1:
+        _, step = pool._get_multi_step(hops)
+    else:
+        step = pool._step
     state_spec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), pool.state
     )
     x_spec = jax.ShapeDtypeStruct(
-        (int(n_streams), int(hw_block_size)), np.float32
+        (int(n_streams), hops * int(hw_block_size)), np.float32
     )
-    return jax_export.export(pool._step, platforms=_norm_platforms(platforms))(
+    return jax_export.export(step, platforms=_norm_platforms(platforms))(
         state_spec, x_spec, x_spec
     )
 
@@ -249,8 +262,13 @@ def save_stream_pool(
     ola: str = "time",
     platforms: Sequence[str] | None = ("tpu",),
     interpret: bool = False,
+    hops: int = 1,
 ) -> dict:
-    """Build and write a serving-pool artifact; returns its metadata."""
+    """Build and write a serving-pool artifact; returns its metadata.
+
+    ``hops=T`` freezes the temporal-batching step (T blocks per launch;
+    see export_stream_pool) — the loaded pool serves through
+    push_blocks_multi only."""
     import jax
 
     exported = export_stream_pool(
@@ -262,6 +280,7 @@ def save_stream_pool(
         ola=ola,
         platforms=platforms,
         interpret=interpret,
+        hops=hops,
     )
     meta = {
         "format": _FORMAT,
@@ -273,6 +292,7 @@ def save_stream_pool(
         "layout": layout,
         "ola": ola,
         "interpret": bool(interpret),
+        "hops": int(hops),
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
     }
@@ -391,7 +411,15 @@ def _make_aot_stream_pool(meta: dict, exported):
     )
     pool.meta = meta
     pool.exported = exported
-    pool._step = jax.jit(exported.call)
+    hops = int(meta.get("hops", 1))
+    if hops > 1:
+        # The artifact's program IS the temporal-batch step: seed the
+        # multi-step cache (raw step stays None — no sustained runner on
+        # AOT pools) and leave _step unset so push_blocks raises the
+        # "multi-hop artifact" error instead of running a wrong shape.
+        pool._multi_steps[hops] = (None, jax.jit(exported.call))
+    else:
+        pool._step = jax.jit(exported.call)
     return pool
 
 

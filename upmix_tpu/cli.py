@@ -266,6 +266,16 @@ def build_parser() -> argparse.ArgumentParser:
         "unless --aot-platforms overrides)",
     )
     p.add_argument(
+        "--aot-hops",
+        type=int,
+        default=1,
+        metavar="T",
+        help="with --save-aot --aot-pool: freeze the temporal-batching "
+        "step (T consecutive hardware blocks per kernel launch; the "
+        "loaded pool serves through push_blocks_multi with [N, T*hw] "
+        "inputs at T block deadlines of added latency)",
+    )
+    p.add_argument(
         "--aot-platforms",
         default=None,
         help="comma-separated lowering platforms for --save-aot (e.g. "
@@ -488,6 +498,8 @@ def main(argv=None) -> int:
             platforms = [s for s in args.aot_platforms.split(",") if s.strip()]
         if args.aot_stream and args.aot_pool is not None:
             raise SystemExit("error: --aot-stream and --aot-pool are exclusive")
+        if args.aot_hops != 1 and args.aot_pool is None:
+            raise SystemExit("error: --aot-hops requires --aot-pool")
         if args.aot_stream or args.aot_pool is not None:
             cfg = UpmixConfig.streaming(
                 edges,
@@ -504,6 +516,8 @@ def main(argv=None) -> int:
                     raise SystemExit("error: --aot-pool must be >= 1 streams")
                 if args.pool_group < 8:
                     raise SystemExit("error: --pool-group must be >= 8")
+                if args.aot_hops < 1:
+                    raise SystemExit("error: --aot-hops must be >= 1")
                 kwargs = {}
                 if platforms is not None:
                     kwargs["platforms"] = platforms
@@ -515,6 +529,7 @@ def main(argv=None) -> int:
                         args.aot_pool,
                         group=args.pool_group,
                         ola=args.pool_ola,
+                        hops=args.aot_hops,
                         **kwargs,
                     )
                 except ValueError as exc:

@@ -555,7 +555,12 @@ class PallasStreamPool:
         )
         self.donate = bool(donate)
         if _shape_only:
-            self._step = None  # installed by the caller (aot.load)
+            # Installed by the caller (aot.load): a single-hop artifact
+            # sets _step; a multi-hop artifact seeds _multi_steps[hops]
+            # instead (its exported program IS the temporal-batch step).
+            self._step = None
+            self._raw_step = None
+            self._multi_steps = {}
             self.state = self._fresh_state()
             return
 
@@ -657,11 +662,16 @@ class PallasStreamPool:
                 "multi-hop steps need layout='quarters' (the window "
                 "layout would re-shift the history per hop)"
             )
-        if self._step is None:
+        if self._raw_step is None:
+            # _raw_step (not _step) is the shape-only sentinel: a
+            # single-hop artifact HAS a _step (the exported program) but
+            # its plan still carries no kernel weights to build NEW
+            # multi-hop steps from.
             raise ValueError(
                 "multi-hop steps are unavailable on an AOT-loaded pool "
                 "(its plan carries no kernel weights); export the "
-                "multi-hop program instead or build a live pool"
+                "multi-hop program (save_stream_pool(hops=...)) or build "
+                "a live pool"
             )
         plan = self.plan
         hw = self.hw_block_size
@@ -801,6 +811,12 @@ class PallasStreamPool:
             step, _ = self._get_multi_step(hops)
         else:
             step = self._raw_step
+        if step is None:
+            raise ValueError(
+                "the sustained runner scans the raw (un-jitted) step, "
+                "which an AOT-loaded pool does not carry; build a live "
+                "pool to measure sustained capacity"
+            )
         n_steps = n_blocks // hops
         unroll = max(1, min(int(unroll), n_steps))
         while n_steps % unroll:
@@ -996,6 +1012,13 @@ class PallasStreamPool:
                 f"push_blocks expects two [{self.n_streams}, "
                 f"{self.hw_block_size}] channel arrays; got "
                 f"{tuple(xl.shape)} / {tuple(xr.shape)}"
+            )
+        if self._step is None:
+            hops = sorted(self._multi_steps)
+            raise ValueError(
+                "this AOT-loaded pool carries no single-hop program "
+                f"(artifact exported with hops={hops[0] if hops else '?'}); "
+                "feed push_blocks_multi with [n_streams, hops*hw] inputs"
             )
         if self._shardings is not None:
             xl = jax.device_put(xl, self._shardings(xl))

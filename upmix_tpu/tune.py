@@ -81,6 +81,7 @@ def tune_pool(
     include_xla: bool = False,
     protocol: str = "dispatch",
     unroll: int = 8,
+    hops=(1,),
     verbose: bool = True,
 ) -> dict:
     """Sweep (batch, group) serving-pool candidates on the attached
@@ -110,7 +111,18 @@ def tune_pool(
 
     ``include_xla=True`` adds one BatchStreamingUpmixer candidate per
     batch size (group is a pallas-only knob), so the report shows the
-    engine crossover too.  Returns::
+    engine crossover too.
+
+    ``hops`` sweeps temporal batching depth: a candidate at hops=T runs
+    T consecutive hardware blocks per kernel launch
+    (PallasStreamPool.push_blocks_multi / make_sustained_runner(hops=T)
+    — quarters layout only; the serving trade is T block deadlines of
+    input latency per dispatch).  T values that don't divide ``blocks``
+    are skipped; engines/layouts without multi-hop support record the
+    rejection like any other infeasible candidate.  Memory note: the
+    scan protocol keeps one device-resident input slab alive per
+    (batch, T) pair for the interleaved visits — size the sweep to HBM
+    (each slab is blocks*2*batch*hw_block*4 bytes).  Returns::
 
         {"results": [...], "best": {...} | None,
          "protocol": {"blocks": ..., "visits": ...}}
@@ -127,26 +139,32 @@ def tune_pool(
         if engine == "xla":
             # group is a pallas-only knob: one candidate per batch,
             # not one per group value (they'd be the same pool thrice,
-            # mislabeled .../G8, .../G16, .../G32).
+            # mislabeled .../G8, .../G16, .../G32).  hops likewise:
+            # the XLA pool has no multi-hop kernel.
             candidates.append({"batch": int(b), "group": None,
-                               "engine": "xla"})
+                               "engine": "xla", "hops": 1})
         else:
             for g in groups:
                 if int(b) % int(g) != 0:
                     continue  # pool constraint: streams divide by group
-                candidates.append({"batch": int(b), "group": int(g),
-                                   "engine": engine})
+                for t in hops:
+                    if int(blocks) % int(t) != 0:
+                        continue  # visit length must cover whole slabs
+                    candidates.append({"batch": int(b), "group": int(g),
+                                       "engine": engine, "hops": int(t)})
         if include_xla and engine != "xla":
             candidates.append({"batch": int(b), "group": None,
-                               "engine": "xla"})
+                               "engine": "xla", "hops": 1})
 
     built = []
     results = []
     seen_groupless = set()  # 'auto' resolving to XLA ignores group
-    scan_inputs = {}  # batch -> shared device blocks [blocks, 2, B, hw]
+    scan_inputs = {}  # (batch, hops) -> device blocks [n, 2, B, T*hw]
     for cand in candidates:
+        T = cand["hops"]
         label = (f"{cand['engine']}/B{cand['batch']}" +
-                 (f"/G{cand['group']}" if cand["group"] else ""))
+                 (f"/G{cand['group']}" if cand["group"] else "") +
+                 (f"/T{T}" if T > 1 else ""))
         rec = dict(cand, label=label, ok=False, error=None,
                    seconds_per_block=None, us_per_block_stream=None,
                    streams_per_chip=None)
@@ -157,7 +175,13 @@ def tune_pool(
             )
             if not hasattr(pool, "group"):
                 # engine='auto' resolved to the XLA pool: group is
-                # meaningless, so time only one candidate per batch.
+                # meaningless, so time only one candidate per batch —
+                # and it has no multi-hop kernel at all.
+                if T > 1:
+                    rec["error"] = ("infeasible: resolved engine has no "
+                                    "multi-hop (temporal batching) step")
+                    results.append(rec)
+                    continue
                 key = (cand["batch"], type(pool).__name__)
                 if key in seen_groupless:
                     rec["error"] = "duplicate: resolved engine ignores group"
@@ -168,19 +192,41 @@ def tune_pool(
             import jax.numpy as jnp
 
             if protocol == "scan":
-                run, fresh = pool.make_sustained_runner(blocks, unroll)
-                # ONE input tensor per batch size, generated on device
-                # and shared by every same-batch candidate (it can be
-                # GBs at production batch sizes).
-                blk = scan_inputs.get(cand["batch"])
+                if T > 1:
+                    run, fresh = pool.make_sustained_runner(
+                        blocks, unroll, hops=T
+                    )
+                else:
+                    run, fresh = pool.make_sustained_runner(blocks, unroll)
+                # ONE input tensor per (batch, hops), generated on
+                # device and shared by every same-shape candidate (it
+                # can be GBs at production batch sizes).  The hops=T
+                # slab is the hops=1 tensor regrouped so every variant
+                # consumes the identical sample stream.
+                blk = scan_inputs.get((cand["batch"], T))
                 if blk is None:
-                    blk = jax.jit(
-                        lambda k, b=cand["batch"]: jax.random.normal(
-                            k, (blocks, 2, b, hw_block), jnp.float32
-                        ) * 0.3
-                    )(jax.random.PRNGKey(cand["batch"]))
-                    blk.block_until_ready()
-                    scan_inputs[cand["batch"]] = blk
+                    base = scan_inputs.get((cand["batch"], 1))
+                    if base is None:
+                        base = jax.jit(
+                            lambda k, b=cand["batch"]: jax.random.normal(
+                                k, (blocks, 2, b, hw_block), jnp.float32
+                            ) * 0.3
+                        )(jax.random.PRNGKey(cand["batch"]))
+                        base.block_until_ready()
+                        scan_inputs[(cand["batch"], 1)] = base
+                    if T == 1:
+                        blk = base
+                    else:
+                        b = cand["batch"]
+                        blk = jax.jit(
+                            lambda a: a.reshape(
+                                blocks // T, T, 2, b, hw_block
+                            ).transpose(0, 2, 3, 1, 4).reshape(
+                                blocks // T, 2, b, T * hw_block
+                            )
+                        )(base)
+                        blk.block_until_ready()
+                        scan_inputs[(cand["batch"], T)] = blk
                 # Warm: compile + one full chain off the clock.
                 _, cs = run(fresh(), blk)
                 float(np.asarray(cs[-1, 0, 0]))
@@ -188,10 +234,15 @@ def tune_pool(
                 built.append((rec, (run, fresh), blk, None))
                 results.append(rec)
                 continue
-            zl = np.zeros((cand["batch"], hw_block), np.float32)
+            # Device-resident zeros: a HOST array here would upload
+            # B*T*hw floats per warm push through the transport (128 MB
+            # at B=2048, T=8 — minutes on a slow tunnel).
+            zl = jnp.zeros((cand["batch"], T * hw_block), jnp.float32)
+            zl.block_until_ready()
+            push = pool.push_blocks_multi if T > 1 else pool.push_blocks
             # Warm: trigger compile + first-dispatch costs off the clock.
-            pool.push_blocks(zl, zl)
-            c, _, _ = pool.push_blocks(zl, zl)
+            push(zl, zl)
+            c, _, _ = push(zl, zl)
             float(np.asarray(c)[0, 0])
         except Exception as e:  # build or compile rejection
             rec["error"] = f"{type(e).__name__}: {e}"
@@ -209,7 +260,7 @@ def tune_pool(
 
         x = jax.jit(
             lambda k: jax.random.normal(
-                k, (2, zl.shape[0], hw_block), jnp.float32
+                k, (2, zl.shape[0], T * hw_block), jnp.float32
             ) * 0.3
         )(jax.random.PRNGKey(len(built)))
         x.block_until_ready()
@@ -218,7 +269,7 @@ def tune_pool(
         xl, xr = x[0], x[1]
         jax.block_until_ready((xl, xr))
         rec["visits"] = []
-        built.append((rec, pool, xl, xr))
+        built.append((rec, (pool, push), xl, xr))
         results.append(rec)
 
     # Transport floor: the cheapest possible dispatch+fetch round trip.
@@ -250,10 +301,12 @@ def tune_pool(
                 float(np.asarray(cs[-1, 0, 0]))  # bound the whole chain
                 dt = (time.perf_counter() - t0) / int(blocks)
             else:
+                _, push = pool
+                T = rec["hops"]
                 t0 = time.perf_counter()
                 out = None
-                for _ in range(int(blocks)):
-                    out = pool.push_blocks(xl, xr)
+                for _ in range(int(blocks) // T):
+                    out = push(xl, xr)
                 float(np.asarray(out[0])[0, 0])  # bound the chained steps
                 dt = (time.perf_counter() - t0) / int(blocks)
             rec["visits"].append(dt)
@@ -287,6 +340,7 @@ def tune_pool(
         "protocol": {"name": protocol, "blocks": int(blocks),
                      "visits": int(visits),
                      "unroll": int(unroll) if protocol == "scan" else None,
+                     "hops": [int(t) for t in hops],
                      "estimator": "min-of-visits, interleaved",
                      "layout": layout, "ola": ola,
                      "transport_floor_seconds": transport_floor},
@@ -323,6 +377,11 @@ def main(argv=None):
     ap.add_argument("--unroll", type=int, default=8,
                     help="scan protocol: steps per scan iteration "
                     "(quarters layout needs >1)")
+    ap.add_argument("--hops", default="1",
+                    help="temporal batching depths to sweep, comma-"
+                    "separated (pallas quarters pools only; hops=T runs "
+                    "T blocks per kernel launch at T block deadlines of "
+                    "added input latency)")
     ap.add_argument("--json", action="store_true",
                     help="print the full report as one JSON line")
     args = ap.parse_args(argv)
@@ -342,7 +401,9 @@ def main(argv=None):
         engine=args.engine, layout=args.layout, ola=args.ola,
         blocks=args.blocks, visits=args.visits,
         include_xla=args.include_xla, protocol=args.protocol,
-        unroll=args.unroll, verbose=not args.json,
+        unroll=args.unroll,
+        hops=[int(t) for t in args.hops.split(",")],
+        verbose=not args.json,
     )
     if args.json:
         print(json.dumps(report))
