@@ -243,7 +243,10 @@ def tune_pool(
             # Warm: trigger compile + first-dispatch costs off the clock.
             push(zl, zl)
             c, _, _ = push(zl, zl)
-            float(np.asarray(c)[0, 0])
+            # Slice ON DEVICE before fetching: np.asarray(c) would pull
+            # the whole [B, T*hw] C output over the transport (64 MB at
+            # B=2048, T=4 — it measures the link, not the pool).
+            float(np.asarray(c[0, 0]))
         except Exception as e:  # build or compile rejection
             rec["error"] = f"{type(e).__name__}: {e}"
             results.append(rec)
@@ -307,7 +310,14 @@ def tune_pool(
                 out = None
                 for _ in range(int(blocks) // T):
                     out = push(xl, xr)
-                float(np.asarray(out[0])[0, 0])  # bound the chained steps
+                # Bound the chained steps with a DEVICE-SLICED scalar
+                # fetch: np.asarray(out[0]) materializes the whole C
+                # block host-side inside the timed region (B*T*hw*4
+                # bytes/visit), which swamps the multi-hop candidates
+                # it exists to resolve (measured: T4 at B=2048 read
+                # 115-190 ms/block vs T1's 33 through a 29 ms-RTT
+                # tunnel — the 48 MB/visit fetch delta, not the pool).
+                float(np.asarray(out[0][0, 0]))
                 dt = (time.perf_counter() - t0) / int(blocks)
             rec["visits"].append(dt)
             if verbose:
