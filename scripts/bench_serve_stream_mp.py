@@ -47,9 +47,14 @@ def run_server(port: int, n_streams: int):
     # every active slot has a block queued) — same as round 3's
     # in-process measurement; realtime ticking would cap every client
     # at 1.0x and measure the wall clock, not the stack.
+    # BENCH_HOPS=T dispatches T blocks per pool cycle (temporal
+    # batching): the lockstep cycle is a synchronous dispatch+fetch, so
+    # per-block RTT and host overhead divide by T (stream_client
+    # pipelines its sends, satisfying the >= T queued-blocks tick rule).
     server = run_stream_server(
         port, SR, n_streams=n_streams, hw_block_size=HW,
         band_edges=EDGES, verbose=False, lockstep=True,
+        hops=int(os.environ.get("BENCH_HOPS", 1)),
     )
     print("READY", flush=True)
     try:

@@ -616,3 +616,77 @@ def test_cli_connect_client_mode(tmp_path):
         main([in_path, "--connect", "nonsense"])
     with pytest.raises(SystemExit, match="input WAV"):
         main(["-", "--connect", "127.0.0.1:1"])
+
+
+def test_hops_server_round_trip_with_drain_padding():
+    # Temporal batching (hops=2): the dispatcher pops 2 blocks per slot
+    # per cycle and serves them in ONE push_blocks_multi dispatch.  An
+    # ODD block count plus a short tail forces the DRAINING path to pad
+    # the final cycle with silence; the client must still receive its
+    # exact warmup-aligned output.
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    pool = PallasStreamPool(_cfg(), HW, n_streams=8, group=8,
+                            interpret=True)
+    with StreamServer(pool, lockstep=True, hops=2) as srv:
+        assert srv.metrics_snapshot()["config"]["hops"] == 2
+        L, R = make_stereo(9 * HW + 50, SR, seed=70)
+        L, R = L.astype(np.float32), R.astype(np.float32)
+        got = stream_client(*srv.address, L, R)
+        _check(got, _aligned_reference(L, R))
+        # blocks counts HARDWARE blocks (cycles * hops), not cycles.
+        assert srv.stats["blocks"] % 2 == 0
+
+
+def test_hops_concurrent_clients_lockstep():
+    # Two different-length signals at once under hops=2 lockstep: the
+    # shorter session goes DRAINING (zero-padded cycles) while the
+    # longer one is still ACTIVE feeding full cycles; both clients get
+    # their own exact result.
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    pool = PallasStreamPool(_cfg(), HW, n_streams=8, group=8,
+                            interpret=True)
+    sigs = []
+    for seed, blocks in ((71, 6), (72, 11)):
+        L, R = make_stereo(blocks * HW, SR, seed=seed)
+        sigs.append((L.astype(np.float32), R.astype(np.float32)))
+    with StreamServer(pool, lockstep=True, hops=2) as srv:
+        results = [None] * len(sigs)
+
+        def go(i):
+            results[i] = stream_client(*srv.address, *sigs[i])
+
+        threads = [
+            threading.Thread(target=go, args=(i,))
+            for i in range(len(sigs))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i, (L, R) in enumerate(sigs):
+            assert results[i] is not None, f"client {i} did not finish"
+            _check(results[i], _aligned_reference(L, R))
+
+
+def test_hops_construction_guards():
+    # hops > 1 must fail AT CONSTRUCTION for pools without the
+    # multi-hop kernel (XLA engine), for the window history layout, and
+    # when one cycle could never fit in a slot's bounded queue.
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    with pytest.raises(ValueError, match="multi-hop"):
+        StreamServer(BatchStreamingUpmixer(_cfg(), HW, n_streams=4),
+                     lockstep=True, hops=2)
+    wpool = PallasStreamPool(_cfg(), HW, n_streams=8, group=8,
+                             interpret=True, layout="window")
+    with pytest.raises(ValueError, match="quarters"):
+        StreamServer(wpool, lockstep=True, hops=2)
+    qpool = PallasStreamPool(_cfg(), HW, n_streams=8, group=8,
+                             interpret=True)
+    with pytest.raises(ValueError, match="max_buffered_blocks"):
+        StreamServer(qpool, lockstep=True, hops=64,
+                     max_buffered_blocks=32)
+    with pytest.raises(ValueError, match=">= 1"):
+        StreamServer(qpool, lockstep=True, hops=0)

@@ -195,6 +195,17 @@ def build_parser() -> argparse.ArgumentParser:
         "and emits each hop as one inverse-window dot (DESIGN.md §6)",
     )
     p.add_argument(
+        "--serve-hops",
+        type=int,
+        default=1,
+        metavar="T",
+        help="stream-server temporal batching: dispatch T consecutive "
+        "hardware blocks per pool cycle (pallas quarters pools only). "
+        "Divides the per-block dispatch+fetch round-trip and host "
+        "overhead by T at T block-deadlines of added input latency; "
+        "lockstep clients must pipeline >= T blocks",
+    )
+    p.add_argument(
         "--snapshot-path",
         default=None,
         metavar="PATH",
@@ -582,6 +593,8 @@ def main(argv=None) -> int:
             )
         if args.streams < 1:
             raise SystemExit("error: --streams must be >= 1")
+        if args.serve_hops < 1:
+            raise SystemExit("error: --serve-hops must be >= 1")
         if args.snapshot_every is not None:
             if args.snapshot_path is None:
                 raise SystemExit(
@@ -610,6 +623,7 @@ def main(argv=None) -> int:
             snapshot_path=args.snapshot_path,
             snapshot_every=args.snapshot_every,
             metrics_http_port=args.metrics_http,
+            hops=args.serve_hops,
         )
         try:
             import signal as _signal

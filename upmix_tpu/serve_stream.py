@@ -165,6 +165,14 @@ class StreamServer:
     `pool` is any make_stream_pool engine (XLA or pallas, optionally
     mesh-sharded); the server owns its state (do not push blocks into
     it from outside while serving).
+
+    ``hops=T`` batches T consecutive hardware blocks per pool dispatch
+    (temporal batching, pallas quarters pools only): the dispatcher's
+    cycle is a synchronous dispatch+FETCH (outputs must reach the
+    sockets every cycle), so the per-block round-trip and host overhead
+    divide by T — at T block-deadlines of added input latency.  With
+    hops the dispatch/cycle histograms record per-CYCLE times (divide
+    by hops for per-block); `stats["blocks"]` stays hardware blocks.
     """
 
     def __init__(
@@ -178,6 +186,7 @@ class StreamServer:
         checkpoint: "str | dict | None" = None,
         snapshot_every: float | None = None,
         metrics_http_port: int | None = None,
+        hops: int = 1,
     ):
         self.pool = pool
         self.hw = int(pool.hw_block_size)
@@ -185,7 +194,41 @@ class StreamServer:
         self.lockstep = bool(lockstep)
         if not lockstep and not sr:
             raise ValueError("realtime mode needs sr for the tick period")
-        self.tick_period = (self.hw / float(sr)) if sr else None
+        # Temporal batching: hops=T dispatches T consecutive hardware
+        # blocks per pool cycle (push_blocks_multi).  This is the
+        # THROUGHPUT knob for dispatchers whose cycle is a synchronous
+        # dispatch+fetch (this one: outputs must reach the sockets every
+        # cycle) — per-block round-trip and host overhead divide by T —
+        # at the cost of T block-deadlines of added input latency, and
+        # in lockstep mode clients must pipeline >= T blocks (a strictly
+        # send-one-await-one client would deadlock the tick).  Chip-side
+        # the multi-hop kernel itself is a measured wash (BASELINE.md).
+        self.hops = int(hops)
+        if self.hops < 1:
+            raise ValueError(f"hops must be >= 1, got {hops}")
+        if self.hops > int(max_buffered_blocks):
+            raise ValueError(
+                f"hops ({hops}) cannot exceed max_buffered_blocks "
+                f"({max_buffered_blocks}): a slot's queue could never "
+                "hold one full cycle"
+            )
+        if self.hops > 1:
+            if not hasattr(pool, "push_blocks_multi"):
+                raise ValueError(
+                    "hops > 1 needs a pool with the multi-hop kernel "
+                    "(PallasStreamPool, quarters layout); "
+                    f"{type(pool).__name__} has only the single-block "
+                    "step"
+                )
+            # Fail at construction, not first tick: window layouts and
+            # weightless AOT artifacts cannot build the multi-hop step
+            # (building is lazy — nothing compiles here).
+            pool._get_multi_step(self.hops)
+        self._push = (
+            pool.push_blocks_multi if self.hops > 1 else pool.push_blocks
+        )
+        # The tick covers hops hardware blocks of every stream's time.
+        self.tick_period = (self.hw * self.hops / float(sr)) if sr else None
         self.max_buffered_blocks = int(max_buffered_blocks)
         self._slots = [_Slot() for _ in range(self.n_slots)]
         if checkpoint is not None:
@@ -261,6 +304,7 @@ class StreamServer:
             "n_slots": self.n_slots,
             "sr": float(self.pool.config.sr),
             "lockstep": self.lockstep,
+            "hops": self.hops,
         }
         return snap
 
@@ -690,13 +734,14 @@ class StreamServer:
     # -- the pool dispatcher ----------------------------------------------
 
     def _ready(self):
-        """Lockstep tick rule: every ACTIVE slot has a block queued and
-        at least one slot needs processing."""
+        """Lockstep tick rule: every ACTIVE slot has a full cycle's
+        input (hops blocks) queued and at least one slot needs
+        processing."""
         any_live = False
         for s in self._slots:
             if s.state == _ST_ACTIVE:
                 any_live = True
-                if s.inq.qsize() == 0:
+                if s.inq.qsize() < self.hops:
                     return False
             elif s.state == _ST_DRAINING:
                 any_live = True
@@ -706,7 +751,9 @@ class StreamServer:
         import time as _time
 
         hw = self.hw
-        zeros = np.zeros(hw, np.float32)
+        T = self.hops
+        zeros = np.zeros(T * hw, np.float32)  # one all-silent cycle row
+        zeros_blk = np.zeros((hw, 2), np.float32)  # one pad block
         next_tick = None
         while not self._stop.is_set():
             if self.lockstep:
@@ -770,26 +817,43 @@ class StreamServer:
                             # dead until resume injects them.
                             continue
                         live.append((i, s, s.gen))
-                        if s.state == _ST_ACTIVE or not s.inq.empty():
+                        # Pop up to hops blocks for this cycle.  In
+                        # lockstep every ACTIVE queue holds >= hops (the
+                        # under-lock _ready re-check above); a short pop
+                        # is a late realtime client or a DRAINING tail —
+                        # both pad with silence.
+                        parts = []
+                        while len(parts) < T:
                             try:
-                                x = s.inq.get_nowait()
+                                parts.append(s.inq.get_nowait())
                             except queue.Empty:
-                                # Late client: zeros this tick (only
-                                # reachable in realtime mode — lockstep
-                                # waits for every ACTIVE queue).
-                                self.stats["late_zero_blocks"] += 1
-                                continue
-                            in_l[i] = np.ascontiguousarray(x[:, 0])
-                            in_r[i] = np.ascontiguousarray(x[:, 1])
+                                break
+                        if s.state == _ST_ACTIVE and len(parts) < T:
+                            # Late client: zeros for the missing blocks
+                            # this tick (only reachable in realtime mode
+                            # — lockstep waits for every ACTIVE queue).
+                            self.stats["late_zero_blocks"] += T - len(parts)
+                        if not parts:
+                            continue  # row stays the all-silent cycle
+                        if T == 1:
+                            x = parts[0]
+                        else:
+                            if len(parts) < T:
+                                parts.extend(
+                                    [zeros_blk] * (T - len(parts))
+                                )
+                            x = np.concatenate(parts, axis=0)
+                        in_l[i] = np.ascontiguousarray(x[:, 0])
+                        in_r[i] = np.ascontiguousarray(x[:, 1])
                 t_dispatch = _time.monotonic()
-                c, ls, rs = self.pool.push_blocks(
+                c, ls, rs = self._push(
                     np.stack(in_l), np.stack(in_r)
                 )
                 c, ls, rs = np.asarray(c), np.asarray(ls), np.asarray(rs)
                 self.metrics.dispatch_seconds.record(
                     _time.monotonic() - t_dispatch
                 )
-                self.stats["blocks"] += 1
+                self.stats["blocks"] += T
                 # Mix once, vectorized over the whole pool; the per-slot
                 # loop below only slices and frames (matters on a busy
                 # host: the dispatcher is one thread serving every
@@ -1042,6 +1106,7 @@ def run_stream_server(
     snapshot_path: str | None = None,
     snapshot_every: float | None = None,
     metrics_http_port: int | None = None,
+    hops: int = 1,
 ) -> "StreamServer":
     """CLI entry: build the pool (auto engine) and serve until ^C.
 
@@ -1079,7 +1144,7 @@ def run_stream_server(
     server = StreamServer(
         pool, host=host, port=port, lockstep=lockstep, sr=float(sr),
         checkpoint=checkpoint, snapshot_every=snapshot_every,
-        metrics_http_port=metrics_http_port,
+        metrics_http_port=metrics_http_port, hops=hops,
     )
     server.snapshot_path = snapshot_path
     server.start()
