@@ -219,6 +219,37 @@ def test_tune_hops_must_divide_blocks():
     assert report["results"] == [] and report["best"] is None
 
 
+def test_tune_lockstep_protocol_xla():
+    # lockstep protocol: host inputs + full 3-output host fetch per
+    # cycle (the stream server's dispatcher cost model,
+    # serve_stream.py) — the transfers belong in the timed region.
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(2, 4), groups=(2,), engine="xla",
+        blocks=2, visits=2, protocol="lockstep", verbose=False,
+    )
+    ok = [r for r in report["results"] if r["ok"]]
+    assert len(ok) == 2
+    assert report["protocol"]["name"] == "lockstep"
+    assert report["best"] is not None
+    for r in ok:
+        assert r["seconds_per_block"] > 0
+
+
+def test_tune_lockstep_hops_pallas_interpret():
+    # The knob lockstep exists to resolve: hops=T candidates run whole
+    # T-block cycles through push_blocks_multi with every output
+    # fetched before the next cycle.
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(8,), groups=(8,), engine="pallas",
+        blocks=2, visits=1, protocol="lockstep", hops=(1, 2),
+        verbose=False,
+    )
+    ok = [r for r in report["results"] if r["ok"]]
+    assert {r["hops"] for r in ok} == {1, 2}
+    (t2,) = [r for r in ok if r["hops"] == 2]
+    assert t2["label"].endswith("/T2")
+
+
 def test_tune_hops_window_layout_records_rejection():
     # The window layout re-shifts history per hop and rejects hops>1;
     # the tuner records that as a candidate failure.

@@ -44,6 +44,16 @@ Protocol notes (hard-won, see CLAUDE.md):
   exceeds the per-block time.  The one remaining transport cost (one
   RTT per visit) is an additive constant shared by every candidate;
   raise `blocks` (48 is comfortable) to shrink it below the noise.
+- `protocol="lockstep"` deliberately puts the transfers BACK in the
+  timed region: host inputs in, a full host fetch of all three outputs
+  per cycle — the stream server's lockstep dispatcher cycle
+  (serve_stream.py), where outputs must reach client sockets before the
+  next dispatch.  This is the protocol that resolves the temporal-
+  batching knob: hops=T divides the per-cycle RTT + fetch overhead by T
+  (measured 2.5x aggregate at T=4 on the multi-process serving stack,
+  BASELINE.md) while the async-pipelined "dispatch" protocol reads it
+  as a wash.  Size the sweep to the link: each cycle moves
+  ~5*B*T*hw*4 bytes, so tune at the deployment's REAL stream count.
 
 The reference has no analog (its one tunable, threshold_factor, is a
 quality knob); this is TPU-framework machinery like XLA's own
@@ -108,6 +118,13 @@ def tune_pool(
       rotation off the scan back-edge).  Host-side per-block costs are
       EXCLUDED — use "dispatch" to budget a host-attached deployment's
       end-to-end block cycle.
+    - ``"lockstep"``: times the full serving cycle — HOST input arrays
+      pushed, then all three outputs fetched to host before the next
+      cycle, exactly the stream server's lockstep dispatcher
+      (serve_stream.py: np.stack'd blocks in, np.asarray(c/ls/rs) out
+      to the socket writers).  Unlike "dispatch", the transfers belong
+      in the clock here; this is the protocol that resolves the
+      ``hops`` knob on RTT- or bandwidth-gated links.
 
     ``include_xla=True`` adds one BatchStreamingUpmixer candidate per
     batch size (group is a pallas-only knob), so the report shows the
@@ -129,9 +146,10 @@ def tune_pool(
     """
     hw_block = int(hw_block)
     block_seconds = hw_block / float(config.sr)
-    if protocol not in ("dispatch", "scan"):
+    if protocol not in ("dispatch", "scan", "lockstep"):
         raise ValueError(
-            f"unknown protocol {protocol!r}; one of ('dispatch', 'scan')"
+            f"unknown protocol {protocol!r}; one of "
+            "('dispatch', 'scan', 'lockstep')"
         )
 
     candidates = []
@@ -254,23 +272,33 @@ def tune_pool(
                 print(f"tune: {label}: FAILED ({type(e).__name__})",
                       flush=True)
             continue
-        # Build the visit input ON DEVICE, once per candidate:
-        # push_blocks with a host array would move 2*B*hw floats per
-        # block over the transport — on a slow link that measures the
-        # link, not the pool.
-        import jax
-        import jax.numpy as jnp
+        if protocol == "lockstep":
+            # HOST inputs, deliberately: the lockstep serving cycle
+            # uploads np.stack'd socket blocks every dispatch, so the
+            # transfer is part of what this protocol measures.
+            rng = np.random.default_rng(len(built))
+            xh = (rng.standard_normal(
+                (2, zl.shape[0], T * hw_block)
+            ) * 0.3).astype(np.float32)
+            xl, xr = xh[0], xh[1]
+        else:
+            # Build the visit input ON DEVICE, once per candidate:
+            # push_blocks with a host array would move 2*B*hw floats per
+            # block over the transport — on a slow link that measures
+            # the link, not the pool.
+            import jax
+            import jax.numpy as jnp
 
-        x = jax.jit(
-            lambda k: jax.random.normal(
-                k, (2, zl.shape[0], T * hw_block), jnp.float32
-            ) * 0.3
-        )(jax.random.PRNGKey(len(built)))
-        x.block_until_ready()
-        # Pre-slice the channels: x[0]/x[1] inside the timed loop would
-        # issue two extra eager device ops per block.
-        xl, xr = x[0], x[1]
-        jax.block_until_ready((xl, xr))
+            x = jax.jit(
+                lambda k: jax.random.normal(
+                    k, (2, zl.shape[0], T * hw_block), jnp.float32
+                ) * 0.3
+            )(jax.random.PRNGKey(len(built)))
+            x.block_until_ready()
+            # Pre-slice the channels: x[0]/x[1] inside the timed loop
+            # would issue two extra eager device ops per block.
+            xl, xr = x[0], x[1]
+            jax.block_until_ready((xl, xr))
         rec["visits"] = []
         built.append((rec, (pool, push), xl, xr))
         results.append(rec)
@@ -302,6 +330,18 @@ def tune_pool(
                 t0 = time.perf_counter()
                 _, cs = run(st, xl)
                 float(np.asarray(cs[-1, 0, 0]))  # bound the whole chain
+                dt = (time.perf_counter() - t0) / int(blocks)
+            elif protocol == "lockstep":
+                _, push = pool
+                T = rec["hops"]
+                t0 = time.perf_counter()
+                for _ in range(int(blocks) // T):
+                    # Full host round trip per cycle ON PURPOSE: the
+                    # serving dispatcher can't issue the next cycle
+                    # until this one's outputs are on their way to the
+                    # sockets.  hops=T amortizes exactly this.
+                    c, ls, rs = push(xl, xr)
+                    np.asarray(c), np.asarray(ls), np.asarray(rs)
                 dt = (time.perf_counter() - t0) / int(blocks)
             else:
                 _, push = pool
@@ -379,11 +419,14 @@ def main(argv=None):
     ap.add_argument("--visits", type=int, default=3)
     ap.add_argument("--include-xla", action="store_true")
     ap.add_argument("--protocol", default="dispatch",
-                    choices=("dispatch", "scan"),
-                    help="dispatch = sustained push_blocks (deployment "
-                    "surface, transport included); scan = one-dispatch "
+                    choices=("dispatch", "scan", "lockstep"),
+                    help="dispatch = sustained push_blocks (async-"
+                    "pipelined dispatch surface); scan = one-dispatch "
                     "chained steps (chip-side capacity, resolves G even "
-                    "through a high-RTT link)")
+                    "through a high-RTT link); lockstep = full serving "
+                    "cycle incl. host input upload + 3-output fetch "
+                    "(the stream-server dispatcher's cost model — "
+                    "resolves the hops knob)")
     ap.add_argument("--unroll", type=int, default=8,
                     help="scan protocol: steps per scan iteration "
                     "(quarters layout needs >1)")
