@@ -690,3 +690,136 @@ def test_hops_construction_guards():
                      max_buffered_blocks=32)
     with pytest.raises(ValueError, match=">= 1"):
         StreamServer(qpool, lockstep=True, hops=0)
+
+
+def test_pipeline_server_round_trip():
+    # Pipelined dispatch (pipeline=2): the dispatcher parks each cycle's
+    # device outputs and delivers them while the NEXT cycle computes.  A
+    # strictly-lockstep client (send one block, read the due output)
+    # must still complete: with no new cycle ready, the dispatcher
+    # flushes the in-flight outputs instead of holding them hostage to
+    # the next input's arrival.  Output must be bit-identical to the
+    # synchronous server (same push sequence, deferred fetch only).
+    pool = BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+    L, R = make_stereo(9 * HW + 50, SR, seed=75)
+    L, R = L.astype(np.float32), R.astype(np.float32)
+    ref = _one_shot(lambda: BatchStreamingUpmixer(_cfg(), HW, n_streams=4),
+                    L, R)
+    with StreamServer(pool, lockstep=True, pipeline=2) as srv:
+        assert srv.metrics_snapshot()["config"]["pipeline"] == 2
+        got = stream_client(*srv.address, L, R)
+        np.testing.assert_array_equal(np.column_stack(got),
+                                      np.column_stack(ref))
+
+
+def test_pipeline_concurrent_clients_with_drain():
+    # Two different-length clients under pipeline=2: the shorter one
+    # drains (its final in-flight outputs must be flushed even while
+    # the longer one keeps feeding cycles); both get exact results.
+    pool = BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+    sigs = []
+    for seed, n in ((76, 5 * HW), (77, 11 * HW + 30)):
+        L, R = make_stereo(n, SR, seed=seed)
+        sigs.append((L.astype(np.float32), R.astype(np.float32)))
+    with StreamServer(pool, lockstep=True, pipeline=2) as srv:
+        results = [None] * len(sigs)
+
+        def go(i):
+            results[i] = stream_client(*srv.address, *sigs[i])
+
+        threads = [
+            threading.Thread(target=go, args=(i,)) for i in range(len(sigs))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i, (L, R) in enumerate(sigs):
+            assert results[i] is not None, f"client {i} did not finish"
+            _check(results[i], _aligned_reference(L, R))
+
+
+def test_pipeline_with_hops():
+    # The two serving knobs compose: hops=2 (two blocks per cycle) with
+    # pipeline=2 (one cycle in flight).
+    from upmix_tpu.models.streaming import PallasStreamPool
+
+    pool = PallasStreamPool(_cfg(), HW, n_streams=8, group=8,
+                            interpret=True)
+    with StreamServer(pool, lockstep=True, hops=2, pipeline=2) as srv:
+        L, R = make_stereo(7 * HW + 40, SR, seed=78)
+        L, R = L.astype(np.float32), R.astype(np.float32)
+        got = stream_client(*srv.address, L, R)
+        _check(got, _aligned_reference(L, R))
+
+
+def test_pipeline_construction_guard():
+    pool = BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+    for bad in (0, 3, -1):
+        with pytest.raises(ValueError, match="pipeline"):
+            StreamServer(pool, lockstep=True, pipeline=bad)
+
+
+def test_pipeline_checkpoint_flushes_in_flight(tmp_path):
+    # Checkpoint consistency under pipeline=2: the pool state already
+    # includes the in-flight cycle (its inputs were consumed), so
+    # save_checkpoint must deliver those outputs to the slots' counters
+    # BEFORE the capture — they are never re-generated, and a resumed
+    # client would stall waiting for them otherwise.  Burst-send without
+    # reading to keep a cycle in flight at save time, then resume on a
+    # fresh server with the at-least-once dedupe protocol.
+    import time
+
+    from upmix_tpu.serve_stream import StreamSession
+
+    def pool_factory():
+        return BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+
+    n_blocks = 10
+    L, R = make_stereo(n_blocks * HW, SR, seed=79)
+    L, R = L.astype(np.float32), R.astype(np.float32)
+    ref = _one_shot(pool_factory, L, R)
+
+    path = str(tmp_path / "pipe.npz")
+    srv_a = StreamServer(pool_factory(), lockstep=True, pipeline=2).start()
+    try:
+        sess = StreamSession(*srv_a.address)
+        for b in range(6):  # burst: no reads between sends
+            sess.send_block(L[b * HW : (b + 1) * HW],
+                            R[b * HW : (b + 1) * HW])
+        time.sleep(0.1)  # let the dispatcher pick some cycles up
+        assert srv_a.save_checkpoint(path) == 1
+        # Whatever the checkpoint captured, every CONSUMED input's
+        # outputs must already be counted (queued blocks ride the file
+        # and are re-pushed; consumed ones are not) — no in-flight
+        # outputs lost.
+        import json as _json
+
+        saved = np.load(path, allow_pickle=False)
+        meta = _json.loads(saved["__meta__"].tobytes().decode("utf-8"))
+        s0 = meta["sessions"][0]
+        queued = saved["s0.blocks"].shape[0]
+        consumed = s0["in_frames"] - queued * HW
+        assert s0["out_frames"] == max(0, consumed - _warmup_skip())
+        got_a = sess.recv_frames(max(0, 6 * HW - _warmup_skip()))
+        sess.close()
+    finally:
+        srv_a.close()
+
+    srv_b = StreamServer(pool_factory(), lockstep=True,
+                         checkpoint=path).start()
+    try:
+        sess2 = StreamSession(*srv_b.address, token=sess.token)
+        resume_blk = sess2.server_in_frames // HW
+        dup = len(got_a) - sess2.server_out_frames
+        assert dup >= 0
+        for b in range(resume_blk, n_blocks):
+            sess2.send_block(L[b * HW : (b + 1) * HW],
+                             R[b * HW : (b + 1) * HW])
+        sess2.finish()
+        regen = sess2.recv_frames(dup + n_blocks * HW - len(got_a))
+        got = np.concatenate([got_a, regen[dup:]])
+        sess2.close()
+    finally:
+        srv_b.close()
+    np.testing.assert_array_equal(got, np.column_stack(ref))

@@ -206,6 +206,17 @@ def build_parser() -> argparse.ArgumentParser:
         "lockstep clients must pipeline >= T blocks",
     )
     p.add_argument(
+        "--serve-pipeline",
+        type=int,
+        default=1,
+        choices=(1, 2),
+        metavar="D",
+        help="stream-server dispatch pipelining: 2 keeps one pool cycle "
+        "in flight, fetching+delivering cycle N-1's outputs while the "
+        "chip computes cycle N — hides the device round-trip at one "
+        "cycle of added output latency (orthogonal to --serve-hops)",
+    )
+    p.add_argument(
         "--snapshot-path",
         default=None,
         metavar="PATH",
@@ -624,6 +635,7 @@ def main(argv=None) -> int:
             snapshot_every=args.snapshot_every,
             metrics_http_port=args.metrics_http,
             hops=args.serve_hops,
+            pipeline=args.serve_pipeline,
         )
         try:
             import signal as _signal

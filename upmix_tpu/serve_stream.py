@@ -173,6 +173,19 @@ class StreamServer:
     divide by T — at T block-deadlines of added input latency.  With
     hops the dispatch/cycle histograms record per-CYCLE times (divide
     by hops for per-block); `stats["blocks"]` stays hardware blocks.
+
+    ``pipeline=2`` overlaps the transport with the chip: the dispatcher
+    pushes cycle N (async jax dispatch), then fetches and delivers
+    cycle N-1's outputs while the device computes N.  One cycle of
+    in-flight work hides the round-trip latency that the synchronous
+    (pipeline=1) cycle pays serially — the orthogonal knob to hops,
+    and it costs ONE cycle of output latency instead of stretching the
+    cycle itself to T blocks.  With pipeline=2 the dispatch histogram
+    records the blocking fetch wait (the time the host actually spent
+    on the previous cycle's outputs) and the cycle histogram records
+    each cycle's dispatch→delivery latency, which spans the overlapped
+    next cycle — throughput is `stats["blocks"] / wall`, not
+    1/cycle_p50.
     """
 
     def __init__(
@@ -187,6 +200,7 @@ class StreamServer:
         snapshot_every: float | None = None,
         metrics_http_port: int | None = None,
         hops: int = 1,
+        pipeline: int = 1,
     ):
         self.pool = pool
         self.hw = int(pool.hw_block_size)
@@ -227,6 +241,19 @@ class StreamServer:
         self._push = (
             pool.push_blocks_multi if self.hops > 1 else pool.push_blocks
         )
+        # Pipelined dispatch: depth 2 keeps ONE cycle in flight (see
+        # class docstring).  Deeper pipelines would add output latency
+        # for no further overlap — the host fetch and the chip compute
+        # are the only two stages to overlap.
+        self.pipeline = int(pipeline)
+        if self.pipeline not in (1, 2):
+            raise ValueError(
+                f"pipeline must be 1 (synchronous) or 2 (one cycle in "
+                f"flight), got {pipeline}"
+            )
+        # In-flight cycle: (device outputs (c, ls, rs), live slot list,
+        # cycle start time).  Written only under _pool_lock.
+        self._pending = None
         # The tick covers hops hardware blocks of every stream's time.
         self.tick_period = (self.hw * self.hops / float(sr)) if sr else None
         self.max_buffered_blocks = int(max_buffered_blocks)
@@ -305,6 +332,7 @@ class StreamServer:
             "sr": float(self.pool.config.sr),
             "lockstep": self.lockstep,
             "hops": self.hops,
+            "pipeline": self.pipeline,
         }
         return snap
 
@@ -406,43 +434,52 @@ class StreamServer:
         # inner.  Holding both makes the checkpoint atomic against a
         # dispatcher cycle (which holds _pool_lock for its whole
         # pop+push+account step) and against slot alloc/resume.
-        with self._pool_lock, self._lock:
-            snap = self.pool.snapshot()
-            for i, s in enumerate(self._slots):
-                if s.state == _ST_ACTIVE:
-                    # Peek, don't drain: all queue mutations happen
-                    # under self._lock (reader enqueue, dispatcher pop),
-                    # so reading the backing deque here is race-free and
-                    # the server keeps processing these blocks after the
-                    # checkpoint.
-                    blocks = list(s.inq.queue)
-                    rec = {
-                        "rows": self.pool.extract_streams([i], snap=snap),
-                        "blocks": np.stack(blocks)
-                        if blocks
-                        else np.zeros((0, self.hw, 2), np.float32),
-                        "in_frames": s.in_frames,
-                        "out_frames": s.out_frames,
-                        "skip": s.skip,
-                        "token": s.token,
-                    }
-                elif s.state == _ST_PARKED:
-                    rec = s.parked
-                else:
-                    continue
-                key = f"s{i}"
-                desc = _tree_encode(rec["rows"], arrays, f"{key}.rows")
-                arrays[f"{key}.blocks"] = rec["blocks"]
-                sessions.append(
-                    {
-                        "slot": i,
-                        "rows": desc,
-                        "in_frames": int(rec["in_frames"]),
-                        "out_frames": int(rec["out_frames"]),
-                        "skip": int(rec["skip"]),
-                        "token": rec["token"].hex(),
-                    }
-                )
+        with self._pool_lock:
+            # pipeline=2: the pool state already includes the in-flight
+            # cycle, so its outputs must reach the slots' out_frames
+            # BEFORE the capture — they are never re-generated, and a
+            # resumed client would stall waiting for them otherwise.
+            # (Takes _lock per slot, so it runs before the block below.)
+            self._flush_pending()
+            with self._lock:
+                snap = self.pool.snapshot()
+                for i, s in enumerate(self._slots):
+                    if s.state == _ST_ACTIVE:
+                        # Peek, don't drain: all queue mutations happen
+                        # under self._lock (reader enqueue, dispatcher
+                        # pop), so reading the backing deque here is
+                        # race-free and the server keeps processing
+                        # these blocks after the checkpoint.
+                        blocks = list(s.inq.queue)
+                        rec = {
+                            "rows": self.pool.extract_streams(
+                                [i], snap=snap
+                            ),
+                            "blocks": np.stack(blocks)
+                            if blocks
+                            else np.zeros((0, self.hw, 2), np.float32),
+                            "in_frames": s.in_frames,
+                            "out_frames": s.out_frames,
+                            "skip": s.skip,
+                            "token": s.token,
+                        }
+                    elif s.state == _ST_PARKED:
+                        rec = s.parked
+                    else:
+                        continue
+                    key = f"s{i}"
+                    desc = _tree_encode(rec["rows"], arrays, f"{key}.rows")
+                    arrays[f"{key}.blocks"] = rec["blocks"]
+                    sessions.append(
+                        {
+                            "slot": i,
+                            "rows": desc,
+                            "in_frames": int(rec["in_frames"]),
+                            "out_frames": int(rec["out_frames"]),
+                            "skip": int(rec["skip"]),
+                            "token": rec["token"].hex(),
+                        }
+                    )
         meta = {
             "format": 1,
             "identity": self._pool_identity(),
@@ -747,6 +784,66 @@ class StreamServer:
                 any_live = True
         return any_live
 
+    def _flush_pending(self):
+        """Fetch and deliver the in-flight cycle's outputs (pipeline=2).
+        Caller must hold _pool_lock (and NOT _lock — accounting takes
+        _lock per slot)."""
+        import time as _time
+
+        if self._pending is None:
+            return
+        (c, ls, rs), live, t_cycle = self._pending
+        self._pending = None
+        t_fetch = _time.monotonic()
+        c, ls, rs = np.asarray(c), np.asarray(ls), np.asarray(rs)
+        # Under pipeline=2 the dispatch histogram records the blocking
+        # fetch wait — the host time this cycle's outputs actually cost
+        # (the chip computed them while the NEXT cycle was dispatching).
+        self.metrics.dispatch_seconds.record(_time.monotonic() - t_fetch)
+        self._account_cycle(c, ls, rs, live, t_cycle)
+
+    def _account_cycle(self, c, ls, rs, live, t_cycle):
+        """Deliver one cycle's fetched outputs to the live slots.
+        Caller holds _pool_lock; takes _lock per slot internally."""
+        import time as _time
+
+        # Mix once, vectorized over the whole pool; the per-slot loop
+        # below only slices and frames (matters on a busy host: the
+        # dispatcher is one thread serving every session).
+        half_c = 0.5 * c
+        mix_l, mix_r = ls + half_c, rs + half_c
+        for i, s, gen in live:
+            with self._lock:
+                if s.gen != gen or s.state == _ST_FREE:
+                    continue
+                if MIX_MODES[s.mix] == "lcr":
+                    out = np.column_stack([c[i], ls[i], rs[i]])
+                else:
+                    out = np.column_stack([mix_l[i], mix_r[i]])
+                if s.skip:
+                    k = min(s.skip, len(out))
+                    out = out[k:]
+                    s.skip -= k
+                room = s.in_frames - s.out_frames
+                out = out[: max(0, room)]
+                if len(out):
+                    s.out_frames += len(out)
+                    self.stats["frames"] += len(out)
+                    s.outq.put(
+                        np.ascontiguousarray(out)
+                        .astype("<f4")
+                        .tobytes()
+                    )
+                done = (
+                    s.state == _ST_DRAINING
+                    and s.inq.empty()
+                    and s.out_frames >= s.in_frames
+                )
+            if done:
+                s.outq.put(None)
+                self._release_slot(s)
+        self.metrics.cycle_seconds.record(_time.monotonic() - t_cycle)
+
     def _dispatch_loop(self):
         import time as _time
 
@@ -760,6 +857,14 @@ class StreamServer:
                 with self._lock:
                     ready = self._ready()
                 if not ready:
+                    # No new cycle to build: deliver any in-flight
+                    # outputs first (pipeline=2) — a DRAINING tail or a
+                    # paused client must not hold the previous cycle's
+                    # outputs hostage to the NEXT input's arrival.
+                    if self._pending is not None:
+                        with self._pool_lock:
+                            self._flush_pending()
+                        continue
                     self._wake.wait(timeout=0.05)
                     self._wake.clear()
                     continue
@@ -785,6 +890,9 @@ class StreamServer:
                         for s in self._slots
                     )
                 if idle:
+                    if self._pending is not None:
+                        with self._pool_lock:
+                            self._flush_pending()
                     next_tick = None  # re-anchor the clock on next client
                     self._wake.wait(timeout=self.tick_period)
                     self._wake.clear()
@@ -849,50 +957,35 @@ class StreamServer:
                 c, ls, rs = self._push(
                     np.stack(in_l), np.stack(in_r)
                 )
-                c, ls, rs = np.asarray(c), np.asarray(ls), np.asarray(rs)
-                self.metrics.dispatch_seconds.record(
-                    _time.monotonic() - t_dispatch
-                )
                 self.stats["blocks"] += T
-                # Mix once, vectorized over the whole pool; the per-slot
-                # loop below only slices and frames (matters on a busy
-                # host: the dispatcher is one thread serving every
-                # session).
-                half_c = 0.5 * c
-                mix_l, mix_r = ls + half_c, rs + half_c
-                for i, s, gen in live:
-                    with self._lock:
-                        if s.gen != gen or s.state == _ST_FREE:
-                            continue
-                        if MIX_MODES[s.mix] == "lcr":
-                            out = np.column_stack([c[i], ls[i], rs[i]])
-                        else:
-                            out = np.column_stack([mix_l[i], mix_r[i]])
-                        if s.skip:
-                            k = min(s.skip, len(out))
-                            out = out[k:]
-                            s.skip -= k
-                        room = s.in_frames - s.out_frames
-                        out = out[: max(0, room)]
-                        if len(out):
-                            s.out_frames += len(out)
-                            self.stats["frames"] += len(out)
-                            s.outq.put(
-                                np.ascontiguousarray(out)
-                                .astype("<f4")
-                                .tobytes()
-                            )
-                        done = (
-                            s.state == _ST_DRAINING
-                            and s.inq.empty()
-                            and s.out_frames >= s.in_frames
+                if self.pipeline > 1:
+                    # Async dispatch: jax returns device futures — hand
+                    # the PREVIOUS cycle's outputs to the sockets while
+                    # the chip computes this one, then park this cycle
+                    # as the new in-flight work.
+                    prev, self._pending = self._pending, (
+                        (c, ls, rs), live, t_cycle
+                    )
+                    if prev is not None:
+                        (pc, pls, prs), plive, pt = prev
+                        t_fetch = _time.monotonic()
+                        pc, pls, prs = (
+                            np.asarray(pc), np.asarray(pls), np.asarray(prs)
                         )
-                    if done:
-                        s.outq.put(None)
-                        self._release_slot(s)
-                self.metrics.cycle_seconds.record(
-                    _time.monotonic() - t_cycle
-                )
+                        self.metrics.dispatch_seconds.record(
+                            _time.monotonic() - t_fetch
+                        )
+                        self._account_cycle(pc, pls, prs, plive, pt)
+                else:
+                    c, ls, rs = np.asarray(c), np.asarray(ls), np.asarray(rs)
+                    self.metrics.dispatch_seconds.record(
+                        _time.monotonic() - t_dispatch
+                    )
+                    self._account_cycle(c, ls, rs, live, t_cycle)
+        # Shutdown: deliver anything still in flight so a gracefully
+        # closing client's tail is not dropped with the pipeline.
+        with self._pool_lock:
+            self._flush_pending()
 
 
 class StreamSession:
@@ -1107,6 +1200,7 @@ def run_stream_server(
     snapshot_every: float | None = None,
     metrics_http_port: int | None = None,
     hops: int = 1,
+    pipeline: int = 1,
 ) -> "StreamServer":
     """CLI entry: build the pool (auto engine) and serve until ^C.
 
@@ -1145,6 +1239,7 @@ def run_stream_server(
         pool, host=host, port=port, lockstep=lockstep, sr=float(sr),
         checkpoint=checkpoint, snapshot_every=snapshot_every,
         metrics_http_port=metrics_http_port, hops=hops,
+        pipeline=pipeline,
     )
     server.snapshot_path = snapshot_path
     server.start()
