@@ -51,10 +51,13 @@ def run_server(port: int, n_streams: int):
     # batching): the lockstep cycle is a synchronous dispatch+fetch, so
     # per-block RTT and host overhead divide by T (stream_client
     # pipelines its sends, satisfying the >= T queued-blocks tick rule).
+    # BENCH_PIPELINE=2 keeps one cycle in flight (fetch+deliver cycle
+    # N-1 while the chip computes N) — the orthogonal knob.
     server = run_stream_server(
         port, SR, n_streams=n_streams, hw_block_size=HW,
         band_edges=EDGES, verbose=False, lockstep=True,
         hops=int(os.environ.get("BENCH_HOPS", 1)),
+        pipeline=int(os.environ.get("BENCH_PIPELINE", 1)),
     )
     print("READY", flush=True)
     try:

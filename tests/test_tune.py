@@ -260,3 +260,33 @@ def test_tune_hops_window_layout_records_rejection():
     )
     (rec,) = report["results"]
     assert rec["ok"] is False and "quarters" in rec["error"]
+
+
+def test_tune_lockstep_pipeline_sweep_shares_pool():
+    # pipeline=2 candidates time the SAME pool with the pipelined fetch
+    # schedule (park cycle N's outputs, fetch after dispatching N+1) —
+    # the build is shared, both depths are measured, labels carry /P2.
+    report = tune_pool(
+        _cfg(), HW, batch_sizes=(4,), groups=(2,), engine="xla",
+        blocks=4, visits=2, protocol="lockstep", pipelines=(1, 2),
+        verbose=False,
+    )
+    ok = [r for r in report["results"] if r["ok"]]
+    assert {r["pipeline"] for r in ok} == {1, 2}
+    (p2,) = [r for r in ok if r["pipeline"] == 2]
+    assert p2["label"].endswith("/P2")
+    assert report["protocol"]["pipelines"] == [1, 2]
+    for r in ok:
+        assert r["seconds_per_block"] > 0
+
+
+def test_tune_pipeline_rejected_off_lockstep():
+    # pipelines is a lockstep-only knob: the scan/dispatch protocols
+    # are already async-pipelined by jax dispatch, so a depth sweep
+    # there would silently measure nothing.
+    with pytest.raises(ValueError, match="lockstep"):
+        tune_pool(_cfg(), HW, batch_sizes=(4,), engine="xla",
+                  protocol="dispatch", pipelines=(1, 2), verbose=False)
+    with pytest.raises(ValueError, match="1 or 2"):
+        tune_pool(_cfg(), HW, batch_sizes=(4,), engine="xla",
+                  protocol="lockstep", pipelines=(3,), verbose=False)

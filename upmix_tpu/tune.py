@@ -92,6 +92,7 @@ def tune_pool(
     protocol: str = "dispatch",
     unroll: int = 8,
     hops=(1,),
+    pipelines=(1,),
     verbose: bool = True,
 ) -> dict:
     """Sweep (batch, group) serving-pool candidates on the attached
@@ -136,7 +137,16 @@ def tune_pool(
     — quarters layout only; the serving trade is T block deadlines of
     input latency per dispatch).  T values that don't divide ``blocks``
     are skipped; engines/layouts without multi-hop support record the
-    rejection like any other infeasible candidate.  Memory note: the
+    rejection like any other infeasible candidate.
+
+    ``pipelines`` sweeps the serving dispatcher's pipelined-dispatch
+    depth (lockstep protocol only — the other protocols are already
+    async-pipelined by jax dispatch): a candidate at pipeline=2 parks
+    each cycle's device outputs and fetches them AFTER dispatching the
+    next cycle, overlapping the host fetch with the chip compute —
+    StreamServer(pipeline=2)'s cost model.  The win is bounded by
+    min(chip compute, host fetch) per cycle, so it resolves only where
+    both are material.  Memory note: the
     scan protocol keeps one device-resident input slab alive per
     (batch, T) pair for the interleaved visits — size the sweep to HBM
     (each slab is blocks*2*batch*hw_block*4 bytes).  Returns::
@@ -151,6 +161,15 @@ def tune_pool(
             f"unknown protocol {protocol!r}; one of "
             "('dispatch', 'scan', 'lockstep')"
         )
+    pipelines = tuple(int(p) for p in pipelines)
+    if any(p not in (1, 2) for p in pipelines):
+        raise ValueError(f"pipelines entries must be 1 or 2, got {pipelines}")
+    if protocol != "lockstep" and pipelines != (1,):
+        raise ValueError(
+            "pipelines is a lockstep-protocol knob (the scan/dispatch "
+            "protocols are already async-pipelined by jax dispatch); "
+            f"got pipelines={pipelines} with protocol={protocol!r}"
+        )
 
     candidates = []
     for b in batch_sizes:
@@ -159,8 +178,10 @@ def tune_pool(
             # not one per group value (they'd be the same pool thrice,
             # mislabeled .../G8, .../G16, .../G32).  hops likewise:
             # the XLA pool has no multi-hop kernel.
-            candidates.append({"batch": int(b), "group": None,
-                               "engine": "xla", "hops": 1})
+            for pp in pipelines:
+                candidates.append({"batch": int(b), "group": None,
+                                   "engine": "xla", "hops": 1,
+                                   "pipeline": pp})
         else:
             for g in groups:
                 if int(b) % int(g) != 0:
@@ -168,24 +189,42 @@ def tune_pool(
                 for t in hops:
                     if int(blocks) % int(t) != 0:
                         continue  # visit length must cover whole slabs
-                    candidates.append({"batch": int(b), "group": int(g),
-                                       "engine": engine, "hops": int(t)})
+                    for pp in pipelines:
+                        candidates.append({"batch": int(b),
+                                           "group": int(g),
+                                           "engine": engine,
+                                           "hops": int(t),
+                                           "pipeline": pp})
         if include_xla and engine != "xla":
-            candidates.append({"batch": int(b), "group": None,
-                               "engine": "xla", "hops": 1})
+            for pp in pipelines:
+                candidates.append({"batch": int(b), "group": None,
+                                   "engine": "xla", "hops": 1,
+                                   "pipeline": pp})
 
     built = []
     results = []
     seen_groupless = set()  # 'auto' resolving to XLA ignores group
     scan_inputs = {}  # (batch, hops) -> device blocks [n, 2, B, T*hw]
+    # Pipeline variants time the SAME pool with a different fetch
+    # schedule — share one build (and its compile) across them.
+    pool_cache = {}  # (engine, batch, group, hops) -> (pool, push, xl, xr)
     for cand in candidates:
         T = cand["hops"]
+        P = cand.get("pipeline", 1)
         label = (f"{cand['engine']}/B{cand['batch']}" +
                  (f"/G{cand['group']}" if cand["group"] else "") +
-                 (f"/T{T}" if T > 1 else ""))
+                 (f"/T{T}" if T > 1 else "") +
+                 (f"/P{P}" if P > 1 else ""))
         rec = dict(cand, label=label, ok=False, error=None,
                    seconds_per_block=None, us_per_block_stream=None,
                    streams_per_chip=None)
+        cache_key = (cand["engine"], cand["batch"], cand["group"], T)
+        if cache_key in pool_cache:
+            pool, push, xl, xr = pool_cache[cache_key]
+            rec["visits"] = []
+            built.append((rec, (pool, push), xl, xr))
+            results.append(rec)
+            continue
         try:
             pool = _build_candidate(
                 config, hw_block, cand["batch"], cand["engine"],
@@ -200,7 +239,7 @@ def tune_pool(
                                     "multi-hop (temporal batching) step")
                     results.append(rec)
                     continue
-                key = (cand["batch"], type(pool).__name__)
+                key = (cand["batch"], type(pool).__name__, P)
                 if key in seen_groupless:
                     rec["error"] = "duplicate: resolved engine ignores group"
                     results.append(rec)
@@ -302,6 +341,7 @@ def tune_pool(
         rec["visits"] = []
         built.append((rec, (pool, push), xl, xr))
         results.append(rec)
+        pool_cache[cache_key] = (pool, push, xl, xr)
 
     # Transport floor: the cheapest possible dispatch+fetch round trip.
     # Reported alongside the candidates so a tunnel-gated sweep is
@@ -334,14 +374,29 @@ def tune_pool(
             elif protocol == "lockstep":
                 _, push = pool
                 T = rec["hops"]
+                P = rec.get("pipeline", 1)
+                pending = None
                 t0 = time.perf_counter()
                 for _ in range(int(blocks) // T):
                     # Full host round trip per cycle ON PURPOSE: the
                     # serving dispatcher can't issue the next cycle
                     # until this one's outputs are on their way to the
-                    # sockets.  hops=T amortizes exactly this.
-                    c, ls, rs = push(xl, xr)
-                    np.asarray(c), np.asarray(ls), np.asarray(rs)
+                    # sockets.  hops=T amortizes exactly this;
+                    # pipeline=2 parks each cycle's device outputs and
+                    # fetches them after dispatching the NEXT cycle
+                    # (StreamServer(pipeline=2)'s schedule).
+                    out = push(xl, xr)
+                    if P > 1:
+                        if pending is not None:
+                            for o in pending:
+                                np.asarray(o)
+                        pending = out
+                    else:
+                        for o in out:
+                            np.asarray(o)
+                if pending is not None:
+                    for o in pending:
+                        np.asarray(o)
                 dt = (time.perf_counter() - t0) / int(blocks)
             else:
                 _, push = pool
@@ -391,6 +446,7 @@ def tune_pool(
                      "visits": int(visits),
                      "unroll": int(unroll) if protocol == "scan" else None,
                      "hops": [int(t) for t in hops],
+                     "pipelines": list(pipelines),
                      "estimator": "min-of-visits, interleaved",
                      "layout": layout, "ola": ola,
                      "transport_floor_seconds": transport_floor},
@@ -435,6 +491,11 @@ def main(argv=None):
                     "separated (pallas quarters pools only; hops=T runs "
                     "T blocks per kernel launch at T block deadlines of "
                     "added input latency)")
+    ap.add_argument("--pipelines", default="1",
+                    help="pipelined-dispatch depths to sweep, comma-"
+                    "separated (lockstep protocol only; 2 = fetch each "
+                    "cycle's outputs after dispatching the next, "
+                    "overlapping host fetch with chip compute)")
     ap.add_argument("--json", action="store_true",
                     help="print the full report as one JSON line")
     args = ap.parse_args(argv)
@@ -456,6 +517,7 @@ def main(argv=None):
         include_xla=args.include_xla, protocol=args.protocol,
         unroll=args.unroll,
         hops=[int(t) for t in args.hops.split(",")],
+        pipelines=[int(p) for p in args.pipelines.split(",")],
         verbose=not args.json,
     )
     if args.json:
