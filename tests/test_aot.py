@@ -326,3 +326,78 @@ def test_read_meta_and_bad_files(tmp_path):
         aot.load(str(bad))
     with pytest.raises(ValueError, match="not an upmix_tpu AOT artifact"):
         aot.read_meta(str(bad))
+
+
+def test_custom_window_artifact_loads_without_registration(tmp_path):
+    # A config built on a registered custom window must round-trip
+    # through an artifact into a process that never ran the
+    # registration: config_to_dict persists the coefficients under
+    # "custom_windows" and config_from_dict re-registers them
+    # (regression: load() used to raise "unknown window" from
+    # BandSpec.__post_init__ even though the exported program has the
+    # window baked in).
+    from upmix_tpu.ops import windows as W
+
+    name = "test:aot-vec-window"
+    n = 512
+    vec = (
+        0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)
+    ).astype(np.float32) * 0.97
+    W.register_window_vector(name, vec, overwrite=True)
+    try:
+        cfg = UpmixConfig.streaming(
+            [0.0, 400.0, 1600.0], sr=SR, hw_block_size=256, window=name
+        )
+        path = str(tmp_path / "win.upmixaot")
+        meta = aot.save_stream_step(path, cfg, 256, platforms=["cpu"])
+        assert name in meta["config"]["custom_windows"]
+
+        # Simulate the fresh process: drop the live registration.
+        del W._CUSTOM[name]
+        assert not W.is_known_window(name)
+        art = aot.load(path)
+        assert art.config.bands[0].window == name
+        # The restored registration serves the EXACT original vector.
+        np.testing.assert_array_equal(W.make_window(name, n), vec)
+        # And the loaded program runs (one block through the step).
+        state = art.init_state()
+        blk = np.zeros((256,), np.float32)
+        state, out = art.step(state, np.stack([blk, blk]))
+        assert np.asarray(out).shape[-1] == 256
+    finally:
+        W._CUSTOM.pop(name, None)
+
+
+def test_callable_window_config_round_trips_sampled(tmp_path):
+    # Arbitrary callable windows (the reference's window_func contract,
+    # main.py:65) cannot be pickled; config_to_dict persists their
+    # per-band-size EVALUATIONS instead, and restore serves those sizes
+    # exactly.
+    from upmix_tpu.ops import windows as W
+
+    name = "test:aot-callable-window"
+
+    def tukey_ish(N):
+        x = np.linspace(0, 1, N, dtype=np.float64)
+        return (np.sin(np.pi * x) ** 1.5).astype(np.float32)
+
+    W.register_window(name, tukey_ish, overwrite=True)
+    try:
+        cfg = UpmixConfig.make(
+            [0.0, 400.0, 1600.0], sr=SR, max_block_size=1024, window=name
+        )
+        import json
+
+        d = json.loads(json.dumps(aot.config_to_dict(cfg)))
+        sizes = sorted({b.block_size for b in cfg.bands})
+        assert d["custom_windows"][name]["kind"] == "sampled"
+
+        del W._CUSTOM[name]
+        cfg2 = aot.config_from_dict(d)
+        assert cfg2 == cfg
+        for bs in sizes:
+            np.testing.assert_array_equal(
+                W.make_window(name, bs), tukey_ish(bs)
+            )
+    finally:
+        W._CUSTOM.pop(name, None)

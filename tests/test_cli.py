@@ -280,3 +280,12 @@ def test_cli_fetch_metrics_validation(tmp_path):
     # Dead port: connection error surfaces as a clean CLI error.
     with pytest.raises(SystemExit):
         main(["-", "--fetch-metrics", "127.0.0.1:9"])
+
+
+def test_cli_unknown_window_rejected(tmp_path):
+    # --window lost argparse choices= when custom registrations were
+    # allowed; a typo must stay a clean exit, not a ValueError traceback
+    # out of BandSpec.__post_init__.
+    path = _input(tmp_path)
+    with pytest.raises(SystemExit, match="unknown --window"):
+        main([str(path), "--window", "blackman_haris"])

@@ -823,3 +823,56 @@ def test_pipeline_checkpoint_flushes_in_flight(tmp_path):
     finally:
         srv_b.close()
     np.testing.assert_array_equal(got, np.column_stack(ref))
+
+
+def test_multihop_artifact_server_requires_matching_hops(tmp_path):
+    # An AOT pool exported with hops=T carries ONLY the multi-hop
+    # program; a server constructed with the default hops=1 must fail
+    # AT CONSTRUCTION with the actionable error (regression: it used to
+    # construct, then the dispatcher thread died on its first cycle and
+    # every client hung on a silent output queue).
+    from upmix_tpu import aot
+
+    path = str(tmp_path / "pool_t2.upmixaot")
+    aot.save_stream_pool(
+        path, _cfg(), HW, 8, group=8, platforms=["cpu"], interpret=True,
+        hops=2,
+    )
+    art = aot.load(path)
+    with pytest.raises(ValueError, match="serve-hops"):
+        StreamServer(art, lockstep=True)
+    # The matching hops constructs (and is exercised end-to-end by
+    # test_hops_server_round_trip_with_drain_padding on a live pool).
+    srv = StreamServer(art, lockstep=True, hops=2)
+    srv.close()
+
+
+def test_dispatcher_death_fails_sessions_fast():
+    # A dispatcher crash must not hang clients: the guard logs, counts
+    # dispatcher_failures, ends every live session (socket close) and
+    # stops the server.
+    pool = BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+    with StreamServer(pool, lockstep=True) as srv:
+
+        def boom(*a, **k):
+            raise RuntimeError("injected pool failure")
+
+        srv._push = boom
+        L, R = make_stereo(6 * HW, SR, seed=80)
+        errs = []
+
+        def go():
+            try:
+                stream_client(
+                    *srv.address, L.astype(np.float32), R.astype(np.float32)
+                )
+            except Exception as exc:
+                errs.append(exc)
+
+        t = threading.Thread(target=go)
+        t.start()
+        t.join(timeout=60)
+        assert not t.is_alive(), "client hung on a dead dispatcher"
+        assert errs, "client must observe the failed session, not succeed"
+        assert srv.stats["dispatcher_failures"] == 1
+        assert srv._stop.is_set()

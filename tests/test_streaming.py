@@ -445,6 +445,11 @@ def test_pallas_pool_multi_hop_matches_sequential():
     seq = PallasStreamPool(cfg, HW, n_streams=S, group=8)
     seq_out = [seq.push_blocks(blk[:, 0], blk[:, 1]) for blk in blocks]
     warm = seq.warmup_blocks
+    seq_t = np.asarray(seq.state["t"]).copy()
+    extra = rng.standard_normal((S, 2, HW)).astype(np.float32) * 0.3
+    want_extra = [
+        np.asarray(o) for o in seq.push_blocks(extra[:, 0], extra[:, 1])
+    ]
 
     for hops in (2, 6):
         multi = PallasStreamPool(cfg, HW, n_streams=S, group=8)
@@ -468,13 +473,16 @@ def test_pallas_pool_multi_hop_matches_sequential():
                     )
                 if np.abs(want).max() > 0:
                     assert snr_db(want, got) > 100.0, f"hops={hops} block {t}"
-        # The state advanced identically: one more sequential block on
-        # both pools must agree too.
-        ref = seq_out if n_blocks < len(blocks) else None
-        del ref
-        np.testing.assert_array_equal(
-            np.asarray(multi.state["t"]), np.asarray(seq.state["t"])
-        )
+        # The state advanced identically: one more SINGLE-HOP block
+        # pushed through the multi-hop-advanced pool must agree with the
+        # sequential pool's continuation (the two step programs share
+        # the live state pytree).
+        np.testing.assert_array_equal(np.asarray(multi.state["t"]), seq_t)
+        got = multi.push_blocks(extra[:, 0], extra[:, 1])
+        for w, g in zip(want_extra, got):
+            assert snr_db(w, np.asarray(g)) > 100.0, (
+                f"hops={hops} single-hop continuation diverged"
+            )
 
 
 def test_pallas_pool_multi_hop_runner_and_errors():

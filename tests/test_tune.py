@@ -290,3 +290,15 @@ def test_tune_pipeline_rejected_off_lockstep():
     with pytest.raises(ValueError, match="1 or 2"):
         tune_pool(_cfg(), HW, batch_sizes=(4,), engine="xla",
                   protocol="lockstep", pipelines=(3,), verbose=False)
+
+
+def test_tune_rejects_bad_hops_values():
+    # hops=0 used to ZeroDivisionError in the divisibility check and a
+    # negative depth timed an empty loop (a near-zero "winner").
+    for bad in ((0,), (-2,), ()):
+        with pytest.raises(ValueError, match="hops"):
+            tune_pool(
+                _cfg(), HW, batch_sizes=(8,), groups=(8,),
+                engine="pallas", blocks=4, visits=1, hops=bad,
+                verbose=False,
+            )

@@ -57,13 +57,37 @@ _FORMAT = 1
 def config_to_dict(config: UpmixConfig) -> dict:
     """JSON-safe dict carrying the FULL band-resolved config (not the
     make() inputs), so the loaded artifact reconstructs the exact bands
-    it was built from even if sizing defaults drift."""
-    return dataclasses.asdict(config)
+    it was built from even if sizing defaults drift.
+
+    Custom analysis windows (ops.windows.register_window[_vector] /
+    --window-file) are process-local registrations, so their
+    coefficients ride along under "custom_windows" — without them an
+    artifact or server checkpoint built with a custom window could
+    never load in a fresh process (BandSpec validates window names)."""
+    from upmix_tpu.ops import windows as _win
+
+    d = dataclasses.asdict(config)
+    payloads = {}
+    for b in config.bands:
+        if not _win.is_builtin_window(b.window) and b.window not in payloads:
+            payloads[b.window] = _win.window_payload(
+                b.window,
+                [bb.block_size for bb in config.bands if bb.window == b.window],
+            )
+    if payloads:
+        d["custom_windows"] = payloads
+    return d
 
 
 def config_from_dict(d: dict) -> UpmixConfig:
+    from upmix_tpu.ops import windows as _win
+
+    for name, payload in (d.get("custom_windows") or {}).items():
+        _win.restore_window(name, payload)
     bands = tuple(BandSpec(**b) for b in d["bands"])
-    rest = {k: v for k, v in d.items() if k != "bands"}
+    rest = {
+        k: v for k, v in d.items() if k not in ("bands", "custom_windows")
+    }
     return UpmixConfig(bands=bands, **rest)
 
 

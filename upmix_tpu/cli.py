@@ -410,6 +410,19 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.window_file is not None:
         args.window = load_window_file(args.window_file)
+    else:
+        # --window lost its argparse choices= when custom registrations
+        # were allowed; validate upfront (after --window-file had its
+        # chance to register) so a typo is a clean exit, not a
+        # ValueError traceback out of BandSpec.__post_init__.
+        from upmix_tpu.ops.windows import is_known_window, window_names
+
+        if not is_known_window(args.window):
+            raise SystemExit(
+                f"error: unknown --window {args.window!r}; one of "
+                f"{', '.join(sorted(window_names()))} (or register one "
+                "via --window-file / upmix_tpu.ops.windows.register_window)"
+            )
     edges = parse_edges(args.band_edges)
     if args.pad_granularity is not None and args.pad_granularity < 1:
         raise SystemExit("error: --pad-granularity must be >= 1")

@@ -123,6 +123,7 @@ class ServerMetrics:
                                # no input queued (zeros injected)
         "resumed",             # parked sessions resumed by token
         "checkpoints",         # save_checkpoint completions
+        "dispatcher_failures", # dispatcher thread died (server stopped)
     )
 
     def __init__(self):

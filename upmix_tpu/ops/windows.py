@@ -143,6 +143,73 @@ def is_known_window(name: str) -> bool:
     return name in _WINDOWS or name in _CUSTOM
 
 
+def is_builtin_window(name: str) -> bool:
+    return name in _WINDOWS
+
+
+def window_payload(name: str, sizes) -> dict:
+    """JSON-safe round-trip payload for a registered CUSTOM window, so
+    configs that reference it (AOT artifacts, server checkpoints) can be
+    reconstructed in a fresh process where nothing re-ran the
+    registration (register_window is process-wide only).
+
+    Vector-backed registrations (register_window_vector /
+    --window-file) persist their exact coefficient vector.  Arbitrary
+    callables cannot be serialized; they persist their EVALUATIONS at
+    `sizes` (the band block sizes of the config being saved — the only
+    lengths that config can ever ask for).
+    """
+    fn = _CUSTOM.get(name)
+    if fn is None:
+        raise ValueError(f"{name!r} is not a registered custom window")
+    vec = getattr(fn, "vector", None)
+    if vec is not None:
+        return {"kind": "vector", "coeffs": [float(v) for v in vec]}
+    return {
+        "kind": "sampled",
+        "sizes": {
+            str(int(n)): [float(v) for v in make_window(name, int(n))]
+            for n in sorted({int(s) for s in sizes})
+        },
+    }
+
+
+def restore_window(name: str, payload: dict) -> str:
+    """Re-register `name` from a window_payload().  No-op when the name
+    is already known: a live in-process registration wins (the loaded
+    program has its windows baked into the compiled artifact anyway —
+    the registry's job here is only to make the reconstructed config
+    validate and to serve exact coefficients to the oracle/native
+    paths)."""
+    if is_known_window(name):
+        return name
+    kind = payload.get("kind")
+    if kind == "vector":
+        return register_window_vector(
+            name, np.asarray(payload["coeffs"], np.float32)
+        )
+    if kind == "sampled":
+        table = {
+            int(k): np.asarray(v, np.float32)
+            for k, v in payload["sizes"].items()
+        }
+        if not table:
+            raise ValueError(f"sampled window payload for {name!r} is empty")
+        resample = window_from_vector(table[max(table)])
+
+        def fn(N: int) -> np.ndarray:
+            N = int(N)
+            if N in table:
+                return table[N].copy()
+            # Off-table length (a config edited after restore): resample
+            # from the longest stored evaluation — same semantics as a
+            # vector-backed window, documented best-effort.
+            return resample(N)
+
+        return register_window(name, fn)
+    raise ValueError(f"unknown window payload kind {kind!r} for {name!r}")
+
+
 def custom_window_vector(name: str):
     """The registered vector behind `name` if it was vector-backed
     (register_window_vector / --window-file), else None.  Lets the

@@ -92,6 +92,9 @@ VERSION2 = 2
 MIX_MODES = ("stereo_sum", "lcr")
 _TOKEN_LEN = 16
 _ZERO_TOKEN = b"\x00" * _TOKEN_LEN
+# _flush_pending default: "pop and deliver self._pending" (None must stay
+# distinct — an explicit None argument means "nothing to deliver").
+_FLUSH_SELF_PENDING = object()
 
 _ST_FREE, _ST_ACTIVE, _ST_DRAINING, _ST_PARKED = 0, 1, 2, 3
 
@@ -238,6 +241,20 @@ class StreamServer:
             # weightless AOT artifacts cannot build the multi-hop step
             # (building is lazy — nothing compiles here).
             pool._get_multi_step(self.hops)
+        elif getattr(pool, "_step", 1) is None:
+            # hops == 1 with a pool that carries no single-hop program:
+            # an AOT artifact exported with hops=T seeds only the
+            # multi-hop step (aot.py::_make_aot_stream_pool) and its
+            # push_blocks raises — caught here instead of killing the
+            # dispatcher thread on its first cycle (which would leave
+            # every connected client blocked on a silent output queue).
+            exported = sorted(getattr(pool, "_multi_steps", {}))
+            raise ValueError(
+                "this pool carries no single-hop program (AOT artifact "
+                f"exported with hops={exported[0] if exported else '?'}); "
+                "construct the server with hops=<that value> "
+                "(CLI: --serve-hops)"
+            )
         self._push = (
             pool.push_blocks_multi if self.hops > 1 else pool.push_blocks
         )
@@ -784,21 +801,31 @@ class StreamServer:
                 any_live = True
         return any_live
 
-    def _flush_pending(self):
-        """Fetch and deliver the in-flight cycle's outputs (pipeline=2).
+    def _flush_pending(self, cycle=_FLUSH_SELF_PENDING, t0=None):
+        """Fetch and deliver one cycle's outputs: the in-flight cycle
+        (no argument — pipeline=2's parked work) or an explicit
+        ``((c, ls, rs), live, t_cycle)`` tuple.  The ONLY delivery path
+        — both dispatcher branches and every drain site route through
+        here so fetch timing + accounting cannot diverge.
+
+        ``t0`` sets the dispatch-histogram baseline: the synchronous
+        (pipeline=1) path passes its pre-dispatch timestamp so the
+        histogram records dispatch+fetch; without it the histogram
+        records only the blocking fetch wait (the host time a
+        pipelined cycle's outputs actually cost — the chip computed
+        them while the next cycle was dispatching).
+
         Caller must hold _pool_lock (and NOT _lock — accounting takes
         _lock per slot)."""
         import time as _time
 
-        if self._pending is None:
+        if cycle is _FLUSH_SELF_PENDING:
+            cycle, self._pending = self._pending, None
+        if cycle is None:
             return
-        (c, ls, rs), live, t_cycle = self._pending
-        self._pending = None
-        t_fetch = _time.monotonic()
+        (c, ls, rs), live, t_cycle = cycle
+        t_fetch = _time.monotonic() if t0 is None else t0
         c, ls, rs = np.asarray(c), np.asarray(ls), np.asarray(rs)
-        # Under pipeline=2 the dispatch histogram records the blocking
-        # fetch wait — the host time this cycle's outputs actually cost
-        # (the chip computed them while the NEXT cycle was dispatching).
         self.metrics.dispatch_seconds.record(_time.monotonic() - t_fetch)
         self._account_cycle(c, ls, rs, live, t_cycle)
 
@@ -845,6 +872,34 @@ class StreamServer:
         self.metrics.cycle_seconds.record(_time.monotonic() - t_cycle)
 
     def _dispatch_loop(self):
+        """Thread body: run cycles until stop; on an unexpected failure
+        fail FAST instead of hanging — the dispatcher is the only thread
+        that moves blocks through the pool, so a silent death would
+        leave every connected client blocked forever on an output queue
+        that nothing will ever fill (stats['blocks'] frozen, accept loop
+        still admitting new victims)."""
+        try:
+            self._dispatch_cycles()
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).exception(
+                "stream dispatcher died; failing all live sessions"
+            )
+            self.stats["dispatcher_failures"] += 1
+            with self._lock:
+                for s in self._slots:
+                    if s.state not in (_ST_FREE, _ST_PARKED) and (
+                        s.outq is not None
+                    ):
+                        # End-of-stream sentinel: the writer thread
+                        # drains and closes the socket, so the client
+                        # observes a short read instead of a hang.
+                        s.outq.put(None)
+            self._stop.set()
+            self._wake.set()
+
+    def _dispatch_cycles(self):
         import time as _time
 
         hw = self.hw
@@ -958,30 +1013,17 @@ class StreamServer:
                     np.stack(in_l), np.stack(in_r)
                 )
                 self.stats["blocks"] += T
+                cycle = ((c, ls, rs), live, t_cycle)
                 if self.pipeline > 1:
                     # Async dispatch: jax returns device futures — hand
                     # the PREVIOUS cycle's outputs to the sockets while
                     # the chip computes this one, then park this cycle
                     # as the new in-flight work.
-                    prev, self._pending = self._pending, (
-                        (c, ls, rs), live, t_cycle
-                    )
-                    if prev is not None:
-                        (pc, pls, prs), plive, pt = prev
-                        t_fetch = _time.monotonic()
-                        pc, pls, prs = (
-                            np.asarray(pc), np.asarray(pls), np.asarray(prs)
-                        )
-                        self.metrics.dispatch_seconds.record(
-                            _time.monotonic() - t_fetch
-                        )
-                        self._account_cycle(pc, pls, prs, plive, pt)
+                    prev, self._pending = self._pending, cycle
+                    self._flush_pending(prev)
                 else:
-                    c, ls, rs = np.asarray(c), np.asarray(ls), np.asarray(rs)
-                    self.metrics.dispatch_seconds.record(
-                        _time.monotonic() - t_dispatch
-                    )
-                    self._account_cycle(c, ls, rs, live, t_cycle)
+                    # Synchronous: the histogram covers dispatch+fetch.
+                    self._flush_pending(cycle, t0=t_dispatch)
         # Shutdown: deliver anything still in flight so a gracefully
         # closing client's tail is not dropped with the pipeline.
         with self._pool_lock:

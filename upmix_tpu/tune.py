@@ -164,6 +164,12 @@ def tune_pool(
     pipelines = tuple(int(p) for p in pipelines)
     if any(p not in (1, 2) for p in pipelines):
         raise ValueError(f"pipelines entries must be 1 or 2, got {pipelines}")
+    hops = tuple(int(t) for t in hops)
+    if not hops or any(t < 1 for t in hops):
+        # hops=0 would ZeroDivisionError in the divisibility check below
+        # and a negative T would silently time an empty loop (reporting
+        # a near-zero seconds_per_block that wins "best").
+        raise ValueError(f"hops entries must be >= 1, got {hops}")
     if protocol != "lockstep" and pipelines != (1,):
         raise ValueError(
             "pipelines is a lockstep-protocol knob (the scan/dispatch "
