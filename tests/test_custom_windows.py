@@ -77,6 +77,36 @@ def test_registry_roundtrip_and_rejections():
         UpmixConfig.make([0.0, 400.0], sr=8000.0, window="test:nope")
 
 
+def test_restore_window_conflict_detection():
+    # restore_window keeps a MATCHING live registration but must refuse
+    # a same-name registration with different coefficients (otherwise
+    # the oracle/native paths silently check against the wrong window).
+    from upmix_tpu.ops import windows as W
+
+    rng = np.random.default_rng(7)
+    name, vec = _register(rng, "restore")
+    payload = W.window_payload(name, sizes=[256])
+    assert W.restore_window(name, payload) == name  # matching -> kept
+    # Conflicting live registration -> loud failure, not a silent no-op.
+    register_window_vector(name, vec * 0.5, overwrite=True)
+    with pytest.raises(ValueError, match="differ"):
+        W.restore_window(name, payload)
+    # Fresh-process path: no live registration -> restored verbatim.
+    del W._CUSTOM[name]
+    assert W.restore_window(name, payload) == name
+    np.testing.assert_array_equal(make_window(name, len(vec)), vec)
+    # Sampled payloads (arbitrary callables) get the same check at each
+    # stored size.
+    register_window("test:samp", lambda n: np.full(n, 0.5, np.float32),
+                    overwrite=True)
+    sp = W.window_payload("test:samp", sizes=[64, 128])
+    assert W.restore_window("test:samp", sp) == "test:samp"
+    register_window("test:samp", lambda n: np.full(n, 0.25, np.float32),
+                    overwrite=True)
+    with pytest.raises(ValueError, match="differ"):
+        W.restore_window("test:samp", sp)
+
+
 def test_registered_callable_window():
     # A generator CALLABLE (not a vector): the reference's exact
     # window_func contract — called per band with that block size.

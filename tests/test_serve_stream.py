@@ -874,5 +874,22 @@ def test_dispatcher_death_fails_sessions_fast():
         t.join(timeout=60)
         assert not t.is_alive(), "client hung on a dead dispatcher"
         assert errs, "client must observe the failed session, not succeed"
+        # The client can observe the socket shutdown (outq sentinel)
+        # before the dispatcher thread reaches _stop.set(): wait for the
+        # dispatcher to exit before asserting the guard's end state.
+        import time
+
+        deadline = time.monotonic() + 30
+        while (
+            not srv._stop.is_set() or srv._sock.fileno() != -1
+        ) and time.monotonic() < deadline:
+            time.sleep(0.01)
         assert srv.stats["dispatcher_failures"] == 1
         assert srv._stop.is_set()
+        assert srv._sock.fileno() == -1, "failure guard must close the listener"
+        # Post-failure clients must be rejected, not admitted as new
+        # victims: the guard also closes the listener (ADVICE r4).
+        with pytest.raises(Exception):
+            stream_client(
+                *srv.address, L.astype(np.float32), R.astype(np.float32)
+            )

@@ -174,14 +174,42 @@ def window_payload(name: str, sizes) -> dict:
     }
 
 
+def _payload_reference_coeffs(payload: dict) -> dict:
+    """{size: float32 coefficients} the payload pins, for conflict checks."""
+    kind = payload.get("kind")
+    if kind == "vector":
+        vec = np.asarray(payload["coeffs"], np.float32)
+        return {int(vec.size): vec}
+    if kind == "sampled":
+        return {
+            int(k): np.asarray(v, np.float32)
+            for k, v in payload["sizes"].items()
+        }
+    raise ValueError(f"unknown window payload kind {kind!r}")
+
+
 def restore_window(name: str, payload: dict) -> str:
-    """Re-register `name` from a window_payload().  No-op when the name
-    is already known: a live in-process registration wins (the loaded
-    program has its windows baked into the compiled artifact anyway —
-    the registry's job here is only to make the reconstructed config
-    validate and to serve exact coefficients to the oracle/native
-    paths)."""
+    """Re-register `name` from a window_payload().
+
+    When the name is already known, the live in-process registration is
+    kept (the loaded program has its windows baked into the compiled
+    artifact anyway) — but ONLY after verifying the live coefficients
+    match the payload's at the payload's stored sizes.  A same-name
+    registration with DIFFERENT coefficients would make the oracle /
+    native paths silently check against the wrong contract, so that
+    case raises instead of no-op'ing."""
     if is_known_window(name):
+        for n, want in _payload_reference_coeffs(payload).items():
+            got = make_window(name, n)
+            if got.shape != want.shape or not np.allclose(
+                got, want, rtol=1e-6, atol=1e-7
+            ):
+                raise ValueError(
+                    f"window {name!r} is already registered in this "
+                    f"process with coefficients that differ from the "
+                    f"artifact's at N={n}; unregister or rename the live "
+                    "registration before restoring this artifact"
+                )
         return name
     kind = payload.get("kind")
     if kind == "vector":

@@ -898,6 +898,14 @@ class StreamServer:
                         s.outq.put(None)
             self._stop.set()
             self._wake.set()
+            # Unblock _accept_loop too: it only re-checks _stop between
+            # accepts, so without closing the listener post-failure
+            # clients would still be admitted, get slots, and hang on
+            # output queues nothing fills.
+            try:
+                self._sock.close()
+            except OSError:
+                pass
 
     def _dispatch_cycles(self):
         import time as _time
