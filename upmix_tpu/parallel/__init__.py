@@ -15,6 +15,7 @@ from upmix_tpu.parallel.distributed import (
     process_count,
     process_index,
 )
+from upmix_tpu.parallel.pod_check import run_pod_check
 from upmix_tpu.parallel.sharded import (
     ShardedUpmixer,
     build_sharded_offline_fn,
@@ -31,5 +32,6 @@ __all__ = [
     "make_mesh",
     "process_count",
     "process_index",
+    "run_pod_check",
     "sequence_plan",
 ]

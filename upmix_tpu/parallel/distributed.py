@@ -18,9 +18,12 @@ framework's conventions:
   offline path: process i takes paths[i::n], each host feeds its own
   BatchUpmixer/serving pool over its local slice of a data-axis mesh.
 
-Validated in-process (num_processes=1) in the test suite; real pods
-are hardware we do not have in CI — the call maps 1:1 onto
-jax.distributed, which owns the multi-host contract.
+Validated at num_processes=2 in the test suite (tests/test_distributed.py
+spawns two OS processes with gloo TCP collectives on the CPU backend and
+runs `pod_check`: cross-process psum, the global-mesh sharded pipeline
+with halo ppermutes crossing the process boundary, and per-process file
+shards — all oracle-gated); real TPU pods use the identical call path
+with ICI/DCN collectives.
 """
 
 from __future__ import annotations
