@@ -825,6 +825,87 @@ def test_pipeline_checkpoint_flushes_in_flight(tmp_path):
     np.testing.assert_array_equal(got, np.column_stack(ref))
 
 
+@pytest.mark.parametrize("hops,pipeline", [(2, 1), (1, 2), (2, 2)])
+def test_checkpoint_resume_under_hops_and_pipeline(tmp_path, hops, pipeline):
+    # VERDICT round-4 item 2: the sample-exact-continuation contract must
+    # hold when BOTH servers run temporal batching (hops=2) and/or
+    # pipelined dispatch (pipeline=2).  The cut point is chosen MID-CYCLE
+    # for hops=2 (an odd block count leaves one block queued but not yet
+    # dispatched), so the checkpoint must carry a non-empty queue depth
+    # and the resumed dispatcher must consume it in its first cycle.
+    import json as _json
+
+    from upmix_tpu.models.streaming import PallasStreamPool
+    from upmix_tpu.serve_stream import StreamSession
+
+    def pool_factory():
+        return PallasStreamPool(_cfg(), HW, n_streams=8, group=8,
+                                interpret=True)
+
+    srv_kw = dict(lockstep=True, hops=hops, pipeline=pipeline)
+    n_blocks, cut = 12, 5
+    L, R = make_stereo(n_blocks * HW, SR, seed=300 + hops * 10 + pipeline)
+    L, R = L.astype(np.float32), R.astype(np.float32)
+    with StreamServer(pool_factory(), **srv_kw) as srv_ref:
+        ref = stream_client(*srv_ref.address, L, R)
+
+    dispatched = (cut // hops) * hops  # blocks the cycles could consume
+    queued = cut - dispatched  # mid-cycle depth (1 when hops=2)
+    skip = _warmup_skip()
+    path = str(tmp_path / "hp.npz")
+
+    srv_a = StreamServer(pool_factory(), **srv_kw).start()
+    sess = StreamSession(*srv_a.address)
+    for b in range(cut):
+        sess.send_block(L[b * HW : (b + 1) * HW], R[b * HW : (b + 1) * HW])
+    # Only the frames due after the `dispatched` whole cycles can arrive
+    # (the mid-cycle block sits queued); reading them also forces the
+    # pipeline=2 in-flight outputs out.
+    due = max(0, dispatched * HW - skip)
+    part1 = (sess.recv_frames(due) if due
+             else np.zeros((0, sess.out_channels), "<f4"))
+    # The mid-cycle block may still be in TCP flight after the read
+    # returns (it belongs to no dispatched cycle); wait for the reader
+    # thread to ack it so the checkpoint deterministically captures the
+    # queue depth this test asserts on.
+    import time as _time
+
+    deadline = _time.time() + 10.0
+    while (srv_a._slots[0].in_frames < cut * HW
+           and _time.time() < deadline):
+        _time.sleep(0.01)
+    assert srv_a.save_checkpoint(path) == 1
+    sess.close()
+    srv_a.close()
+
+    # The checkpoint recorded the mid-cycle queue depth and T-aware
+    # frame/skip accounting.
+    saved = np.load(path, allow_pickle=False)
+    meta = _json.loads(saved["__meta__"].tobytes().decode("utf-8"))
+    s0 = meta["sessions"][0]
+    assert saved[f"s{s0['slot']}.blocks"].shape[0] == queued
+    assert s0["in_frames"] == cut * HW
+    assert s0["out_frames"] == max(0, dispatched * HW - skip) == len(part1)
+    assert s0["skip"] == max(0, skip - dispatched * HW)
+
+    srv_b = StreamServer(pool_factory(), checkpoint=path, **srv_kw).start()
+    try:
+        sess2 = StreamSession(*srv_b.address, token=sess.token)
+        assert sess2.server_in_frames == cut * HW
+        assert sess2.server_out_frames == len(part1)
+        for b in range(cut, n_blocks):
+            sess2.send_block(L[b * HW : (b + 1) * HW],
+                             R[b * HW : (b + 1) * HW])
+        sess2.finish()
+        part2 = sess2.recv_frames(n_blocks * HW - len(part1))
+        sess2.close()
+    finally:
+        srv_b.close()
+
+    got = np.concatenate([part1, part2])
+    np.testing.assert_array_equal(got, np.column_stack(ref))
+
+
 def test_multihop_artifact_server_requires_matching_hops(tmp_path):
     # An AOT pool exported with hops=T carries ONLY the multi-hop
     # program; a server constructed with the default hops=1 must fail
