@@ -114,27 +114,97 @@ def test_odd_sized_data_chunk_alignment(tmp_path):
     np.testing.assert_allclose(y, x, atol=2**-22)
 
 
-def test_non_wav_error_mentions_soundfile(tmp_path):
+def test_non_wav_error_mentions_soundfile(tmp_path, monkeypatch):
     from upmix_tpu.io import wav as wavmod
 
     p = tmp_path / "x.flac"
     p.write_bytes(b"fLaC" + b"\x00" * 64)
-    if wavmod._sf is not None:
-        pytest.skip("soundfile installed; fallback error path not reachable")
+    monkeypatch.setattr(wavmod, "_sf", None)  # deterministic: no soundfile
     with pytest.raises(ValueError, match="soundfile"):
         read_wav(p)
 
 
-def test_flac_roundtrip_via_soundfile(tmp_path):
-    sf = pytest.importorskip("soundfile")
-    if not hasattr(sf, "write"):
-        pytest.skip("soundfile is a test stub")
+class _FakeSoundfile:
+    """Minimal working soundfile stand-in (the API surface io/wav.py uses).
+
+    `write` records the samples and stamps a fLaC magic so read_wav's
+    RIFF sniff routes the file to the soundfile branch; `read` hands the
+    samples back with soundfile's conventions (float64, always_2d,
+    numpy sample rate scalar — read_wav must coerce it to int).
+    """
+
+    def __init__(self):
+        self._store = {}
+
+    def write(self, path, data, sr, format=None):
+        from pathlib import Path
+
+        self._store[str(path)] = (np.asarray(data, np.float64), sr)
+        Path(path).write_bytes(b"fLaC" + b"\x00" * 16)
+
+    def read(self, path, always_2d=False, dtype="float64"):
+        key = str(path)
+        if key not in self._store:
+            raise RuntimeError("unrecognised format (fake libsndfile)")
+        data, sr = self._store[key]
+        if data.ndim == 1 and always_2d:
+            data = data[:, None]
+        if data.ndim == 2 and data.shape[1] == 1 and not always_2d:
+            data = data[:, 0]
+        return data.astype(dtype), np.int64(sr)
+
+
+def _soundfile_or_fake(monkeypatch):
+    """Real soundfile when installed and functional, else the fake wired in."""
+    from upmix_tpu.io import wav as wavmod
+
+    try:
+        import soundfile as sf
+
+        if hasattr(sf, "write") and hasattr(sf, "read"):
+            return sf
+    except ImportError:
+        pass
+    fake = _FakeSoundfile()
+    monkeypatch.setattr(wavmod, "_sf", fake)
+    return fake
+
+
+def test_flac_roundtrip_via_soundfile(tmp_path, monkeypatch):
+    # Exercises the non-WAV routing branch (reference: main.py:22,43 reads
+    # anything libsndfile supports) — against real soundfile when present,
+    # else a working fake so the branch is covered on every box.
+    sf = _soundfile_or_fake(monkeypatch)
     x = np.linspace(-0.5, 0.5, 1000).astype(np.float32)
     p = tmp_path / "x.flac"
     sf.write(p, np.column_stack([x, x]), 8000, format="FLAC")
     y, sr = read_wav(p)
-    assert sr == 8000 and y.shape == (1000, 2)
+    assert sr == 8000 and isinstance(sr, int)
+    assert y.shape == (1000, 2) and y.dtype == np.float64
     np.testing.assert_allclose(y[:, 0], x, atol=2e-4)
+
+
+def test_non_wav_mono_always_2d_via_soundfile(tmp_path, monkeypatch):
+    sf = _soundfile_or_fake(monkeypatch)
+    x = np.linspace(-0.3, 0.3, 64)
+    p = tmp_path / "m.flac"
+    sf.write(p, x, 22050, format="FLAC")
+    y, sr = read_wav(p, always_2d=True)
+    assert sr == 22050 and y.shape == (64, 1)
+    y1, _ = read_wav(p)
+    assert y1.ndim == 1 and len(y1) == 64
+
+
+def test_soundfile_decode_failure_wrapped_as_valueerror(tmp_path, monkeypatch):
+    # A file soundfile itself cannot decode must surface as the documented
+    # ValueError("unreadable audio file"), never a raw backend exception.
+    from upmix_tpu.io import wav as wavmod
+
+    monkeypatch.setattr(wavmod, "_sf", _FakeSoundfile())
+    p = tmp_path / "mystery.ogg"
+    p.write_bytes(b"OggS" + b"\x00" * 32)  # non-RIFF, unknown to the fake
+    with pytest.raises(ValueError, match="unreadable audio file"):
+        read_wav(p)
 
 
 def test_garbage_bytes_never_escape_valueerror(tmp_path):
