@@ -1,0 +1,186 @@
+"""Generative config fuzz sweep (SURVEY §4 insurance; VERDICT r4 item 3).
+
+Seeded random configurations over the reference's full constructor
+surface (center_extraction.py:240-266, 518-580): edge counts 1-10 with
+near-Nyquist/degenerate/duplicate values, sample rates 8k-192k, overlaps
+incl. non-divisible odd fractions, every builtin window plus randomly
+registered coefficient vectors, both xover modes, both synthesis modes,
+both bin-rounding modes.
+
+Contract per draw: either the config is rejected with a clean
+config-time ValueError (never a deep-kernel traceback), or every engine
+run on it must hold >60 dB SNR against the float64 NumPy oracle.
+
+The sweep is deterministic (fixed seeds) so any failure reproduces by
+seed; bump N_* or change BASE_SEED locally for a deeper hunt.
+"""
+
+import numpy as np
+import pytest
+
+from upmix_tpu.config import UpmixConfig
+from upmix_tpu.models.offline import upmix_offline
+from upmix_tpu.models.streaming import StreamingUpmixer
+from upmix_tpu.oracle import oracle_multiband
+from upmix_tpu.oracle.reference import oracle_stream_multiband
+from upmix_tpu.ops.windows import is_known_window, register_window_vector
+
+from helpers import make_stereo, snr_db
+
+BASE_SEED = 20260820
+N_OFFLINE = 50  # oracle vs mm kernel (xla on every 4th)
+N_STREAMING = 12
+N_NATIVE = 8
+
+SRS = [8000.0, 16000.0, 22050.0, 44100.0, 48000.0, 96000.0, 192000.0]
+OVERLAPS = [0.5, 0.75, 0.875, 0.6, 0.9375, 0.3, 0.65]
+WINDOWS = ["blackman_harris", "sqrt_hann", "hann", "blackman", "hamming", "rect"]
+
+
+def _rand_window_vec(rng, n=513):
+    """Positive, smoothed, tapered random window (plausible analysis win)."""
+    w = rng.uniform(0.2, 1.0, n)
+    w = np.convolve(w, np.ones(9) / 9.0, mode="same")
+    taper = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / (n - 1))
+    return (w * (0.15 + 0.85 * taper)).astype(np.float32)
+
+
+def _draw_window(rng, seed):
+    if rng.random() < 0.2:
+        name = f"fuzz:w{seed}"
+        if not is_known_window(name):
+            register_window_vector(name, _rand_window_vec(rng))
+        return name
+    return WINDOWS[rng.integers(len(WINDOWS))]
+
+
+def _draw_edges(rng, sr):
+    """1-10 edges incl. degenerate draws the validator must handle."""
+    n_edges = int(rng.integers(1, 11))
+    lo = 10.0 if rng.random() < 0.3 else 0.0
+    edges = np.sort(np.exp(rng.uniform(np.log(20.0), np.log(sr / 2), n_edges - 1)))
+    edges = [lo] + [float(e) for e in edges]
+    r = rng.random()
+    if r < 0.15 and len(edges) > 1:
+        edges.append(edges[-1])  # exact duplicate edge
+    elif r < 0.30:
+        edges.append(sr / 2 * 0.999)  # near-Nyquist
+    elif r < 0.40:
+        edges.append(sr / 2 * 1.01)  # above Nyquist (should be rejected)
+    elif r < 0.50 and len(edges) > 2:
+        edges.insert(2, edges[1] + 0.01)  # almost-degenerate pair
+    return sorted(edges)
+
+
+def _draw(seed):
+    rng = np.random.default_rng(seed)
+    sr = SRS[rng.integers(len(SRS))]
+    return dict(
+        band_edges=_draw_edges(rng, sr),
+        sr=sr,
+        overlap=OVERLAPS[rng.integers(len(OVERLAPS))],
+        window=_draw_window(rng, seed),
+        xover_mode=("raised_cosine", "hard_zero")[rng.integers(2)],
+        synthesis=("wola", "analysis")[rng.integers(2)],
+        bin_rounding=("python", "cpp")[rng.integers(2)],
+        max_block_size=int(2 ** rng.integers(7, 11)),  # 128..1024
+    )
+
+
+def _build_or_reject(params):
+    """UpmixConfig.make, permitting ONLY a clean ValueError as rejection."""
+    try:
+        return UpmixConfig.make(**params)
+    except ValueError:
+        return None  # clean config-time rejection: acceptable
+    # anything else (ZeroDivision, struct, XLA, assertion) propagates = bug
+
+
+def _assert_parity(ref, got, min_snr, ctx):
+    for name, r, g in zip("C Ls Rs".split(), ref, got):
+        assert g.shape == r.shape, f"{ctx} {name}: shape {g.shape} != {r.shape}"
+        assert np.all(np.isfinite(np.asarray(g))), f"{ctx} {name}: non-finite output"
+        s = snr_db(r, g)
+        assert s > min_snr, f"{ctx} {name}: SNR {s:.1f} dB < {min_snr}"
+
+
+@pytest.mark.parametrize("seed", range(BASE_SEED, BASE_SEED + N_OFFLINE))
+def test_fuzz_offline(seed):
+    params = _draw(seed)
+    cfg = _build_or_reject(params)
+    if cfg is None:
+        return
+    rng = np.random.default_rng(seed)
+    n = 3 * params["max_block_size"] + int(rng.integers(1, 700))  # ragged tail
+    L, R = make_stereo(n, cfg.sr, seed=seed, kind="mix")
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    ctx = f"seed={seed} {params}"
+    _assert_parity(ref, upmix_offline(L32, R32, cfg, kernel="mm"), 60.0, f"mm {ctx}")
+    if seed % 4 == 0:
+        _assert_parity(
+            ref, upmix_offline(L32, R32, cfg, kernel="xla"), 60.0, f"xla {ctx}"
+        )
+
+
+@pytest.mark.parametrize("seed", range(BASE_SEED + 1000, BASE_SEED + 1000 + N_STREAMING))
+def test_fuzz_streaming(seed):
+    rng = np.random.default_rng(seed)
+    sr = SRS[rng.integers(len(SRS))]
+    hw = int(2 ** rng.integers(6, 9))  # 64..256
+    params = dict(
+        band_edges=_draw_edges(rng, sr),
+        sr=sr,
+        window=_draw_window(rng, seed),
+        xover_mode=("raised_cosine", "hard_zero")[rng.integers(2)],
+        synthesis=("wola", "analysis")[rng.integers(2)],
+        bin_rounding=("python", "cpp")[rng.integers(2)],
+    )
+    try:
+        cfg = UpmixConfig.streaming(hw_block_size=hw, **params)
+        eng = StreamingUpmixer(cfg, hw)
+    except ValueError:
+        return  # clean config-time rejection
+    n = 14 * hw + 13  # ragged tail is truncated by both sides identically
+    L, R = make_stereo(n, sr, seed=seed, kind="mix")
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_stream_multiband(L32, R32, cfg, hw)
+    got = eng.process_signal(L32, R32, mix="stereo_sum")
+    ctx = f"seed={seed} hw={hw} {params}"
+    for name, r, g in zip("outL outR".split(), ref, got):
+        assert np.all(np.isfinite(np.asarray(g))), f"{ctx} {name}: non-finite"
+        s = snr_db(r, g)
+        assert s > 60.0, f"stream {ctx} {name}: SNR {s:.1f} dB"
+
+
+@pytest.mark.parametrize("seed", range(BASE_SEED + 2000, BASE_SEED + 2000 + N_NATIVE))
+def test_fuzz_native(seed):
+    native = pytest.importorskip("upmix_tpu.native")
+    if not native.is_available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(seed)
+    sr = SRS[rng.integers(len(SRS))]
+    hw = int(2 ** rng.integers(6, 9))
+    window = _draw_window(rng, seed)
+    edges = _draw_edges(rng, sr)
+    kw = dict(
+        xover_mode=("raised_cosine", "hard_zero")[rng.integers(2)],
+        synthesis=("wola", "analysis")[rng.integers(2)],
+        bin_rounding=("python", "cpp")[rng.integers(2)],
+        window=window,
+    )
+    try:
+        cfg = UpmixConfig.streaming(edges, sr=sr, hw_block_size=hw, **kw)
+        eng = native.NativeStreamingUpmixer(edges, sr=sr, hw_block_size=hw, **kw)
+    except ValueError:
+        return
+    n = 12 * hw
+    L, R = make_stereo(n, sr, seed=seed, kind="mix")
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_stream_multiband(L32, R32, cfg, hw)
+    got = eng.process_signal(L32, R32, mix="stereo_sum")
+    ctx = f"seed={seed} hw={hw} {kw} edges={edges}"
+    for name, r, g in zip("outL outR".split(), ref, got):
+        assert np.all(np.isfinite(np.asarray(g))), f"{ctx} {name}: non-finite"
+        s = snr_db(r, g)
+        assert s > 60.0, f"native {ctx} {name}: SNR {s:.1f} dB"
