@@ -16,6 +16,22 @@ server's own dispatch/cycle histograms (fetch_metrics — jax-free).
 Internal modes (spawned by the orchestrator):
     --server PORT N_STREAMS     run the TPU server until stdin closes
     --client PORT SECONDS SEED  stream one synthetic session, print JSON
+
+DIRECT-ATTACH SIMULATION (VERDICT r4 item 8): BENCH_TRANSPORT=local
+replaces the tunnel-attached pool with a recorded-chip-latency injector
+— push_blocks sleeps for the measured chip-side per-block cost plus a
+PCIe transfer allowance and returns pass-through outputs — so the FULL
+serving stack (sockets, reader/writer threads, dispatcher, client
+processes) is measured end-to-end with the dev tunnel's RTT removed.
+This bounds what a PCIe-attached host would serve, making the
+chip-side capacity rows and the tunnel-gated aggregate rows meet in
+one model.  Knobs: BENCH_CHIP_MS (default 1.0 — an upper bound on the
+recorded sub-ms S=32 pool cost), BENCH_PCIE_MS (default 0.2/cycle —
+~4x the x16 time for this cycle's ~1.3 MB).  Correctness is NOT the
+point of this mode (the injector's outputs are scaled pass-through);
+the real pool's parity is proven by the oracle-gated suites.
+
+    BENCH_TRANSPORT=local BENCH_CLIENTS=32 python scripts/bench_serve_stream_mp.py
 """
 
 import json
@@ -36,11 +52,75 @@ SECONDS = float(os.environ.get("BENCH_SECONDS", 20.0))
 PORT = int(os.environ.get("BENCH_PORT", 57341))
 
 
+class _ChipLatencyPool:
+    """Recorded-chip-latency injector with the pool surface StreamServer
+    uses: each dispatch costs the measured chip-side per-block latency
+    plus a PCIe allowance, outputs are scaled pass-through (non-silent,
+    correctly shaped).  Stands in for a direct-attached chip so the
+    serving STACK is what gets measured."""
+
+    layout = "injected"
+    ola = "time"
+
+    def __init__(self, config, hw_block_size, n_streams, chip_ms, pcie_ms):
+        from upmix_tpu.models.streaming import stream_warmup_blocks
+
+        self.config = config
+        self.hw_block_size = int(hw_block_size)
+        self.n_streams = int(n_streams)
+        self.warmup_blocks = stream_warmup_blocks(config)
+        self.chip_s = chip_ms * 1e-3
+        self.pcie_s = pcie_ms * 1e-3
+        self._step = object()  # non-None: "has a single-hop program"
+
+    def _get_multi_step(self, hops):  # hops>1 construction probe
+        return object()
+
+    def _run(self, in_l, in_r, hops):
+        time.sleep(self.chip_s * hops + self.pcie_s)
+        c = 0.5 * (in_l + in_r)
+        return c, in_l - 0.5 * c, in_r - 0.5 * c
+
+    def push_blocks(self, in_l, in_r):
+        return self._run(np.asarray(in_l), np.asarray(in_r), 1)
+
+    def push_blocks_multi(self, in_l, in_r):
+        hops = np.asarray(in_l).shape[1] // self.hw_block_size
+        return self._run(np.asarray(in_l), np.asarray(in_r), hops)
+
+    def reset_streams(self, idxs):
+        pass
+
+    def snapshot(self):
+        return {}
+
+
 def run_server(port: int, n_streams: int):
     if os.environ.get("BENCH_CPU"):  # smoke-test mode (tests/CI boxes)
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("BENCH_TRANSPORT") == "local":
+        from upmix_tpu.config import UpmixConfig
+        from upmix_tpu.serve_stream import StreamServer
+
+        config = UpmixConfig.streaming(EDGES, sr=SR, hw_block_size=HW)
+        pool = _ChipLatencyPool(
+            config, HW, n_streams,
+            chip_ms=float(os.environ.get("BENCH_CHIP_MS", 1.0)),
+            pcie_ms=float(os.environ.get("BENCH_PCIE_MS", 0.2)),
+        )
+        server = StreamServer(
+            pool, host="127.0.0.1", port=port, lockstep=True,
+            hops=int(os.environ.get("BENCH_HOPS", 1)),
+            pipeline=int(os.environ.get("BENCH_PIPELINE", 1)),
+        ).start()
+        print("READY", flush=True)
+        try:
+            sys.stdin.read()
+        finally:
+            server.close()
+        return
     from upmix_tpu.serve_stream import run_stream_server
 
     # lockstep=True is the THROUGHPUT protocol (dispatch as soon as
