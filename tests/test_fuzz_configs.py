@@ -153,6 +153,103 @@ def test_fuzz_streaming(seed):
         assert s > 60.0, f"stream {ctx} {name}: SNR {s:.1f} dB"
 
 
+N_SHARDED = 6
+N_POOL = 6
+N_AOT = 4
+
+
+@pytest.mark.parametrize("seed", range(BASE_SEED + 3000, BASE_SEED + 3000 + N_SHARDED))
+def test_fuzz_sharded(seed):
+    # Random configs through the 8-way sequence-sharded pipeline: halo
+    # exchange and OLA spill must hold parity at every shard seam for
+    # arbitrary geometry, not just the hand-picked test configs.
+    from upmix_tpu.parallel import ShardedUpmixer, make_mesh
+
+    params = _draw(seed)
+    cfg = _build_or_reject(params)
+    if cfg is None:
+        return
+    rng = np.random.default_rng(seed)
+    n = 8 * params["max_block_size"] + int(rng.integers(1, 500))
+    try:
+        su = ShardedUpmixer(cfg, make_mesh({"seq": 8}))
+    except ValueError:
+        return  # clean rejection (e.g. halo exceeds the shard chunk)
+    L, R = make_stereo(n, cfg.sr, seed=seed, kind="mix")
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    got = su.process(L32, R32)
+    _assert_parity(ref, [np.asarray(g) for g in got],
+                   60.0, f"sharded seed={seed} {params}")
+
+
+@pytest.mark.parametrize("seed", range(BASE_SEED + 4000, BASE_SEED + 4000 + N_POOL))
+def test_fuzz_pool(seed):
+    # Random streaming configs through make_stream_pool (auto engine):
+    # a pooled stream must match the block-streaming oracle exactly
+    # like a dedicated engine would.
+    from upmix_tpu.models.streaming import make_stream_pool
+
+    rng = np.random.default_rng(seed)
+    sr = SRS[rng.integers(len(SRS))]
+    hw = int(2 ** rng.integers(6, 9))
+    params = dict(
+        band_edges=_draw_edges(rng, sr),
+        sr=sr,
+        window=_draw_window(rng, seed),
+        xover_mode=("raised_cosine", "hard_zero")[rng.integers(2)],
+        synthesis=("wola", "analysis")[rng.integers(2)],
+        bin_rounding=("python", "cpp")[rng.integers(2)],
+    )
+    try:
+        cfg = UpmixConfig.streaming(hw_block_size=hw, **params)
+        pool = make_stream_pool(cfg, hw, n_streams=8)
+    except ValueError:
+        return
+    n_blocks = 12
+    L, R = make_stereo(n_blocks * hw, sr, seed=seed, kind="mix")
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref_l, ref_r = oracle_stream_multiband(L32, R32, cfg, hw)
+    outs = []
+    zeros = np.zeros((8, hw), np.float32)
+    for b in range(n_blocks):
+        bl, br = zeros.copy(), zeros.copy()
+        bl[0] = L32[b * hw : (b + 1) * hw]
+        br[0] = R32[b * hw : (b + 1) * hw]
+        c, ls, rs = pool.push_blocks(bl, br)
+        c, ls, rs = (np.asarray(a)[0] for a in (c, ls, rs))
+        outs.append((ls + 0.5 * c, rs + 0.5 * c))
+    got_l = np.concatenate([o[0] for o in outs])
+    got_r = np.concatenate([o[1] for o in outs])
+    ctx = f"pool seed={seed} hw={hw} engine={type(pool).__name__} {params}"
+    for name, r, g in (("outL", ref_l, got_l), ("outR", ref_r, got_r)):
+        assert np.all(np.isfinite(g)), f"{ctx} {name}: non-finite"
+        s = snr_db(r, g)
+        assert s > 60.0, f"{ctx} {name}: SNR {s:.1f} dB"
+
+
+@pytest.mark.parametrize("seed", range(BASE_SEED + 5000, BASE_SEED + 5000 + N_AOT))
+def test_fuzz_aot_offline_roundtrip(seed, tmp_path):
+    # Random configs survive the AOT export/load cycle: the loaded
+    # artifact must hold the same oracle contract as the live pipeline.
+    from upmix_tpu import aot
+
+    params = _draw(seed)
+    cfg = _build_or_reject(params)
+    if cfg is None:
+        return
+    rng = np.random.default_rng(seed)
+    n = 2 * params["max_block_size"] + int(rng.integers(1, 300))
+    path = str(tmp_path / "fuzz.upmixaot")
+    aot.save_offline(path, cfg, n)
+    art = aot.load(path)
+    L, R = make_stereo(n, cfg.sr, seed=seed, kind="mix")
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    ref = oracle_multiband(L32, R32, cfg)
+    got = art.process_np(L32, R32)
+    _assert_parity(ref, got, 60.0, f"aot seed={seed} {params}")
+
+
 @pytest.mark.parametrize("seed", range(BASE_SEED + 2000, BASE_SEED + 2000 + N_NATIVE))
 def test_fuzz_native(seed):
     native = pytest.importorskip("upmix_tpu.native")

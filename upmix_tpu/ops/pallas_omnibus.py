@@ -263,11 +263,13 @@ def make_omnibus_plan(
     for p in bucket_plans:
         B, H = p.block_size, p.hop_size
         nz = np.nonzero(p.gains.max(axis=0))[0]
-        if not len(nz) or B & (B - 1):
+        if not len(nz) or B & (B - 1) or B % H:
             # Dead buckets (all-zero gains) would inflate the tile
             # LCM/halo; non-power-of-two blocks (possible via a non-pow2
             # max_block_size) break the 2-stage factorization and the
-            # kernel's reshape geometry.
+            # kernel's reshape geometry; non-divisible hops (arbitrary
+            # overlaps) break the hop-group framing every sub relies on
+            # (frames ≡ g mod K) — callers run those via gather framing.
             leftover.append(p)
             continue
         if B > tile_cap:

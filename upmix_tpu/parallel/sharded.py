@@ -116,12 +116,26 @@ def _plan_seq_buckets(config: UpmixConfig):
 
 def sequence_plan(config: UpmixConfig, n_samples: int, n_seq: int) -> SequencePlan:
     """Choose the per-device chunk size: a multiple of every bucket's block
-    size (so per-device frame counts divide the grouped-framing factor K),
-    at least as large as the largest input halo ``block - hop``."""
+    size (so per-device frame counts divide the grouped-framing factor K)
+    AND hop size (so shard boundaries land on the global frame grid —
+    required for exactness at ANY overlap, not just power-of-two ones;
+    found by the round-5 config fuzz at overlap=0.65), at least as large
+    as the largest input halo ``block - hop``."""
     buckets = _plan_seq_buckets(config)
     unit = 1
     for p in buckets:
-        unit = unit * p.block_size // math.gcd(unit, p.block_size)
+        bu = p.block_size * p.hop_size // math.gcd(p.block_size, p.hop_size)
+        unit = unit * bu // math.gcd(unit, bu)
+    if unit > (1 << 24):
+        # Pathological overlaps (hop coprime to the blocks) drive the
+        # frame-grid LCM into the tens of millions of samples per device;
+        # reject at config time rather than compile an absurd chunk.
+        raise ValueError(
+            f"sequence sharding needs a per-device chunk that is a "
+            f"multiple of every block AND hop; this config's LCM is "
+            f"{unit} samples (> {1 << 24}) — use a divisible overlap "
+            "(hop | block) or process unsharded"
+        )
     halo = max(p.block_size - p.hop_size for p in buckets)
     chunk = max(math.ceil(n_samples / (n_seq * unit)), 1) * unit
     while chunk < halo:
@@ -182,15 +196,27 @@ def _local_lcr(
                 y_total = jnp.pad(y_total, ((0, 0), (0, 0), (0, pad)))
         for plan in plans:
             B, H = plan.block_size, plan.hop_size
-            K = B // H
-            F = chunk // H
-            T = (F + K - 1) * H  # = chunk + B - H <= chunk + halo
+            F = chunk // H  # exact: sequence_plan makes chunk % H == 0
+            T = chunk + B - H  # fold length incl. spill tail <= chunk + halo
             fp = fused_plans.get(plan.block_size)
             if fp is not None:
                 main, sp = fused_bucket_lcr_batch(
                     xb[:, :, :T], fp, interpret=on_cpu
                 )
                 contrib = jnp.concatenate([main, sp], axis=-1)  # [S, 3, T]
+            elif B % H:
+                # Non-divisible overlap: grouped framing doesn't apply —
+                # gather framing + scatter-add fold (the sharded analog
+                # of offline.py's _bucket_lcr_mm_gather), same matmul
+                # transforms/gains/mask.
+                from upmix_tpu.models.offline import _spectral_lcr_mm
+
+                def gather_contrib(xe, plan=plan, F=F, B=B, H=H):
+                    fr = frame_signal(xe[:, : (F - 1) * H + B], B, H, F)
+                    rec = _spectral_lcr_mm(plan, fr)  # [3, F, B]
+                    return overlap_add(rec, H)  # [3, chunk + B - H]
+
+                contrib = jax.vmap(gather_contrib)(xb)
             else:
                 contrib = jax.vmap(
                     lambda xe, plan=plan, F=F, T=T: _bucket_fold_mm(plan, xe[:, :T], F)
@@ -276,6 +302,8 @@ def build_sharded_offline_fn(
             nz = np.nonzero(p.gains.max(axis=0))[0]
             if not len(nz):
                 continue
+            if p.block_size % p.hop_size:
+                continue  # fused kernel is hop-grouped; gather path instead
             lo, hi = int(nz[0]), int(nz[-1])
             if p.block_size * 2 * (hi - lo + 1) * 4 > _PALLAS_WEIGHT_BYTES:
                 continue
