@@ -107,6 +107,62 @@ def test_restore_window_conflict_detection():
         W.restore_window("test:samp", sp)
 
 
+def test_restore_window_resample_divergence_detected():
+    # A live callable can agree with a vector payload VERBATIM at the
+    # raw vector length yet resample differently at the sizes the
+    # restoring config actually uses — check_sizes must catch that
+    # (round-5 review finding: the N=len(coeffs) check alone passes it).
+    from upmix_tpu.ops import windows as W
+
+    rng = np.random.default_rng(11)
+    vec = _rand_window(rng, 777)
+    name = "test:resample-div"
+
+    def sneaky(n):
+        n = int(n)
+        if n == len(vec):
+            return vec.copy()
+        # squared-linear interpolation: same endpoints, different body
+        lin = W.window_from_vector(vec)(n)
+        return (lin.astype(np.float64) ** 2).astype(np.float32) / max(
+            float(lin.max()), 1e-9
+        )
+
+    register_window(name, sneaky, overwrite=True)
+    payload = {"kind": "vector", "coeffs": [float(v) for v in vec]}
+    # Without check_sizes the divergence is invisible (matches at 777).
+    assert W.restore_window(name, payload) == name
+    with pytest.raises(ValueError, match="differ"):
+        W.restore_window(name, payload, check_sizes=[256])
+
+
+def test_config_from_dict_checks_band_sizes(tmp_path):
+    # config_from_dict passes the config's band block sizes as
+    # check_sizes, so a resample-divergent live registration fails the
+    # artifact load instead of silently serving the wrong window.
+    from upmix_tpu import aot
+    from upmix_tpu.ops import windows as W
+
+    rng = np.random.default_rng(13)
+    name, vec = _register(rng, "cfgdict")
+    cfg = UpmixConfig.make([0.0, 400.0], sr=8000.0, window=name,
+                           max_block_size=512)
+    d = aot.config_to_dict(cfg)
+    assert aot.config_from_dict(d).window == name  # matching live: fine
+
+    def sneaky(n):
+        n = int(n)
+        if n == len(vec):
+            return vec.copy()
+        lin = W.window_from_vector(vec)(n)
+        return (lin.astype(np.float64) ** 2).astype(np.float32)
+
+    register_window(name, sneaky, overwrite=True)
+    with pytest.raises(ValueError, match="differ"):
+        aot.config_from_dict(d)
+    register_window_vector(name, vec, overwrite=True)  # restore sanity
+
+
 def test_registered_callable_window():
     # A generator CALLABLE (not a vector): the reference's exact
     # window_func contract — called per band with that block size.

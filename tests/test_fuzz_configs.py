@@ -174,11 +174,17 @@ def test_fuzz_sharded(seed):
     try:
         su = ShardedUpmixer(cfg, make_mesh({"seq": 8}))
     except ValueError:
-        return  # clean rejection (e.g. halo exceeds the shard chunk)
+        return  # clean rejection (pathological frame-grid LCM)
     L, R = make_stereo(n, cfg.sr, seed=seed, kind="mix")
     L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    try:
+        got = su.process(L32, R32)
+    except ValueError:
+        # clean n-dependent rejection (shard padding would dwarf the
+        # input — sequence_plan's blowup guard); still config-time, no
+        # deep-kernel traceback.
+        return
     ref = oracle_multiband(L32, R32, cfg)
-    got = su.process(L32, R32)
     _assert_parity(ref, [np.asarray(g) for g in got],
                    60.0, f"sharded seed={seed} {params}")
 

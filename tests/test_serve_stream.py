@@ -974,3 +974,30 @@ def test_dispatcher_death_fails_sessions_fast():
             stream_client(
                 *srv.address, L.astype(np.float32), R.astype(np.float32)
             )
+
+
+def test_stopping_server_refuses_admission_mid_handshake():
+    # The mid-handshake race (round-5 review): a connection accepted
+    # BEFORE _stop but allocating AFTER the failure guard's sentinel
+    # sweep must be refused by _alloc_slot's under-lock _stop check —
+    # otherwise it gets a slot nothing will ever drain and hangs.
+    # Simulated directly: _stop set while the listener is still open.
+    from upmix_tpu.serve_stream import StreamSession
+
+    pool = BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+    srv = StreamServer(pool, lockstep=True).start()
+    try:
+        srv._stop.set()  # stopping, but listener not yet closed
+        with pytest.raises(ConnectionError, match="pool is full"):
+            StreamSession(*srv.address)
+        # The reply reaches the client BEFORE the counter bumps: poll.
+        import time
+
+        deadline = time.monotonic() + 10
+        while srv.stats["rejected"] < 1 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert srv.stats["rejected"] >= 1
+        with srv._lock:
+            assert all(s.state == 0 for s in srv._slots), "no slot leaked"
+    finally:
+        srv.close()

@@ -83,7 +83,13 @@ def config_from_dict(d: dict) -> UpmixConfig:
     from upmix_tpu.ops import windows as _win
 
     for name, payload in (d.get("custom_windows") or {}).items():
-        _win.restore_window(name, payload)
+        _win.restore_window(
+            name,
+            payload,
+            check_sizes=[
+                b["block_size"] for b in d["bands"] if b["window"] == name
+            ],
+        )
     bands = tuple(BandSpec(**b) for b in d["bands"])
     rest = {
         k: v for k, v in d.items() if k not in ("bands", "custom_windows")

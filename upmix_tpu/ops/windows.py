@@ -188,18 +188,30 @@ def _payload_reference_coeffs(payload: dict) -> dict:
     raise ValueError(f"unknown window payload kind {kind!r}")
 
 
-def restore_window(name: str, payload: dict) -> str:
+def restore_window(name: str, payload: dict, check_sizes=()) -> str:
     """Re-register `name` from a window_payload().
 
     When the name is already known, the live in-process registration is
     kept (the loaded program has its windows baked into the compiled
     artifact anyway) — but ONLY after verifying the live coefficients
-    match the payload's at the payload's stored sizes.  A same-name
-    registration with DIFFERENT coefficients would make the oracle /
-    native paths silently check against the wrong contract, so that
-    case raises instead of no-op'ing."""
+    match the payload's at the payload's stored sizes AND at
+    `check_sizes` (the restoring config's band block sizes — a live
+    registration can agree with a vector payload at the raw vector
+    length yet RESAMPLE differently at the sizes the config actually
+    uses).  A same-name registration with DIFFERENT coefficients would
+    make the oracle / native paths silently check against the wrong
+    contract, so that case raises instead of no-op'ing."""
     if is_known_window(name):
-        for n, want in _payload_reference_coeffs(payload).items():
+        refs = _payload_reference_coeffs(payload)
+        if payload.get("kind") == "vector":
+            # The payload pins resampling semantics too: what the
+            # restored registration WOULD produce at any size.
+            ref_fn = window_from_vector(
+                np.asarray(payload["coeffs"], np.float32)
+            )
+            for n in check_sizes:
+                refs.setdefault(int(n), ref_fn(int(n)))
+        for n, want in refs.items():
             got = make_window(name, n)
             if got.shape != want.shape or not np.allclose(
                 got, want, rtol=1e-6, atol=1e-7

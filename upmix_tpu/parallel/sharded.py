@@ -140,6 +140,18 @@ def sequence_plan(config: UpmixConfig, n_samples: int, n_seq: int) -> SequencePl
     chunk = max(math.ceil(n_samples / (n_seq * unit)), 1) * unit
     while chunk < halo:
         chunk += unit
+    n_padded = chunk * n_seq
+    if n_padded > max(4 * n_samples, n_samples + (1 << 22)):
+        # The frame-grid unit can dwarf a short input (e.g. overlap 0.65
+        # with blocks 256+512 gives unit ~8.2M): padding a clip by
+        # orders of magnitude would look like a hang/OOM, not a run.
+        # Reject cleanly; the unsharded pipeline handles any length.
+        raise ValueError(
+            f"sequence sharding would pad {n_samples} samples to "
+            f"{n_padded} (chunk {chunk} x {n_seq} devices; frame-grid "
+            f"unit {unit}) — input too short for this config's shard "
+            "geometry; process unsharded or use a divisible overlap"
+        )
     return SequencePlan(
         n_samples=n_samples,
         n_devices=n_seq,
@@ -352,6 +364,12 @@ class ShardedUpmixer:
         self.kernel = kernel
         self.use_pallas = use_pallas
         self._cache = {}
+        # Fail n-independent geometry problems (pathological frame-grid
+        # LCM) at construction, not first process(); the n-dependent
+        # padding-blowup check still runs per call in sequence_plan.
+        n_seq = self.mesh.shape.get("seq", 1)
+        sequence_plan(config, 1 << 30, max(n_seq, 1))  # huge n: only the
+        # n-independent LCM guard can fire here
 
     def _compiled(self, n_padded: int):
         key = n_padded

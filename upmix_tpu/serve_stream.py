@@ -560,6 +560,8 @@ class StreamServer:
         queued blocks against the fresh pool's zero row before the
         injection landed — silently corrupting the resumed stream."""
         with self._pool_lock, self._lock:
+            if self._stop.is_set():
+                return None, None  # stopping: see _alloc_slot
             slot = None
             for i, s in enumerate(self._slots):
                 if s.state == _ST_PARKED and s.token == token:
@@ -610,6 +612,11 @@ class StreamServer:
 
     def _alloc_slot(self, mix):
         with self._lock:
+            if self._stop.is_set():
+                # Server stopping (close() or dispatcher failure): an
+                # accepted-but-unallocated connection must not become a
+                # new victim blocked on an output queue nothing fills.
+                return None, None
             for i, s in enumerate(self._slots):
                 if s.state == _ST_FREE:
                     s.state = _ST_ACTIVE
@@ -887,6 +894,12 @@ class StreamServer:
                 "stream dispatcher died; failing all live sessions"
             )
             self.stats["dispatcher_failures"] += 1
+            # _stop BEFORE the sentinel sweep: _alloc_slot/_resume_slot
+            # check it under _lock, so any admission that wins the lock
+            # after this sweep is refused — without this ordering a
+            # mid-handshake connection could allocate between the sweep
+            # and a later _stop.set() and hang as a fresh victim.
+            self._stop.set()
             with self._lock:
                 for s in self._slots:
                     if s.state not in (_ST_FREE, _ST_PARKED) and (
@@ -896,7 +909,6 @@ class StreamServer:
                         # drains and closes the socket, so the client
                         # observes a short read instead of a hang.
                         s.outq.put(None)
-            self._stop.set()
             self._wake.set()
             # Unblock _accept_loop too: it only re-checks _stop between
             # accepts, so without closing the listener post-failure
