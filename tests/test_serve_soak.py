@@ -189,6 +189,48 @@ def test_soak_resume_cycle(tmp_path):
         srv_b.close()
 
 
+def test_soak_script_smoke(tmp_path):
+    # The hours-scale script variant must stay runnable (BASELINE.md
+    # cites it); 3 seconds of traffic, JSON summary, clean exit.
+    import json
+    import subprocess
+    import sys
+
+    from helpers import cpu_child_env
+
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    out = str(tmp_path / "soak.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "soak_serve_stream.py"),
+         "--seconds", "3", "--status-every", "2", "--json", out],
+        capture_output=True, text=True, env=cpu_child_env(), cwd=root,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout[-800:] + r.stderr[-1200:]
+    summary = json.load(open(out))
+    assert summary["sessions"] > 0 and summary["client_errors"] == 0
+    assert summary["final_counters"]["dispatcher_failures"] == 0
+
+
+def test_roofline_script_smoke():
+    # The roofline derivation must keep matching the live plan builders
+    # (it introspects make_omnibus_plan/make_pool_plan directly).
+    import subprocess
+    import sys
+
+    from helpers import cpu_child_env
+
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "roofline.py")],
+        capture_output=True, text=True, env=cpu_child_env(), cwd=root,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout[-800:] + r.stderr[-1200:]
+    assert "MFU" in r.stdout and "bound" in r.stdout
+    assert "omnibus plan:" in r.stdout and "pool plan:" in r.stdout
+
+
 def test_soak_realtime_tick_phase():
     # lockstep=False: wall-clock ticks, slow/absent clients get zeros
     # injected (late_zero_blocks) and the pool never stalls.
