@@ -97,6 +97,104 @@ def test_net_client_sr_validation(net_bin, server):
     assert b"Hz" in bad.stderr
 
 
+def test_net_client_file_resume_across_server_restart(net_bin, tmp_path):
+    # The native client rides the checkpoint/resume contract end to end:
+    # server A checkpoints mid-stream and "crashes"; server B restores on
+    # the SAME port; the client (file mode) reconnects with its token,
+    # reseeks to the server's acked input position, discards regenerated
+    # output, and the stitched stdout is bit-identical to an
+    # uninterrupted run.
+    import threading
+    import time
+
+    from upmix_tpu.serve_stream import StreamSession
+
+    def pool_factory():
+        return BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+
+    n_blocks = 60
+    L, R = make_stereo(n_blocks * HW, SR, seed=90)
+    L, R = L.astype(np.float32), R.astype(np.float32)
+    with StreamServer(pool_factory(), lockstep=True) as srv0:
+        ref = stream_client(*srv0.address, L, R)
+
+    f32 = tmp_path / "in.f32"
+    f32.write_bytes(_interleave(L, R))
+    ck = str(tmp_path / "ck.npz")
+    tok = str(tmp_path / "token.bin")
+
+    srv_a = StreamServer(pool_factory(), lockstep=True).start()
+    host, port = srv_a.address
+    # A second, silent session gates the lockstep dispatcher: cycles run
+    # only when we feed it, so the kill point is deterministic.
+    gate = StreamSession(host, port)
+    zeros = np.zeros(HW, np.float32)
+
+    proc = subprocess.Popen(
+        [net_bin, "--host", host, "--port", str(port), "--in", str(f32),
+         "--retries", "40", "--retry-delay", "0.25", "--token-file", tok],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    chunks = []
+
+    def drain():
+        while True:
+            b = proc.stdout.read(65536)
+            if not b:
+                break
+            chunks.append(b)
+
+    reader = threading.Thread(target=drain)
+    reader.start()
+    try:
+        cut = 20
+        for _ in range(cut):
+            gate.send_block(zeros, zeros)
+        deadline = time.time() + 60
+        while srv_a.stats["blocks"] < cut and time.time() < deadline:
+            time.sleep(0.02)
+        assert srv_a.stats["blocks"] >= cut
+        time.sleep(0.5)  # let delivered output reach the client's stdout
+        assert srv_a.save_checkpoint(ck) == 2  # client + gate sessions
+        gate.close()
+        srv_a.close()
+
+        # Old per-connection sockets on A's port can linger briefly
+        # after close(); retry the rebind (the client is retrying too).
+        deadline = time.time() + 20
+        while True:
+            try:
+                srv_b = StreamServer(pool_factory(), lockstep=True,
+                                     checkpoint=ck, host=host,
+                                     port=port).start()
+                break
+            except OSError:
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.2)
+        try:
+            rc = proc.wait(timeout=120)
+            reader.join(timeout=30)
+            err = proc.stderr.read().decode()
+            assert rc == 0, err
+            assert "reconnecting" in err
+        finally:
+            srv_b.close()
+    finally:
+        if proc.poll() is None:  # pragma: no cover
+            proc.kill()
+    got = np.frombuffer(b"".join(chunks), "<f4").reshape(-1, 2)
+    np.testing.assert_array_equal(got, np.column_stack(ref))
+    assert len(open(tok, "rb").read()) == 16
+
+
+def test_net_client_retries_require_seekable_input(net_bin):
+    p = subprocess.run([net_bin, "--port", "9", "--retries", "2"],
+                       input=b"", capture_output=True, timeout=60)
+    assert p.returncode == 2
+    assert b"--in" in p.stderr
+
+
 def test_net_client_errors(net_bin, server):
     # Unknown flag / missing port: usage error, exit 2.
     p = subprocess.run([net_bin, "--bogus"], capture_output=True, timeout=60)

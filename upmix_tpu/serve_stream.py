@@ -403,6 +403,19 @@ class StreamServer:
     def close(self):
         self._stop.set()
         self._wake.set()
+        # End-of-stream sentinels for every live session (same sweep as
+        # the dispatcher-failure path): without them each connection's
+        # writer thread blocks forever in outq.get(), its _serve_conn
+        # parent blocks in writer.join() holding the accepted socket,
+        # and a server restarted on the SAME port gets EADDRINUSE from
+        # those lingering sockets (found by the native client's
+        # resume-across-restart test).
+        with self._lock:
+            for s in self._slots:
+                if s.state not in (_ST_FREE, _ST_PARKED) and (
+                    s.outq is not None
+                ):
+                    s.outq.put(None)
         try:
             self._sock.close()
         except OSError:
