@@ -928,6 +928,63 @@ def test_multihop_artifact_server_requires_matching_hops(tmp_path):
     srv.close()
 
 
+def test_close_releases_port_with_live_clients():
+    # close() must sweep end-of-stream sentinels: without them each
+    # connection's writer thread blocks in outq.get(), _serve_conn
+    # blocks in writer.join() holding the accepted socket, and a server
+    # restarted on the SAME port gets EADDRINUSE (found by the native
+    # client's resume-across-restart test).
+    import socket as _socket
+    import time as _time
+
+    from upmix_tpu.serve_stream import StreamSession
+
+    srv_a = StreamServer(
+        BatchStreamingUpmixer(_cfg(), HW, n_streams=4), lockstep=True
+    ).start()
+    host, port = srv_a.address
+    # Two live sessions mid-stream (one with queued blocks, one idle).
+    s1 = StreamSession(host, port)
+    s2 = StreamSession(host, port)
+    z = np.zeros(HW, np.float32)
+    s1.send_block(z, z)
+    _time.sleep(0.1)
+    srv_a.close()
+    # The clients observe a clean shutdown (EOF), not a hang.
+    for s in (s1, s2):
+        s.sock.settimeout(10.0)
+        try:
+            s.sock.recv(1 << 16)  # data or b"" (EOF) — both fine
+        except TimeoutError:  # pragma: no cover
+            raise AssertionError("client hung on server shutdown")
+        except OSError:
+            pass  # connection reset is fine too
+        s.close()
+    # Rebinding the same port must succeed promptly.
+    deadline = _time.monotonic() + 10.0
+    last = None
+    while _time.monotonic() < deadline:
+        try:
+            srv_b = StreamServer(
+                BatchStreamingUpmixer(_cfg(), HW, n_streams=4),
+                lockstep=True, host=host, port=port,
+            ).start()
+            break
+        except OSError as e:  # pragma: no cover
+            last = e
+            _time.sleep(0.1)
+    else:  # pragma: no cover
+        raise AssertionError(f"could not rebind {host}:{port}: {last}")
+    try:
+        L, R = make_stereo(4 * HW, SR, seed=95)
+        got = stream_client(*srv_b.address, L.astype(np.float32),
+                            R.astype(np.float32))
+        _check(got, _aligned_reference(L.astype(np.float32),
+                                       R.astype(np.float32)))
+    finally:
+        srv_b.close()
+
+
 def test_dispatcher_death_fails_sessions_fast():
     # A dispatcher crash must not hang clients: the guard logs, counts
     # dispatcher_failures, ends every live session (socket close) and

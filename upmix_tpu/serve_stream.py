@@ -416,6 +416,16 @@ class StreamServer:
                     s.outq is not None
                 ):
                     s.outq.put(None)
+        # shutdown() BEFORE close(): closing an fd does NOT wake a
+        # thread blocked in accept() on Linux — the blocked syscall
+        # keeps the listening socket alive (a process-less LISTEN in
+        # `ss`) and the port stays EADDRINUSE for a restarted server
+        # until some client's connect happens to unwedge the accept.
+        # shutdown() wakes it deterministically.
+        try:
+            self._sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self._sock.close()
         except OSError:
@@ -926,7 +936,12 @@ class StreamServer:
             # Unblock _accept_loop too: it only re-checks _stop between
             # accepts, so without closing the listener post-failure
             # clients would still be admitted, get slots, and hang on
-            # output queues nothing fills.
+            # output queues nothing fills.  shutdown() first — close()
+            # alone does not wake a blocked accept() (see close()).
+            try:
+                self._sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
             try:
                 self._sock.close()
             except OSError:
