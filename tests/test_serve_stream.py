@@ -449,6 +449,58 @@ def test_checkpoint_captures_queued_blocks(tmp_path):
     np.testing.assert_array_equal(gy, np.column_stack(ref_y))
 
 
+def test_checkpoint_restores_into_aot_loaded_pool_server(tmp_path):
+    # Build/serve host separation: a checkpoint taken by a LIVE-pool
+    # server restores into a server whose pool is an AOT-loaded
+    # artifact of the same identity, and the resumed session continues
+    # sample-exactly — the deployment shape where the serving host
+    # loads frozen programs instead of Python-traced pools.
+    from upmix_tpu import aot
+    from upmix_tpu.models.streaming import PallasStreamPool
+    from upmix_tpu.serve_stream import StreamSession
+
+    S = 8
+
+    def live_pool():
+        return PallasStreamPool(_cfg(), HW, n_streams=S, group=8,
+                                interpret=True)
+
+    n_blocks = 10
+    L, R = make_stereo(n_blocks * HW, SR, seed=107)
+    L, R = L.astype(np.float32), R.astype(np.float32)
+    ref = _one_shot(live_pool, L, R)
+
+    apath = str(tmp_path / "pool.upmixaot")
+    aot.save_stream_pool(apath, _cfg(), HW, S, group=8,
+                         platforms=["cpu"], interpret=True)
+
+    ck = str(tmp_path / "sessions.npz")
+    cut = 5
+    srv_a = StreamServer(live_pool(), lockstep=True).start()
+    sess = StreamSession(*srv_a.address)
+    part1 = _send_and_read(sess, L, R, 0, cut, 0)
+    assert srv_a.save_checkpoint(ck) == 1
+    sess.close()
+    srv_a.close()
+
+    srv_b = StreamServer(aot.load(apath), lockstep=True,
+                         checkpoint=ck).start()
+    try:
+        sess2 = StreamSession(*srv_b.address, token=sess.token)
+        assert sess2.server_in_frames == cut * HW
+        assert sess2.server_out_frames == len(part1)
+        for b in range(cut, n_blocks):
+            sess2.send_block(L[b * HW:(b + 1) * HW],
+                             R[b * HW:(b + 1) * HW])
+        sess2.finish()
+        part2 = sess2.recv_frames(n_blocks * HW - len(part1))
+        sess2.close()
+    finally:
+        srv_b.close()
+    got = np.concatenate([part1, part2])
+    np.testing.assert_array_equal(got, np.column_stack(ref))
+
+
 def test_resume_token_rejection_and_identity_guard(tmp_path):
     from upmix_tpu.serve_stream import StreamSession
 
