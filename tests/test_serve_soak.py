@@ -242,3 +242,35 @@ def test_soak_realtime_tick_phase():
         assert snap["counters"]["accepted"] == 4
         assert snap["counters"]["dispatcher_failures"] == 0
         _quiesce(srv)
+
+
+def _open_fds() -> int:
+    return len(os.listdir("/proc/self/fd"))
+
+
+def test_server_churn_leaks_no_fds_or_threads():
+    # Whole-SERVER churn (vs the whole-session churn above): create a
+    # server, serve one full + one abrupt client, close it — many times
+    # in one process — and the process-level resources must stay flat.
+    # This is the gate that catches the blocked-accept class of bug
+    # directly: a close() that leaves its accept thread wedged (or its
+    # connection threads parked in writer.join) leaks one thread and
+    # one socket fd per server generation.
+    for rnd in range(2):  # warm lazily-created fds (jax, caches)
+        with StreamServer(_pool(), lockstep=True) as srv:
+            _full_client(srv.address, 5000 + rnd, 3)
+    gc.collect()
+    fds0, thr0 = _open_fds(), threading.active_count()
+    n = 12
+    for rnd in range(n):
+        with StreamServer(_pool(), lockstep=True) as srv:
+            _full_client(srv.address, 6000 + rnd, 3)
+            _abrupt_client(srv.address, 7000 + rnd)
+            time.sleep(0.05)  # let the abrupt session reach DRAINING
+    gc.collect()
+    time.sleep(0.3)  # conn threads finish teardown after close()
+    fds1, thr1 = _open_fds(), threading.active_count()
+    assert fds1 - fds0 <= 4, f"fd leak: {fds0} -> {fds1} over {n} servers"
+    assert thr1 - thr0 <= 2, (
+        f"thread leak: {thr0} -> {thr1} over {n} servers"
+    )
