@@ -19,6 +19,8 @@
 #include <string>
 #include <vector>
 
+#include "f32_pipe.h"
+
 extern "C" {
 void* upmix_create(double sr, int hw_block, const double* edges, int n_edges,
                    int xover_mode, int synthesis, int rounding,
@@ -32,15 +34,7 @@ int upmix_process_block(void* h, const float* inL, const float* inR,
 
 namespace {
 
-size_t read_exact(FILE* f, unsigned char* buf, size_t n) {
-  size_t got = 0;
-  while (got < n) {
-    size_t r = std::fread(buf + got, 1, n - got, f);
-    if (r == 0) break;
-    got += r;
-  }
-  return got;
-}
+using upmix_pipe::read_exact;
 
 int usage(const char* argv0) {
   std::fprintf(

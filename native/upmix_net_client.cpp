@@ -44,6 +44,7 @@
 //   then hw*2 float32 per input block, hw*out_channels per output.
 
 #include <arpa/inet.h>
+#include <csignal>
 #include <netdb.h>
 #include <sys/socket.h>
 #include <unistd.h>
@@ -55,6 +56,8 @@
 #include <string>
 #include <thread>
 #include <vector>
+
+#include "f32_pipe.h"
 
 namespace {
 
@@ -78,16 +81,6 @@ bool send_all(int fd, const unsigned char* buf, size_t n) {
     sent += (size_t)r;
   }
   return true;
-}
-
-size_t read_exact_file(FILE* f, unsigned char* buf, size_t n) {
-  size_t got = 0;
-  while (got < n) {
-    size_t r = std::fread(buf + got, 1, n - got, f);
-    if (r == 0) break;
-    got += r;
-  }
-  return got;
 }
 
 uint32_t le32(const unsigned char* p) {
@@ -152,7 +145,10 @@ int connect_to(const std::string& host, const std::string& port) {
   if (rc != 0) {
     std::fprintf(stderr, "resolve %s:%s: %s\n", host.c_str(), port.c_str(),
                  gai_strerror(rc));
-    return -2;  // unresolvable: not worth retrying
+    // Resolve failures are retryable like connect failures: a rolling
+    // restart can produce transient EAI_AGAIN/EAI_NONAME blips and the
+    // retry loop must survive them just like a refused connect.
+    return -1;
   }
   int fd = -1;
   for (struct addrinfo* ai = res; ai; ai = ai->ai_next) {
@@ -241,6 +237,11 @@ int main(int argc, char** argv) {
   else if (mix == "lcr") mix_code = 1;
   else return usage(argv[0]);
 
+  // fwrite to a closed stdout pipe must fail with EPIPE (handled as a
+  // graceful "downstream closed" drain) — not kill the process via the
+  // default SIGPIPE disposition.  Socket sends already use MSG_NOSIGNAL.
+  std::signal(SIGPIPE, SIG_IGN);
+
   FILE* in = stdin;
   long long total = -1;  // frames; known upfront for --in, at EOF for stdin
   if (!in_path.empty()) {
@@ -249,9 +250,17 @@ int main(int argc, char** argv) {
       std::fprintf(stderr, "cannot open %s\n", in_path.c_str());
       return 1;
     }
-    std::fseek(in, 0, SEEK_END);
-    total = (long long)(std::ftell(in) / 8);  // whole stereo f32 frames
-    std::fseek(in, 0, SEEK_SET);
+    long end = -1;
+    if (std::fseek(in, 0, SEEK_END) == 0) end = std::ftell(in);
+    if (end < 0 || std::fseek(in, 0, SEEK_SET) != 0) {
+      // A FIFO/pipe fails the seek: without a real size the output cap
+      // would silently discard everything — refuse instead.
+      std::fprintf(stderr,
+                   "--in needs a regular (seekable) file, not a pipe; "
+                   "stream pipes via stdin instead\n");
+      return 2;
+    }
+    total = end / 8;  // whole stereo f32 frames
   }
 
   unsigned char token[kTokenLen];
@@ -266,7 +275,6 @@ int main(int argc, char** argv) {
       ::usleep((useconds_t)(retry_delay * 1e6));
     }
     int fd = connect_to(host, port);
-    if (fd == -2) return 1;
     if (fd < 0) {
       if (attempt < retries) continue;
       std::fprintf(stderr, "connect %s:%s failed\n", host.c_str(),
@@ -323,12 +331,23 @@ int main(int argc, char** argv) {
     // Resume bookkeeping: resend input from the server's acked position
     // and discard the output frames the restored server regenerates.
     long long discard = 0;
+    long long start = 0;
     if (attempt > 0) {
-      if ((long long)rep.in_frames > total) {
+      // The server acks the zero-PADDED final block when it enqueues
+      // it, so a checkpoint taken with that block still queued
+      // legitimately records in_frames = ceil(total/hw)*hw > total —
+      // everything (tail included) is already server-side; resend
+      // nothing.  Anything beyond the padded length is a real
+      // mismatch (wrong file for this token).
+      long long hw64 = (long long)rep.hw;
+      long long padded = (total + hw64 - 1) / hw64 * hw64;
+      if ((long long)rep.in_frames > padded) {
         std::fprintf(stderr, "server acked more input than the file has\n");
         ::close(fd);
         return 1;
       }
+      start = (long long)rep.in_frames;
+      if (start > total) start = total;  // padded tail already acked
       discard = emitted - (long long)rep.out_frames;
       if (discard < 0) {
         // Frames the server counted delivered before its checkpoint
@@ -341,7 +360,7 @@ int main(int argc, char** argv) {
         ::close(fd);
         return 1;
       }
-      std::fseek(in, (long)(rep.in_frames * 8), SEEK_SET);
+      std::fseek(in, (long)(start * 8), SEEK_SET);
     }
 
     const uint32_t hw = rep.hw;
@@ -349,12 +368,12 @@ int main(int argc, char** argv) {
     // sent, so the receive side can cap its writes before any
     // pad-derived output frame can possibly arrive.
     std::atomic<long long> total_in{total};
-    long long base = (attempt > 0) ? (long long)rep.in_frames : 0;
+    long long base = start;
     std::thread sender([&, fd, hw, base] {
       std::vector<unsigned char> raw((size_t)hw * 2 * 4);
       long long sum = base;
       for (;;) {
-        size_t got = read_exact_file(in, raw.data(), raw.size());
+        size_t got = upmix_pipe::read_exact(in, raw.data(), raw.size());
         size_t frames = got / 8;  // whole stereo f32 frames
         if (frames < hw) {
           total_in.store(sum + (long long)frames);

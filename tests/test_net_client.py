@@ -195,6 +195,115 @@ def test_net_client_retries_require_seekable_input(net_bin):
     assert b"--in" in p.stderr
 
 
+def test_net_client_rejects_fifo_as_in_file(net_bin, server, tmp_path):
+    # --in needs the real size upfront (the output cap and the resume
+    # seek both depend on it); a FIFO must be refused loudly, not
+    # silently produce empty output with exit 0.
+    fifo = str(tmp_path / "in.fifo")
+    os.mkfifo(fifo)
+    import threading
+
+    def feed():
+        try:
+            with open(fifo, "wb") as f:
+                f.write(b"\x00" * (HW * 2 * 4))
+        except OSError:  # pragma: no cover
+            pass
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    p = subprocess.run(
+        [net_bin, "--host", server.address[0],
+         "--port", str(server.address[1]), "--in", fifo],
+        capture_output=True, timeout=60,
+    )
+    assert p.returncode == 2
+    assert b"seekable" in p.stderr
+    assert p.stdout == b""
+
+
+def test_net_client_resume_after_padded_tail_acked(net_bin, tmp_path):
+    # A ragged-tail file whose zero-PADDED final block was already
+    # enqueued (acked) when the checkpoint ran: the server's in_frames
+    # legitimately exceeds the file's frame count, and the resumed
+    # client must send NOTHING and just drain — not reject the resume.
+    import threading
+    import time
+
+    from upmix_tpu.serve_stream import StreamSession
+
+    def pool_factory():
+        return BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+
+    n = 6 * HW + 100  # ragged tail -> 7 padded blocks on the wire
+    L, R = make_stereo(n, SR, seed=91)
+    L, R = L.astype(np.float32), R.astype(np.float32)
+    with StreamServer(pool_factory(), lockstep=True) as srv0:
+        ref = stream_client(*srv0.address, L, R)
+    f32 = tmp_path / "in.f32"
+    f32.write_bytes(_interleave(L, R))
+    ck = str(tmp_path / "ck.npz")
+
+    srv_a = StreamServer(pool_factory(), lockstep=True).start()
+    host, port = srv_a.address
+    gate = StreamSession(host, port)  # holds lockstep: nothing dispatches
+    proc = subprocess.Popen(
+        [net_bin, "--host", host, "--port", str(port), "--in", str(f32),
+         "--retries", "40", "--retry-delay", "0.25"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    chunks = []
+
+    def drain():
+        while True:
+            b = proc.stdout.read(65536)
+            if not b:
+                break
+            chunks.append(b)
+
+    reader = threading.Thread(target=drain)
+    reader.start()
+    try:
+        # All 7 padded blocks fit in the slot queue (bound 32) with the
+        # gate holding dispatch, so in_frames reaches 7*HW > n.
+        padded = 7 * HW
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            with srv_a._lock:
+                if max(s.in_frames for s in srv_a._slots) >= padded:
+                    break
+            time.sleep(0.02)
+        with srv_a._lock:
+            assert max(s.in_frames for s in srv_a._slots) == padded
+        assert srv_a.save_checkpoint(ck) == 2
+        gate.close()
+        srv_a.close()
+        deadline = time.time() + 20
+        while True:
+            try:
+                srv_b = StreamServer(pool_factory(), lockstep=True,
+                                     checkpoint=ck, host=host,
+                                     port=port).start()
+                break
+            except OSError:  # pragma: no cover
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.2)
+        try:
+            rc = proc.wait(timeout=120)
+            reader.join(timeout=30)
+            err = proc.stderr.read().decode()
+            assert rc == 0, err
+            assert "reconnecting" in err
+        finally:
+            srv_b.close()
+    finally:
+        if proc.poll() is None:  # pragma: no cover
+            proc.kill()
+    got = np.frombuffer(b"".join(chunks), "<f4").reshape(-1, 2)
+    np.testing.assert_array_equal(got, np.column_stack(ref))
+
+
 def test_net_client_errors(net_bin, server):
     # Unknown flag / missing port: usage error, exit 2.
     p = subprocess.run([net_bin, "--bogus"], capture_output=True, timeout=60)

@@ -462,9 +462,13 @@ class StreamServer:
         — the dispatcher cycle is atomic under the same locks), queued
         input blocks are COPIED, not drained, and the file write
         happens outside the locks so serving resumes immediately.
-        DRAINING sessions (client already gone) are finished business
-        and are not checkpointed; still-PARKED sessions are carried
-        forward as-is.  NOTE: the capture itself copies the full pool
+        DRAINING sessions are checkpointed too: a client that already
+        half-closed (its whole file sent) still has its warmup-tail
+        output undelivered, and excluding it would make every file-fed
+        stream unresumable during exactly its drain window — a resumed
+        drain client reconnects with its token, sends nothing, and
+        half-closes again to finish.  Still-PARKED sessions are
+        carried forward as-is.  NOTE: the capture itself copies the full pool
         state to the host — seconds for multi-thousand-stream pools on
         a slow transport — during which dispatch is paused.
         """
@@ -484,7 +488,7 @@ class StreamServer:
             with self._lock:
                 snap = self.pool.snapshot()
                 for i, s in enumerate(self._slots):
-                    if s.state == _ST_ACTIVE:
+                    if s.state in (_ST_ACTIVE, _ST_DRAINING):
                         # Peek, don't drain: all queue mutations happen
                         # under self._lock (reader enqueue, dispatcher
                         # pop), so reading the backing deque here is
