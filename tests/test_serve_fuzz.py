@@ -226,6 +226,68 @@ def test_fuzz_serve_interleavings(seed, tmp_path):
         srv.close()
 
 
+@pytest.mark.parametrize("seed", range(BASE_SEED + 100, BASE_SEED + 103))
+def test_fuzz_realtime_mode_interleavings(seed, tmp_path):
+    # lockstep=False (wall-clock ticks, sped up 4x): random concurrent
+    # full sessions + aborts + bad actors while the tick runs free.
+    # Output EXACTNESS is deliberately not asserted — a starved client
+    # thread on a loaded box legitimately receives late-zero blocks
+    # (the designed realtime degradation) — but every client must
+    # COMPLETE with the right shape and finite values, the server must
+    # quiesce, and the counters must account every actor.
+    rng = np.random.default_rng(seed)
+    pool = BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+    srv = StreamServer(pool, lockstep=False, sr=SR * 4).start()
+    n_accepted = 0
+    try:
+        for rnd in range(2):
+            n_full = int(rng.integers(1, 4))
+            results = [None] * (n_full + 1)
+            threads = [
+                threading.Thread(
+                    target=_full_client,
+                    args=(srv, seed * 100 + rnd * 10 + i, results, i),
+                )
+                for i in range(n_full)
+            ]
+            with_abort = rng.random() < 0.5
+            if with_abort:
+                threads.append(
+                    threading.Thread(
+                        target=_aborter,
+                        args=(srv, seed * 100 + rnd * 10 + 9, results,
+                              n_full),
+                    )
+                )
+            for t in threads:
+                t.start()
+            n_accepted += n_full + int(with_abort)
+            if rng.random() < 0.5:
+                _bad_hello(srv, rng)
+            if rng.random() < 0.4:
+                srv.save_checkpoint(str(tmp_path / f"rt{rnd}.npz"))
+            for t in threads:
+                t.join(timeout=180)
+                assert not t.is_alive(), "realtime fuzz actor hung"
+            for i in range(n_full):
+                assert not isinstance(results[i], Exception), (
+                    f"round {rnd} client {i}: {results[i]!r}"
+                )
+                got, L, R, mix = results[i]
+                want_ch = 3 if mix == "lcr" else 2
+                assert len(got) == want_ch
+                for g in got:
+                    assert len(g) == len(L)
+                    assert np.all(np.isfinite(np.asarray(g)))
+            if with_abort:
+                assert results[n_full] == "aborted"
+            _quiesce(srv)
+        assert srv.stats["dispatcher_failures"] == 0
+        assert srv.stats["accepted"] == n_accepted
+    finally:
+        srv.close()
+
+
 def _warmup_skip():
     from upmix_tpu.models.streaming import stream_warmup_blocks
 
