@@ -523,6 +523,52 @@ def test_resume_token_rejection_and_identity_guard(tmp_path):
         StreamServer(other, lockstep=True, checkpoint=path)
 
 
+def test_resume_ttl_reclaims_parked_slots(tmp_path):
+    # A restored-but-never-resumed session reserves its slot FOREVER by
+    # default; with resume_ttl the ghost's slot is reclaimed lazily
+    # when an allocation would otherwise fail, and the late resume then
+    # gets the unknown-token status.
+    import time as _t
+
+    from upmix_tpu.serve_stream import StreamSession
+
+    def pool_factory():
+        return BatchStreamingUpmixer(_cfg(), HW, n_streams=1)
+
+    path = str(tmp_path / "ck.npz")
+    srv_a = StreamServer(pool_factory(), lockstep=True).start()
+    sess = StreamSession(*srv_a.address)
+    L, R = make_stereo(2 * HW, SR, seed=110)
+    L, R = L.astype(np.float32), R.astype(np.float32)
+    _send_and_read(sess, L, R, 0, 2, 0)
+    assert srv_a.save_checkpoint(path) == 1
+    sess.close()
+    srv_a.close()
+
+    # Default (no ttl): the parked ghost holds the only slot.
+    srv_b = StreamServer(pool_factory(), lockstep=True,
+                         checkpoint=path).start()
+    try:
+        with pytest.raises(ConnectionError, match="full"):
+            StreamSession(*srv_b.address)
+    finally:
+        srv_b.close()
+
+    # With a ttl: the new client reclaims the expired parked slot and
+    # the ghost's token is forgotten.
+    srv_c = StreamServer(pool_factory(), lockstep=True, checkpoint=path,
+                         resume_ttl=0.05).start()
+    try:
+        _t.sleep(0.1)
+        s2 = StreamSession(*srv_c.address)
+        assert srv_c.stats["parked_expired"] == 1
+        with pytest.raises(ConnectionError, match="unknown or expired"):
+            StreamSession(*srv_c.address, token=sess.token)
+        s2.close()
+    finally:
+        srv_c.close()
+
+
 def test_run_stream_server_snapshot_path(tmp_path):
     # The CLI entry restores parked sessions from --snapshot-path when
     # the file exists (and the CLI writes it back on shutdown).

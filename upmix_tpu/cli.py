@@ -235,6 +235,17 @@ def build_parser() -> argparse.ArgumentParser:
         "the pool state copies to host)",
     )
     p.add_argument(
+        "--resume-ttl",
+        type=float,
+        default=None,
+        metavar="SECS",
+        help="stream-server parked-session time-to-live: a restored "
+        "session whose client has not resumed within SECS seconds may "
+        "have its slot reclaimed when the pool is otherwise full "
+        "(late resumes then get the unknown-token status).  Default: "
+        "hold parked sessions forever",
+    )
+    p.add_argument(
         "--metrics-http",
         type=int,
         default=None,
@@ -649,6 +660,7 @@ def main(argv=None) -> int:
             metrics_http_port=args.metrics_http,
             hops=args.serve_hops,
             pipeline=args.serve_pipeline,
+            resume_ttl=args.resume_ttl,
         )
         try:
             import signal as _signal

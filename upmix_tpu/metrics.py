@@ -122,6 +122,7 @@ class ServerMetrics:
         "late_zero_blocks",    # realtime ticks where an ACTIVE slot had
                                # no input queued (zeros injected)
         "resumed",             # parked sessions resumed by token
+        "parked_expired",      # parked sessions reclaimed by resume_ttl
         "checkpoints",         # save_checkpoint completions
         "dispatcher_failures", # dispatcher thread died (server stopped)
     )

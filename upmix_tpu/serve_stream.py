@@ -146,7 +146,7 @@ def _read_exact(sock, n):
 class _Slot:
     __slots__ = (
         "state", "mix", "inq", "outq", "in_frames", "out_frames",
-        "skip", "gen", "token", "parked",
+        "skip", "gen", "token", "parked", "parked_at",
     )
 
     def __init__(self):
@@ -160,6 +160,7 @@ class _Slot:
         self.gen = 0  # bumped per allocation; stale threads detect reuse
         self.token = _ZERO_TOKEN  # per-session resume key (v2 protocol)
         self.parked = None  # checkpointed session record awaiting resume
+        self.parked_at = 0.0  # monotonic restore time (resume_ttl clock)
 
 
 class StreamServer:
@@ -204,6 +205,7 @@ class StreamServer:
         metrics_http_port: int | None = None,
         hops: int = 1,
         pipeline: int = 1,
+        resume_ttl: float | None = None,
     ):
         self.pool = pool
         self.hw = int(pool.hw_block_size)
@@ -273,6 +275,17 @@ class StreamServer:
         self._pending = None
         # The tick covers hops hardware blocks of every stream's time.
         self.tick_period = (self.hw * self.hops / float(sr)) if sr else None
+        # Parked-session time-to-live: a restored session's slot is
+        # reserved until its client resumes; without a bound a client
+        # that never returns reserves it FOREVER and a full pool starts
+        # rejecting new work for ghosts.  With resume_ttl set, expired
+        # parked slots are reclaimed LAZILY when an allocation would
+        # otherwise fail (no background timer; an idle pool holds
+        # sessions indefinitely).  None = hold forever (default);
+        # ttl <= 0 = reclaim immediately when a slot is needed.
+        self.resume_ttl = (
+            float(resume_ttl) if resume_ttl is not None else None
+        )
         self.max_buffered_blocks = int(max_buffered_blocks)
         self._slots = [_Slot() for _ in range(self.n_slots)]
         if checkpoint is not None:
@@ -567,6 +580,7 @@ class StreamServer:
             key = f"s{i}"
             s = self._slots[i]
             s.state = _ST_PARKED
+            s.parked_at = time.monotonic()
             s.token = bytes.fromhex(sess["token"])
             s.parked = {
                 "rows": _tree_decode(sess["rows"], data),
@@ -644,6 +658,19 @@ class StreamServer:
                 # accepted-but-unallocated connection must not become a
                 # new victim blocked on an output queue nothing fills.
                 return None, None
+            if self.resume_ttl is not None and not any(
+                s.state == _ST_FREE for s in self._slots
+            ):
+                # Lazy reclaim: only when the allocation would fail.
+                now = time.monotonic()
+                for s in self._slots:
+                    if s.state == _ST_PARKED and (
+                        now - s.parked_at > self.resume_ttl
+                    ):
+                        s.state = _ST_FREE
+                        s.parked = None
+                        s.token = _ZERO_TOKEN  # late resume -> status 3
+                        self.stats["parked_expired"] += 1
             for i, s in enumerate(self._slots):
                 if s.state == _ST_FREE:
                     s.state = _ST_ACTIVE
@@ -1295,6 +1322,7 @@ def run_stream_server(
     metrics_http_port: int | None = None,
     hops: int = 1,
     pipeline: int = 1,
+    resume_ttl: float | None = None,
 ) -> "StreamServer":
     """CLI entry: build the pool (auto engine) and serve until ^C.
 
@@ -1333,7 +1361,7 @@ def run_stream_server(
         pool, host=host, port=port, lockstep=lockstep, sr=float(sr),
         checkpoint=checkpoint, snapshot_every=snapshot_every,
         metrics_http_port=metrics_http_port, hops=hops,
-        pipeline=pipeline,
+        pipeline=pipeline, resume_ttl=resume_ttl,
     )
     server.snapshot_path = snapshot_path
     server.start()
