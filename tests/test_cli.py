@@ -289,3 +289,70 @@ def test_cli_unknown_window_rejected(tmp_path):
     path = _input(tmp_path)
     with pytest.raises(SystemExit, match="unknown --window"):
         main([str(path), "--window", "blackman_haris"])
+
+
+def test_cli_mesh_offline_parity(tmp_path, capsys):
+    # --mesh runs the same pipeline sharded over the virtual devices;
+    # output must match the single-device CLI run (accumulation-order
+    # float noise only).
+    from helpers import snr_db
+
+    path = _input(tmp_path, n=5000)
+    common = ["--band-edges", "0,400,1600", "--max-block-size", "512"]
+    assert main([str(path), "--out-dir", str(tmp_path / "a"), *common]) == 0
+    ref_path = capsys.readouterr().out.strip().splitlines()[-1]
+    assert (
+        main(
+            [str(path), "--out-dir", str(tmp_path / "b"), "--mesh", "seq=4", *common]
+        )
+        == 0
+    )
+    got_path = capsys.readouterr().out.strip().splitlines()[-1]
+    ref, sr = read_wav(ref_path)
+    got, sr2 = read_wav(got_path)
+    assert sr == sr2 and ref.shape == got.shape
+    for ch in range(ref.shape[1]):
+        assert snr_db(ref[:, ch], got[:, ch]) > 60.0
+
+
+def test_cli_mesh_dp_sp_batch(tmp_path, capsys):
+    # data+seq axes together, over a 2-file batch (the sharded upmixer is
+    # cached and reused across the batch).
+    a = _input(tmp_path, "a.wav", n=4000)
+    b = _input(tmp_path, "b.wav", n=4000)
+    rc = main(
+        [
+            str(a),
+            str(b),
+            "--out-dir",
+            str(tmp_path / "out"),
+            "--mesh",
+            "data=2,seq=2",
+            "--band-edges",
+            "0,400,1600",
+            "--max-block-size",
+            "512",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert len(printed) == 2
+    for p in printed:
+        y, sr = read_wav(p)
+        assert y.shape == (4000, 2) and sr == 8000
+
+
+def test_cli_mesh_validation(tmp_path):
+    path = _input(tmp_path)
+    # Malformed specs and impossible sizes are clean CLI errors.
+    for spec in ("seq=abc", "seq=0", "seq", "", "seq=2,seq=2", "model=2"):
+        with pytest.raises(SystemExit):
+            main([str(path), "--mesh", spec])
+    with pytest.raises(SystemExit):  # more devices than exist
+        main([str(path), "--mesh", "seq=1024"])
+    # Offline-only: rejected with the streaming/pipe/serve surfaces.
+    with pytest.raises(SystemExit, match="offline"):
+        main([str(path), "--mesh", "seq=2", "--streaming"])
+    # --pool-mesh requires --serve-stream.
+    with pytest.raises(SystemExit, match="pool-mesh"):
+        main([str(path), "--pool-mesh", "data=2"])

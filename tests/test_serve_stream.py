@@ -1156,3 +1156,84 @@ def test_stopping_server_refuses_admission_mid_handshake():
             assert all(s.state == 0 for s in srv._slots), "no slot leaked"
     finally:
         srv.close()
+
+
+def test_mesh_sharded_pool_server():
+    # run_stream_server(mesh=...) shards the serving pool over the
+    # virtual mesh's 'data' axis; a session's output must still match
+    # the single-stream engine exactly as on an unsharded pool.
+    import jax
+
+    from upmix_tpu.parallel import make_mesh
+    from upmix_tpu.serve_stream import run_stream_server
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = make_mesh({"data": 2})
+    srv = run_stream_server(
+        0, sr=SR, n_streams=4, hw_block_size=HW, band_edges=EDGES,
+        lockstep=True, verbose=False, mesh=mesh,
+    )
+    try:
+        L, R = make_stereo(8 * HW, SR, seed=77)
+        L, R = L.astype(np.float32), R.astype(np.float32)
+        got = stream_client(*srv.address, L, R)
+        _check(got, _aligned_reference(L, R))
+    finally:
+        srv.close()
+
+
+def test_checkpoint_restores_across_mesh_topologies(tmp_path):
+    # A checkpoint taken on an UNSHARDED pool server restores into a
+    # mesh-sharded pool server and vice versa — the realistic restore
+    # scenario where the replacement host has a different device count.
+    # The resumed session must be the exact continuation either way.
+    import jax
+
+    from upmix_tpu.serve_stream import StreamSession
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("data",))
+
+    def plain_factory():
+        return BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
+
+    def mesh_factory():
+        return BatchStreamingUpmixer(_cfg(), HW, n_streams=4, mesh=mesh)
+
+    n_blocks = 12
+    cut = 5
+    path = str(tmp_path / "sessions.npz")
+    for src_factory, dst_factory in (
+        (plain_factory, mesh_factory),
+        (mesh_factory, plain_factory),
+    ):
+        L, R = make_stereo(n_blocks * HW, SR, seed=105)
+        L, R = L.astype(np.float32), R.astype(np.float32)
+        ref = _one_shot(plain_factory, L, R)
+
+        srv_a = StreamServer(src_factory(), lockstep=True).start()
+        sess = StreamSession(*srv_a.address)
+        part1 = _send_and_read(sess, L, R, 0, cut, 0)
+        assert srv_a.save_checkpoint(path) == 1
+        sess.close()
+        srv_a.close()
+
+        srv_b = StreamServer(dst_factory(), lockstep=True,
+                             checkpoint=path).start()
+        try:
+            sess2 = StreamSession(*srv_b.address, token=sess.token)
+            assert sess2.server_in_frames == cut * HW
+            for b in range(cut, n_blocks):
+                sess2.send_block(L[b * HW : (b + 1) * HW],
+                                 R[b * HW : (b + 1) * HW])
+            sess2.finish()
+            part2 = sess2.recv_frames(n_blocks * HW - len(part1))
+            sess2.close()
+        finally:
+            srv_b.close()
+
+        got = np.concatenate([part1, part2])
+        want = np.column_stack(ref)
+        np.testing.assert_array_equal(got, want)

@@ -370,6 +370,7 @@ def run_offline(
     upmixer_cache: dict | None = None,
     kernel: str = "auto",
     pad_granularity: int = 1,
+    mesh=None,
     verbose: bool = False,
 ) -> ExportResult:
     """Full offline pipeline: load → upmix → scale → export.
@@ -380,6 +381,12 @@ def run_offline(
     full config identity (UpmixConfig is hashable) plus kernel and
     pad_granularity, so one cache is safe to share across calls with
     differing flags or sample rates.
+
+    `mesh` (a jax.sharding.Mesh, e.g. from upmix_tpu.parallel.make_mesh)
+    runs the pipeline mesh-sharded instead: the sample axis splits over
+    the mesh's 'seq' axis with halo exchange (parallel/sharded.py).  The
+    sharded path manages its own length padding, so pad_granularity is
+    ignored; a pre-built `upmixer` takes precedence over `mesh`.
     """
     if export_mode not in EXPORT_MODES:
         raise ValueError(f"unknown export_mode {export_mode!r}; one of {EXPORT_MODES}")
@@ -398,11 +405,18 @@ def run_offline(
             bin_rounding=bin_rounding,
             verbose=verbose,
         )
-        cache_key = (config, kernel, pad_granularity)
+        cache_key = (config, kernel, pad_granularity, mesh)
         if upmixer_cache is not None:
             upmixer = upmixer_cache.get(cache_key)
         if upmixer is None:
-            upmixer = Upmixer(config, pad_granularity=pad_granularity, kernel=kernel)
+            if mesh is not None:
+                from upmix_tpu.parallel import ShardedUpmixer
+
+                upmixer = ShardedUpmixer(config, mesh, kernel=kernel)
+            else:
+                upmixer = Upmixer(
+                    config, pad_granularity=pad_granularity, kernel=kernel
+                )
             if upmixer_cache is not None:
                 upmixer_cache[cache_key] = upmixer
     config = upmixer.config

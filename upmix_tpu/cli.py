@@ -115,6 +115,17 @@ def build_parser() -> argparse.ArgumentParser:
         "xla (jnp.fft, CPU default)",
     )
     p.add_argument(
+        "--mesh",
+        default=None,
+        metavar="SPEC",
+        help="run the offline pipeline mesh-sharded over the available "
+        "devices: 'seq=N' splits the sample axis across N chips with "
+        "halo exchange (long files), 'data=D,seq=N' adds file-batch "
+        "data parallelism (library API; the CLI processes files one at "
+        "a time).  The axis product must not exceed "
+        "len(jax.devices()).  Offline mode only",
+    )
+    p.add_argument(
         "--pad-granularity",
         type=int,
         default=None,
@@ -257,6 +268,16 @@ def build_parser() -> argparse.ArgumentParser:
         "port itself via upmix_tpu.serve_stream.fetch_metrics",
     )
     p.add_argument(
+        "--pool-mesh",
+        default=None,
+        metavar="SPEC",
+        help="with --serve-stream: shard the serving pool across chips — "
+        "'data=D' splits the session slots over D devices (zero "
+        "collectives per block; --streams must be a multiple of D). "
+        "Forces the mesh-capable pool engines (pallas via shard_map, "
+        "or the XLA batch pool)",
+    )
+    p.add_argument(
         "--pool-group",
         type=int,
         default=16,
@@ -395,6 +416,49 @@ def parse_edges(text: str):
     return edges
 
 
+def parse_mesh_spec(text: str):
+    """Parse 'axis=N[,axis=N...]' into an ordered axis dict."""
+    axes = {}
+    for part in text.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, eq, num = part.partition("=")
+        name = name.strip()
+        try:
+            n = int(num)
+        except ValueError:
+            n = 0
+        if not eq or not name or n < 1:
+            raise SystemExit(
+                f"error: mesh spec must be 'axis=N[,axis=N]' with N >= 1, "
+                f"got {text!r}"
+            )
+        if name in axes:
+            raise SystemExit(f"error: duplicate mesh axis {name!r} in {text!r}")
+        axes[name] = n
+    if not axes:
+        raise SystemExit("error: empty mesh spec")
+    return axes
+
+
+def build_mesh(text: str, allowed=("data", "seq"), flag="--mesh"):
+    """Build a jax Mesh from a CLI spec, with CLI-friendly errors."""
+    axes = parse_mesh_spec(text)
+    bad = [a for a in axes if a not in allowed]
+    if bad:
+        raise SystemExit(
+            f"error: {flag} axis must be one of {'/'.join(allowed)}, "
+            f"got {bad[0]!r}"
+        )
+    from upmix_tpu.parallel import make_mesh
+
+    try:
+        return make_mesh(axes)
+    except ValueError as e:
+        raise SystemExit(f"error: {flag} {text!r}: {e}")
+
+
 def load_window_file(path: str) -> str:
     """Load a window vector from FILE (.npy or text) and register it
     under a content-derived name; returns the name.  Content-derived so
@@ -435,6 +499,17 @@ def main(argv=None) -> int:
                 "via --window-file / upmix_tpu.ops.windows.register_window)"
             )
     edges = parse_edges(args.band_edges)
+    if args.mesh is not None and (
+        args.pipe or args.streaming or args.serve
+        or args.serve_stream is not None or args.save_aot is not None
+        or args.connect is not None
+    ):
+        raise SystemExit(
+            "error: --mesh applies to the offline pipeline only "
+            "(use --pool-mesh with --serve-stream)"
+        )
+    if args.pool_mesh is not None and args.serve_stream is None:
+        raise SystemExit("error: --pool-mesh requires --serve-stream")
     if args.pad_granularity is not None and args.pad_granularity < 1:
         raise SystemExit("error: --pad-granularity must be >= 1")
 
@@ -639,6 +714,11 @@ def main(argv=None) -> int:
                 raise SystemExit("error: --snapshot-every must be > 0")
         from upmix_tpu.serve_stream import run_stream_server
 
+        pool_mesh = None
+        if args.pool_mesh is not None:
+            pool_mesh = build_mesh(
+                args.pool_mesh, allowed=("data",), flag="--pool-mesh"
+            )
         server = run_stream_server(
             args.serve_stream,
             sr=args.sr,
@@ -655,6 +735,7 @@ def main(argv=None) -> int:
             engine=args.pool_engine,
             ola=args.pool_ola,
             group=args.pool_group,
+            mesh=pool_mesh,
             snapshot_path=args.snapshot_path,
             snapshot_every=args.snapshot_every,
             metrics_http_port=args.metrics_http,
@@ -789,6 +870,7 @@ def main(argv=None) -> int:
     # Offline: share one compiled Upmixer per sample rate across the batch
     # (with --pad-granularity, files of similar length share programs too).
     upmixer_cache = {}
+    mesh = build_mesh(args.mesh) if args.mesh is not None else None
     for path in args.inputs:
         t0 = time.perf_counter()
         result = run_offline(
@@ -807,6 +889,7 @@ def main(argv=None) -> int:
             kernel=args.kernel,
             pad_granularity=args.pad_granularity if args.pad_granularity is not None else 1,
             upmixer_cache=upmixer_cache,
+            mesh=mesh,
             verbose=args.verbose,
         )
         _report(args, result, path, t0)

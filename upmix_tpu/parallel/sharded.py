@@ -408,3 +408,10 @@ class ShardedUpmixer:
         x = jnp.stack([jnp.asarray(L, jnp.float32), jnp.asarray(R, jnp.float32)])
         y = self.process_batch(x[None])[0]
         return y[0], y[1], y[2]
+
+    def process_np(self, L, R):
+        """Upmixer-compatible numpy-out variant (app.run_offline's engine
+        contract), so a mesh-sharded upmixer slots into the offline
+        pipeline / CLI unchanged."""
+        c, ls, rs = self.process(L, R)
+        return np.asarray(c), np.asarray(ls), np.asarray(rs)

@@ -1317,6 +1317,7 @@ def run_stream_server(
     ola: str = "time",
     layout: str = "quarters",
     group: int = 16,
+    mesh=None,
     snapshot_path: str | None = None,
     snapshot_every: float | None = None,
     metrics_http_port: int | None = None,
@@ -1329,9 +1330,11 @@ def run_stream_server(
     Defaults mirror run_pipe's streaming config (the reference Bela
     setup, bela/upmix.cpp:525-528).  lockstep defaults to False here:
     a network server ticks on the wall clock like an audio callback.
-    engine/ola/layout/group configure make_stream_pool (explicit
+    engine/ola/layout/group/mesh configure make_stream_pool (explicit
     keywords, not a **kwargs pass-through, so a misspelled server
-    kwarg raises here instead of deep in pool construction).
+    kwarg raises here instead of deep in pool construction).  A mesh
+    with a 'data' axis shards the serving pool across chips — sessions
+    split over devices, zero collectives per block.
 
     snapshot_path: if the file exists, restore the checkpointed
     sessions from it (they park until their clients reconnect with
@@ -1352,7 +1355,7 @@ def run_stream_server(
     )
     pool = make_stream_pool(
         config, int(hw_block_size), int(n_streams),
-        engine=engine, ola=ola, layout=layout, group=group,
+        engine=engine, ola=ola, layout=layout, group=group, mesh=mesh,
     )
     checkpoint = None
     if snapshot_path is not None and os.path.exists(snapshot_path):
