@@ -302,3 +302,67 @@ def test_tune_rejects_bad_hops_values():
                 engine="pallas", blocks=4, visits=1, hops=bad,
                 verbose=False,
             )
+
+
+def test_tune_offline_sweep():
+    from upmix_tpu.tune import tune_offline
+
+    report = tune_offline(
+        sr=8000.0, band_edges=(0.0, 400.0, 1600.0), max_block_size=512,
+        n_samples=4096, chunks=(2048, 4096, 0), inner=2, visits=2,
+        verbose=False,
+    )
+    ok = [r for r in report["results"] if r["ok"]]
+    assert len(ok) == 3  # all feasible at this tiny geometry
+    best = report["best"]
+    assert best is not None and best in report["results"]
+    for r in ok:
+        assert r["seconds_per_application"] > 0
+        assert r["realtime_factor"] == pytest.approx(
+            (4096 / 8000.0) / r["seconds_per_application"]
+        )
+    assert best["realtime_factor"] == max(r["realtime_factor"] for r in ok)
+    assert report["protocol"]["name"] == "offline"
+
+
+def test_tune_offline_chunk_rounds_to_frame_grid():
+    from upmix_tpu.tune import tune_offline
+
+    # A chunk below the frame-grid unit is rounded up by the builder
+    # (models/offline.py), not rejected: still a feasible candidate.
+    report = tune_offline(
+        sr=8000.0, band_edges=(0.0, 400.0, 1600.0), max_block_size=512,
+        n_samples=4096, chunks=(7, 4096), inner=1, visits=1,
+        verbose=False,
+    )
+    assert all(r["ok"] for r in report["results"])
+
+
+def test_tune_offline_records_infeasible():
+    from upmix_tpu.tune import tune_offline
+
+    # Every candidate failing (unknown kernel) is recorded with its
+    # error, not raised, and best is None.
+    report = tune_offline(
+        sr=8000.0, band_edges=(0.0, 400.0, 1600.0), max_block_size=512,
+        n_samples=4096, chunks=(4096,), kernel="nope", inner=1, visits=1,
+        verbose=False,
+    )
+    bad = [r for r in report["results"] if not r["ok"]]
+    assert len(bad) == 1 and "error" in bad[0]
+    assert report["best"] is None
+
+
+def test_tune_offline_cli_json(capsys):
+    from upmix_tpu.tune import main
+
+    rc = main([
+        "--offline", "--sr", "8000", "--edges", "0,400,1600",
+        "--max-block-size", "512", "--samples", "4096",
+        "--chunks", "4096", "--inner", "1", "--visits", "1", "--json",
+    ])
+    assert rc == 0
+    import json
+
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["best"]["ok"]

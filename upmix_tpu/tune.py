@@ -55,6 +55,12 @@ Protocol notes (hard-won, see CLAUDE.md):
   as a wash.  Size the sweep to the link: each cycle moves
   ~5*B*T*hw*4 bytes, so tune at the deployment's REAL stream count.
 
+`tune_offline` (CLI: `--offline`) applies the same protocol to the
+offline pipeline's one device-specific knob, the scan chunk size
+(models/offline.py CHUNK_SAMPLES = the v5e optimum): `inner`
+applications dependency-chained in one dispatch per visit, min over
+interleaved visits, best by realtime factor.
+
 The reference has no analog (its one tunable, threshold_factor, is a
 quality knob); this is TPU-framework machinery like XLA's own
 autotuning, applied to the serving layer.
@@ -66,7 +72,7 @@ import time
 
 import numpy as np
 
-__all__ = ["tune_pool"]
+__all__ = ["tune_pool", "tune_offline"]
 
 
 def _build_candidate(config, hw_block, batch, engine, group, layout, ola):
@@ -459,18 +465,149 @@ def tune_pool(
     }
 
 
+def tune_offline(
+    config=None,
+    *,
+    sr: float = 44100.0,
+    band_edges=(0.0, 30.0, 120.0, 480.0, 1920.0, 7680.0),
+    max_block_size: int = 2**16,
+    n_samples: int = 2**21,
+    chunks=(2**19, 2**20, 2**21, 2**22),
+    kernel: str = "auto",
+    inner: int = 6,
+    visits: int = 3,
+    verbose: bool = True,
+) -> dict:
+    """Autotune the offline pipeline's chunk size for the attached device.
+
+    The offline scan's chunk size trades scan-step count against working-
+    set locality; the v5e optimum (2^21, models/offline.py CHUNK_SAMPLES)
+    was found by hand with bench.py's chained-application protocol.  This
+    sweep re-derives it for new hardware: each candidate builds
+    build_offline_fn(config, n_samples, chunk=c) and times `inner`
+    applications dependency-chained inside ONE jitted dispatch (a scalar
+    of each output seeds the next input, so a remote runtime cannot
+    overlap them), interleaved round-robin with min-of-visits — the same
+    burst-noise discipline as tune_pool.  chunk=0 means one whole-file
+    program (no scan).
+
+    Returns {"results": [...], "best": {...}, "protocol": {...}} with
+    per-candidate seconds_per_application and realtime_factor
+    (audio-seconds per wall-second, the BASELINE.md headline metric).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from upmix_tpu.config import UpmixConfig
+    from upmix_tpu.models.offline import build_offline_fn
+
+    if config is None:
+        config = UpmixConfig.make(
+            list(band_edges), sr=sr, max_block_size=max_block_size
+        )
+    if inner < 1 or visits < 1:
+        raise ValueError("inner and visits must be >= 1")
+
+    rng = np.random.default_rng(0)
+    L = jnp.asarray(rng.standard_normal(n_samples), jnp.float32)
+    R = jnp.asarray(rng.standard_normal(n_samples), jnp.float32)
+    L, R = jax.device_put((L, R))
+    jax.block_until_ready((L, R))
+
+    results = []
+    built = []
+    for c in chunks:
+        c = int(c)
+        label = "whole" if c == 0 else f"chunk={c}"
+        rec = {"chunk": c, "label": label, "ok": False}
+        results.append(rec)
+        try:
+            base = build_offline_fn(config, n_samples, kernel=kernel, chunk=c)
+
+            def step(L, R, seed, base=base):
+                for _ in range(inner):
+                    cc, _ls, _rs = base(L + seed, R - seed)
+                    seed = cc[0] * 1e-6
+                return seed
+
+            fn = jax.jit(step)
+            seed = jnp.zeros((), jnp.float32)
+            float(np.asarray(fn(L, R, seed)))  # compile + warm off the clock
+        except Exception as e:  # infeasible candidate: record, keep going
+            rec["error"] = f"{type(e).__name__}: {e}"
+            if verbose:
+                print(f"tune: {label} infeasible: {rec['error']}", flush=True)
+            continue
+        rec["visits"] = []
+        built.append((rec, fn))
+
+    for _v in range(int(visits)):
+        for rec, fn in built:
+            seed = jnp.zeros((), jnp.float32)
+            t0 = time.perf_counter()
+            float(np.asarray(fn(L, R, seed)))
+            rec["visits"].append((time.perf_counter() - t0) / int(inner))
+
+    audio_seconds = n_samples / float(config.sr)
+    best = None
+    for rec in results:
+        if rec.get("visits"):
+            t = min(rec["visits"])
+            rec["ok"] = True
+            rec["seconds_per_application"] = t
+            rec["realtime_factor"] = audio_seconds / t
+            if best is None or rec["realtime_factor"] > best["realtime_factor"]:
+                best = rec
+        rec.pop("visits", None)
+        if verbose and rec["ok"]:
+            print(f"tune: {rec['label']}: {rec['realtime_factor']:.0f}x "
+                  f"realtime ({rec['seconds_per_application'] * 1e3:.2f} ms "
+                  f"per {audio_seconds:.1f} s of audio)", flush=True)
+    if verbose and best is not None:
+        print(f"tune: best {best['label']}: "
+              f"{best['realtime_factor']:.0f}x realtime", flush=True)
+    return {
+        "results": results,
+        "best": best,
+        "protocol": {"name": "offline", "n_samples": int(n_samples),
+                     "inner": int(inner), "visits": int(visits),
+                     "kernel": kernel,
+                     "estimator": "min-of-visits, interleaved"},
+    }
+
+
 def main(argv=None):
     import argparse
     import json
 
     ap = argparse.ArgumentParser(
-        description="autotune the serving pool's (batch, group) for "
-        "the attached device"
+        description="autotune the serving pool's (batch, group) — or, "
+        "with --offline, the offline pipeline's chunk size — for the "
+        "attached device"
     )
-    ap.add_argument("--sr", type=float, default=48000.0)
+    ap.add_argument("--offline", action="store_true",
+                    help="tune the offline pipeline's scan chunk size "
+                    "instead of the serving pool (--chunks/--samples/"
+                    "--inner; --sr defaults to 44100 and --edges to the "
+                    "reference offline config in this mode)")
+    ap.add_argument("--chunks", default="524288,1048576,2097152,4194304",
+                    help="offline mode: chunk sizes to sweep, comma-"
+                    "separated (0 = one whole-file program)")
+    ap.add_argument("--samples", type=int, default=2**21,
+                    help="offline mode: input length per application")
+    ap.add_argument("--inner", type=int, default=6,
+                    help="offline mode: applications chained per timed "
+                    "dispatch")
+    ap.add_argument("--kernel", default="auto",
+                    help="offline mode: transform kernel (auto/mm/xla)")
+    ap.add_argument("--max-block-size", type=int, default=2**16,
+                    help="offline mode: per-band STFT size cap")
+    ap.add_argument("--sr", type=float, default=None)
     ap.add_argument("--hw-block", type=int, default=2048)
-    ap.add_argument("--edges", default="0,500,2000,8000",
-                    help="band edges in Hz, comma-separated")
+    ap.add_argument("--edges", default=None,
+                    help="band edges in Hz, comma-separated (default: "
+                    "0,500,2000,8000 for the pool; the reference "
+                    "offline 6-band config with --offline)")
     ap.add_argument("--batches", default="512,1024,2048,4096")
     ap.add_argument("--groups", default="8,16,32")
     ap.add_argument("--engine", default="pallas",
@@ -510,9 +647,29 @@ def main(argv=None):
     from upmix_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.offline:
+        report = tune_offline(
+            sr=args.sr if args.sr is not None else 44100.0,
+            band_edges=[
+                float(e)
+                for e in (args.edges or "0,30,120,480,1920,7680").split(",")
+            ],
+            max_block_size=args.max_block_size,
+            n_samples=args.samples,
+            chunks=[int(c) for c in args.chunks.split(",")],
+            kernel=args.kernel,
+            inner=args.inner,
+            visits=args.visits,
+            verbose=not args.json,
+        )
+        if args.json:
+            print(json.dumps(report))
+        elif report["best"] is None:
+            print("tune: no candidate compiled", flush=True)
+        return 0 if report["best"] is not None else 1
     config = UpmixConfig.streaming(
-        [float(e) for e in args.edges.split(",")],
-        sr=args.sr, hw_block_size=args.hw_block,
+        [float(e) for e in (args.edges or "0,500,2000,8000").split(",")],
+        sr=args.sr if args.sr is not None else 48000.0, hw_block_size=args.hw_block,
     )
     report = tune_pool(
         config, args.hw_block,
