@@ -51,9 +51,10 @@ BASE_SEED = 20260821
 
 
 def _make_server(rng):
-    """Random lockstep server geometry: XLA pool (pipeline 1 or 2) or a
-    pallas interpret pool (hops x pipeline).  Returns (server, n_slots)."""
-    kind = int(rng.integers(4))
+    """Random lockstep server geometry: XLA pool (pipeline 1 or 2,
+    optionally mesh-sharded over 2 virtual devices) or a pallas
+    interpret pool (hops x pipeline).  Returns (server, n_slots)."""
+    kind = int(rng.integers(5))
     if kind == 3:
         from upmix_tpu.models.streaming import PallasStreamPool
 
@@ -61,6 +62,12 @@ def _make_server(rng):
                                 interpret=True)
         hops = int(rng.choice([1, 2]))
         pipeline = int(rng.choice([1, 2]))
+    elif kind == 4:
+        import jax
+
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("data",))
+        pool = BatchStreamingUpmixer(_cfg(), HW, n_streams=4, mesh=mesh)
+        hops, pipeline = 1, int(rng.choice([1, 2]))
     else:
         pool = BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
         hops, pipeline = 1, (2 if kind == 2 else 1)
