@@ -356,3 +356,28 @@ def test_cli_mesh_validation(tmp_path):
     # --pool-mesh requires --serve-stream.
     with pytest.raises(SystemExit, match="pool-mesh"):
         main([str(path), "--pool-mesh", "data=2"])
+
+
+def test_cli_chunk_override(tmp_path, capsys):
+    # --chunk forces the scan chunk size (0 = whole-file program); both
+    # must produce the same audio as the default.
+    from helpers import snr_db
+
+    path = _input(tmp_path, n=5000)
+    common = ["--band-edges", "0,400,1600", "--max-block-size", "512"]
+    outs = {}
+    for name, extra in (
+        ("default", []),
+        ("chunk2048", ["--chunk", "2048"]),
+        ("whole", ["--chunk", "0"]),
+    ):
+        rc = main(
+            [str(path), "--out-dir", str(tmp_path / name), *common, *extra]
+        )
+        assert rc == 0
+        outs[name] = read_wav(capsys.readouterr().out.strip().splitlines()[-1])[0]
+    for name in ("chunk2048", "whole"):
+        for ch in range(2):
+            assert snr_db(outs["default"][:, ch], outs[name][:, ch]) > 60.0
+    with pytest.raises(SystemExit, match="chunk"):
+        main([str(path), "--chunk", "-1"])

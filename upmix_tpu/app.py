@@ -371,6 +371,7 @@ def run_offline(
     kernel: str = "auto",
     pad_granularity: int = 1,
     mesh=None,
+    chunk: int | None = None,
     verbose: bool = False,
 ) -> ExportResult:
     """Full offline pipeline: load → upmix → scale → export.
@@ -385,8 +386,13 @@ def run_offline(
     `mesh` (a jax.sharding.Mesh, e.g. from upmix_tpu.parallel.make_mesh)
     runs the pipeline mesh-sharded instead: the sample axis splits over
     the mesh's 'seq' axis with halo exchange (parallel/sharded.py).  The
-    sharded path manages its own length padding, so pad_granularity is
-    ignored; a pre-built `upmixer` takes precedence over `mesh`.
+    sharded path manages its own length padding and chunking, so
+    pad_granularity and `chunk` are ignored there; a pre-built `upmixer`
+    takes precedence over `mesh`.
+
+    `chunk` overrides the scan chunk size (None = the v5e-tuned
+    CHUNK_SAMPLES, 0 = one whole-file program) — feed it from
+    `upmix_tpu.tune --offline` on new hardware.
     """
     if export_mode not in EXPORT_MODES:
         raise ValueError(f"unknown export_mode {export_mode!r}; one of {EXPORT_MODES}")
@@ -405,7 +411,7 @@ def run_offline(
             bin_rounding=bin_rounding,
             verbose=verbose,
         )
-        cache_key = (config, kernel, pad_granularity, mesh)
+        cache_key = (config, kernel, pad_granularity, mesh, chunk)
         if upmixer_cache is not None:
             upmixer = upmixer_cache.get(cache_key)
         if upmixer is None:
@@ -415,7 +421,8 @@ def run_offline(
                 upmixer = ShardedUpmixer(config, mesh, kernel=kernel)
             else:
                 upmixer = Upmixer(
-                    config, pad_granularity=pad_granularity, kernel=kernel
+                    config, pad_granularity=pad_granularity, kernel=kernel,
+                    chunk=chunk,
                 )
             if upmixer_cache is not None:
                 upmixer_cache[cache_key] = upmixer

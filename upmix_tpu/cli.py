@@ -115,6 +115,14 @@ def build_parser() -> argparse.ArgumentParser:
         "xla (jnp.fft, CPU default)",
     )
     p.add_argument(
+        "--chunk",
+        type=int,
+        default=None,
+        help="offline scan chunk size in samples (default: the v5e-tuned "
+        "2097152; 0 = one whole-file program).  Derive for new hardware "
+        "with `python -m upmix_tpu.tune --offline`",
+    )
+    p.add_argument(
         "--mesh",
         default=None,
         metavar="SPEC",
@@ -510,6 +518,8 @@ def main(argv=None) -> int:
         )
     if args.pool_mesh is not None and args.serve_stream is None:
         raise SystemExit("error: --pool-mesh requires --serve-stream")
+    if args.chunk is not None and args.chunk < 0:
+        raise SystemExit("error: --chunk must be >= 0 (0 = whole-file)")
     if args.pad_granularity is not None and args.pad_granularity < 1:
         raise SystemExit("error: --pad-granularity must be >= 1")
 
@@ -890,6 +900,7 @@ def main(argv=None) -> int:
             pad_granularity=args.pad_granularity if args.pad_granularity is not None else 1,
             upmixer_cache=upmixer_cache,
             mesh=mesh,
+            chunk=args.chunk,
             verbose=args.verbose,
         )
         _report(args, result, path, t0)

@@ -523,6 +523,7 @@ class Upmixer:
         pad_granularity: int = 1,
         kernel: str = "auto",
         max_programs: int = 16,
+        chunk: int | None = None,
     ):
         from collections import OrderedDict
 
@@ -530,12 +531,20 @@ class Upmixer:
         self.pad_granularity = max(1, int(pad_granularity))
         self.kernel = kernel
         self.max_programs = max(1, int(max_programs))
+        # Scan chunk-size override (None = CHUNK_SAMPLES, 0 = one
+        # whole-file program) — the knob upmix_tpu.tune --offline
+        # derives for new hardware.
+        self.chunk = chunk
         self._cache = OrderedDict()
 
     def _compiled(self, n_padded: int):
         fn = self._cache.get(n_padded)
         if fn is None:
-            fn = jax.jit(build_offline_fn(self.config, n_padded, self.kernel))
+            fn = jax.jit(
+                build_offline_fn(
+                    self.config, n_padded, self.kernel, chunk=self.chunk
+                )
+            )
             self._cache[n_padded] = fn
             while len(self._cache) > self.max_programs:
                 self._cache.popitem(last=False)
