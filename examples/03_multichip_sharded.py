@@ -11,6 +11,10 @@ On a real TPU slice, drop the two env lines and build the mesh from
 jax.devices() — the program is identical; XLA inserts the collectives
 (one nearest-neighbor ppermute halo exchange for the input overlap and
 one for the overlap-add spill) over ICI.
+
+The same path is one flag at the CLI: `upmix-tpu in.wav --mesh seq=8`
+(or `data=2,seq=4`); serving shards with `--serve-stream ...
+--pool-mesh data=D`.
 """
 
 import os

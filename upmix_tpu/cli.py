@@ -802,6 +802,7 @@ def main(argv=None) -> int:
             subtype=args.subtype,
             kernel=args.kernel,
             pad_granularity=serve_pad,
+            chunk=args.chunk,
         )
         # Exit status for supervisors: 0 when the stream was healthy
         # (no jobs, or at least one success); 1 when jobs came in and
