@@ -315,6 +315,18 @@ def test_fuzz_checkpoint_restart_resume_random_split(seed, tmp_path):
     def pool_factory():
         return BatchStreamingUpmixer(_cfg(), HW, n_streams=4)
 
+    def mesh_pool_factory():
+        import jax
+
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("data",))
+        return BatchStreamingUpmixer(_cfg(), HW, n_streams=4, mesh=mesh)
+
+    # Randomly restore across mesh topologies: the checkpoint codec is
+    # topology-free, so a plain-pool checkpoint must resume exactly on
+    # a mesh-sharded replacement server and vice versa.
+    src_factory = mesh_pool_factory if rng.random() < 0.25 else pool_factory
+    dst_factory = mesh_pool_factory if rng.random() < 0.25 else pool_factory
+
     Lx, Rx = make_stereo(n_blocks * HW, SR, seed=seed)
     Ly, Ry = make_stereo(n_blocks * HW, SR, seed=seed + 7919)
     Lx, Rx, Ly, Ry = (a.astype(np.float32) for a in (Lx, Rx, Ly, Ry))
@@ -324,7 +336,7 @@ def test_fuzz_checkpoint_restart_resume_random_split(seed, tmp_path):
         ref_y = stream_client(*ref_srv.address, Ly, Ry)
 
     path = str(tmp_path / "sessions.npz")
-    srv_a = StreamServer(pool_factory(), lockstep=True).start()
+    srv_a = StreamServer(src_factory(), lockstep=True).start()
     sx = StreamSession(*srv_a.address, mix=mix_x)
     sy = StreamSession(*srv_a.address)
     for b in range(cut):
@@ -342,7 +354,7 @@ def test_fuzz_checkpoint_restart_resume_random_split(seed, tmp_path):
     sx.close(), sy.close()
     srv_a.close()
 
-    srv_b = StreamServer(pool_factory(), lockstep=True,
+    srv_b = StreamServer(dst_factory(), lockstep=True,
                          checkpoint=path).start()
     try:
         sx2 = StreamSession(*srv_b.address, token=sx.token, mix=mix_x)
