@@ -316,30 +316,39 @@ def test_cli_mesh_offline_parity(tmp_path, capsys):
 
 
 def test_cli_mesh_dp_sp_batch(tmp_path, capsys):
-    # data+seq axes together, over a 2-file batch (the sharded upmixer is
-    # cached and reused across the batch).
+    # data+seq axes over a multi-file batch: the whole input list rides
+    # the data axis in ONE sharded call (run_offline_batch), ragged
+    # lengths zero-padded and trimmed per file.  Each file's output
+    # must match its solo unsharded run.
+    from helpers import snr_db
+
     a = _input(tmp_path, "a.wav", n=4000)
-    b = _input(tmp_path, "b.wav", n=4000)
+    b = _input(tmp_path, "b.wav", n=2900)  # ragged: pads to a's length
+    c = _input(tmp_path, "c.wav", n=3500)  # odd batch: pads to data=2
+    common = ["--band-edges", "0,400,1600", "--max-block-size", "512"]
+    solo = {}
+    for p in (a, b, c):
+        assert main([str(p), "--out-dir", str(tmp_path / "solo"), *common]) == 0
+        solo[p] = read_wav(capsys.readouterr().out.strip().splitlines()[-1])[0]
     rc = main(
         [
-            str(a),
-            str(b),
-            "--out-dir",
-            str(tmp_path / "out"),
-            "--mesh",
-            "data=2,seq=2",
-            "--band-edges",
-            "0,400,1600",
-            "--max-block-size",
-            "512",
+            str(a), str(b), str(c),
+            "--out-dir", str(tmp_path / "out"),
+            "--mesh", "data=2,seq=2",
+            "--meter",
+            *common,
         ]
     )
     assert rc == 0
     printed = capsys.readouterr().out.strip().splitlines()
-    assert len(printed) == 2
-    for p in printed:
-        y, sr = read_wav(p)
-        assert y.shape == (4000, 2) and sr == 8000
+    assert printed[0].startswith("[batch x3]")
+    assert len(printed) == 4
+    for p, line in zip((a, b, c), printed[1:]):
+        y, sr = read_wav(line)
+        ref = solo[p]
+        assert sr == 8000 and y.shape == ref.shape
+        for ch in range(2):
+            assert snr_db(ref[:, ch], y[:, ch]) > 60.0
 
 
 def test_cli_mesh_validation(tmp_path):
@@ -381,3 +390,26 @@ def test_cli_chunk_override(tmp_path, capsys):
             assert snr_db(outs["default"][:, ch], outs[name][:, ch]) > 60.0
     with pytest.raises(SystemExit, match="chunk"):
         main([str(path), "--chunk", "-1"])
+
+
+def test_cli_mesh_batch_mixed_sample_rates(tmp_path, capsys):
+    # run_offline_batch groups by sample rate: one config + sharded call
+    # per rate, results still in input order.
+    a = _input(tmp_path, "a8k.wav", n=3000, sr=8000)
+    b = _input(tmp_path, "b16k.wav", n=5000, sr=16000)
+    rc = main(
+        [
+            str(a), str(b),
+            "--out-dir", str(tmp_path / "out"),
+            "--mesh", "data=2",
+            "--band-edges", "0,400,1600",
+            "--max-block-size", "512",
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert len(printed) == 2
+    ya, sra = read_wav(printed[0])
+    yb, srb = read_wav(printed[1])
+    assert (sra, len(ya)) == (8000, 3000)
+    assert (srb, len(yb)) == (16000, 5000)

@@ -332,3 +332,24 @@ def test_production_geometry_dp_sp_mm_kernel():
         for ch in range(3):
             s = snr_db(ref[ch], y[b, ch])
             assert s > 60.0, f"batch {b} ch {ch}: {s:.1f} dB"
+
+
+def test_data_only_mesh_pure_dp():
+    # A mesh with no 'seq' axis is pure data parallelism: one sequence
+    # shard, no halo collectives (found via the CLI batch path: the
+    # builder used to KeyError on mesh.shape['seq']).
+    cfg = _cfg()
+    mesh = make_mesh({"data": 2})
+    su = ShardedUpmixer(cfg, mesh)
+    L0, R0 = make_stereo(5000, cfg.sr, seed=3)
+    L1, R1 = make_stereo(5000, cfg.sr, seed=4)
+    x = np.stack([
+        np.stack([L0, R0]).astype(np.float32),
+        np.stack([L1, R1]).astype(np.float32),
+    ])
+    y = np.asarray(su.process_batch(x))
+    assert y.shape == (2, 3, 5000)
+    for i, (L, R) in enumerate(((L0, R0), (L1, R1))):
+        ref = oracle_multiband(L.astype(np.float32), R.astype(np.float32), cfg)
+        for ch, r in enumerate(ref):
+            assert snr_db(r, y[i, ch]) > 60.0

@@ -439,6 +439,85 @@ def run_offline(
     return result
 
 
+def run_offline_batch(
+    paths,
+    mesh,
+    out_dir="out",
+    export_mode: str = "stereo_sum",
+    band_edges=(0, 30, 120, 480, 1920, 7680),
+    overlap: float = 0.75,
+    window: str = "blackman_harris",
+    xover_mode: str = "raised_cosine",
+    max_block_size: int = 2**16,
+    threshold_factor: float = 32.0,
+    synthesis: str = "wola",
+    bin_rounding: str = "python",
+    subtype: str = "FLOAT",
+    kernel: str = "auto",
+    verbose: bool = False,
+) -> "list[ExportResult]":
+    """Data-parallel batched offline pipeline over a mesh.
+
+    Files are grouped by sample rate (one config + compiled program per
+    rate), zero-padded to the group's max length, stacked [batch, 2, n]
+    and processed in ONE mesh-sharded call: the batch rides the mesh's
+    'data' axis, the sample axis its 'seq' axis (parallel/sharded.py).
+    Per-file scaling/export semantics are identical to run_offline —
+    trailing zero-padding is prefix-invariant for this pipeline (the
+    same property Upmixer's pad_granularity relies on), so each file's
+    trimmed output matches its solo run.  Returns ExportResults in
+    input order.
+    """
+    from upmix_tpu.parallel import ShardedUpmixer
+
+    if export_mode not in EXPORT_MODES:
+        raise ValueError(f"unknown export_mode {export_mode!r}; one of {EXPORT_MODES}")
+    loaded = []
+    for i, p in enumerate(paths):
+        L, R, sr, peak_in = load_stereo(p)
+        loaded.append((i, p, L.astype(np.float32), R.astype(np.float32),
+                       int(sr), peak_in))
+    results: list = [None] * len(loaded)
+    by_sr: dict = {}
+    for rec in loaded:
+        by_sr.setdefault(rec[4], []).append(rec)
+    for sr, group in sorted(by_sr.items()):
+        config = UpmixConfig.make(
+            list(band_edges),
+            sr=float(sr),
+            overlap=overlap,
+            window=window,
+            xover_mode=xover_mode,
+            max_block_size=max_block_size,
+            threshold_factor=threshold_factor,
+            synthesis=synthesis,
+            bin_rounding=bin_rounding,
+            verbose=verbose,
+        )
+        su = ShardedUpmixer(config, mesh, kernel=kernel)
+        n_max = max(len(r[2]) for r in group)
+        x = np.zeros((len(group), 2, n_max), np.float32)
+        for j, (_, _, L, R, _, _) in enumerate(group):
+            x[j, 0, : len(L)] = L
+            x[j, 1, : len(R)] = R
+        y = np.asarray(su.process_batch(x))
+        for j, (i, p, L, R, sr_, peak_in) in enumerate(group):
+            n = len(L)
+            C, Ls, Rs, scale = scale_lcr(
+                y[j, 0, :n], y[j, 1, :n], y[j, 2, :n], peak_in
+            )
+            base = os.path.splitext(os.path.basename(str(p)))[0]
+            res = export_lcr(
+                out_dir, base, export_mode, C, Ls, Rs, L, R, sr_, config,
+                subtype,
+            )
+            res.scale_factor = scale
+            res.n_samples = n
+            res.sr = sr_
+            results[i] = res
+    return results
+
+
 def run_jobs(src, dst, out_dir: str = "out", export_mode: str = "stereo_sum",
              **offline_kwargs) -> "tuple[int, int]":
     """Line-delimited JSON job server: the persistent-process serving mode.

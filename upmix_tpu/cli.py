@@ -128,10 +128,11 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="SPEC",
         help="run the offline pipeline mesh-sharded over the available "
         "devices: 'seq=N' splits the sample axis across N chips with "
-        "halo exchange (long files), 'data=D,seq=N' adds file-batch "
-        "data parallelism (library API; the CLI processes files one at "
-        "a time).  The axis product must not exceed "
-        "len(jax.devices()).  Offline mode only",
+        "halo exchange (long files); 'data=D,seq=N' adds file-batch "
+        "data parallelism — with multiple input files the whole batch "
+        "rides the data axis in one sharded call per sample rate.  The "
+        "axis product must not exceed len(jax.devices()).  Offline "
+        "mode only",
     )
     p.add_argument(
         "--pad-granularity",
@@ -882,6 +883,46 @@ def main(argv=None) -> int:
     # (with --pad-granularity, files of similar length share programs too).
     upmixer_cache = {}
     mesh = build_mesh(args.mesh) if args.mesh is not None else None
+    if (
+        mesh is not None
+        and "data" in mesh.shape
+        and len(args.inputs) > 1
+    ):
+        # The data axis is only useful if the files actually ride it:
+        # batch the whole input list through ONE mesh-sharded call per
+        # sample rate instead of padding each file's batch of 1 up to D.
+        from upmix_tpu.app import run_offline_batch
+
+        t0 = time.perf_counter()
+        results = run_offline_batch(
+            args.inputs,
+            mesh,
+            out_dir=args.out_dir,
+            export_mode=args.export_mode,
+            band_edges=edges,
+            overlap=args.overlap,
+            window=args.window,
+            xover_mode=args.xover_mode,
+            max_block_size=args.max_block_size,
+            threshold_factor=args.threshold_factor,
+            synthesis=args.synthesis or "wola",
+            bin_rounding=args.bin_rounding or "python",
+            subtype=args.subtype,
+            kernel=args.kernel,
+            verbose=args.verbose,
+        )
+        if args.meter:
+            wall = time.perf_counter() - t0
+            audio = sum(r.audio_seconds for r in results)
+            if wall > 0 and audio > 0:
+                print(
+                    f"[batch x{len(results)}] {audio:.2f} audio-sec in "
+                    f"{wall:.2f} s -> {audio / wall:.1f}x realtime"
+                )
+        for result in results:
+            for out in result.paths:
+                print(out)
+        return 0
     for path in args.inputs:
         t0 = time.perf_counter()
         result = run_offline(

@@ -184,10 +184,15 @@ def _local_lcr(
     """
     # Input halo: receive the first `halo` samples of the right neighbor.
     # (Each device sends its head to its left neighbor; the last device
-    # receives zeros — its halo lies in the zero padding.)
+    # receives zeros — its halo lies in the zero padding.)  seq_axis is
+    # None on a data-only mesh (pure DP, one sequence shard): the halo
+    # is all zero padding and there is no axis to ppermute over.
     head = x_loc[..., :halo]
-    perm = [(d, d - 1) for d in range(1, axis_size)]
-    halo_in = jax.lax.ppermute(head, seq_axis, perm)
+    if seq_axis is None:
+        halo_in = jnp.zeros_like(head)
+    else:
+        perm = [(d, d - 1) for d in range(1, axis_size)]
+        halo_in = jax.lax.ppermute(head, seq_axis, perm)
     x_ext = jnp.concatenate([x_loc, halo_in], axis=-1)  # [..., 2, chunk+halo]
 
     if kern == "mm":
@@ -267,8 +272,11 @@ def _local_lcr(
     # Output halo: our fold's tail [chunk:] overlaps the right neighbor's
     # head — send it right and add the tail received from the left.
     tail = y_total[..., chunk:]
-    perm = [(d, d + 1) for d in range(axis_size - 1)]
-    spill = jax.lax.ppermute(tail, seq_axis, perm)
+    if seq_axis is None:
+        spill = jnp.zeros_like(tail)
+    else:
+        perm = [(d, d + 1) for d in range(axis_size - 1)]
+        spill = jax.lax.ppermute(tail, seq_axis, perm)
     y = y_total[..., :chunk]
     return y.at[..., :halo].add(spill)
 
@@ -286,9 +294,13 @@ def build_sharded_offline_fn(
 
     Returns (fn, plan): fn maps x [batch, 2, n_padded] -> y [batch, 3,
     n_padded] with batch sharded over `data_axis` (if present in the mesh)
-    and samples sharded over `seq_axis`.  Use `plan` to pad/trim.
+    and samples sharded over `seq_axis`.  A mesh without `seq_axis` is
+    pure data parallelism (one sequence shard, no halo collectives).
+    Use `plan` to pad/trim.
     """
-    n_seq = mesh.shape[seq_axis]
+    if seq_axis is not None and seq_axis not in mesh.shape:
+        seq_axis = None
+    n_seq = mesh.shape[seq_axis] if seq_axis is not None else 1
     plan = sequence_plan(config, n_samples, n_seq)
     plans = _plan_buckets(config, plan.chunk)
     kern = resolve_kernel(kernel)
@@ -397,7 +409,12 @@ class ShardedUpmixer:
             if batch_padded != batch:
                 x = jnp.pad(x, ((0, batch_padded - batch), (0, 0), (0, 0)))
         sharding = NamedSharding(
-            self.mesh, P("data" if use_data else None, None, "seq")
+            self.mesh,
+            P(
+                "data" if use_data else None,
+                None,
+                "seq" if "seq" in self.mesh.shape else None,
+            ),
         )
         x = jax.device_put(x, sharding)
         y = fn(x)
