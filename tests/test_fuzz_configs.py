@@ -287,3 +287,52 @@ def test_fuzz_native(seed):
         assert np.all(np.isfinite(np.asarray(g))), f"{ctx} {name}: non-finite"
         s = snr_db(r, g)
         assert s > 60.0, f"native {ctx} {name}: SNR {s:.1f} dB"
+
+
+N_BATCH_MESH = 4
+
+
+@pytest.mark.parametrize(
+    "seed", range(BASE_SEED + 6000, BASE_SEED + 6000 + N_BATCH_MESH)
+)
+def test_fuzz_offline_batch_mesh(seed, tmp_path):
+    # Random configs through the batched data-parallel path the CLI's
+    # multi-file --mesh uses (app.run_offline_batch): ragged files
+    # zero-padded to the batch max, stacked over a data=2,seq=4 mesh,
+    # trimmed per file — every file's export must match its SOLO
+    # unsharded run (same scaling semantics on both sides).
+    from upmix_tpu.app import run_offline, run_offline_batch
+    from upmix_tpu.io import read_wav, write_wav
+    from upmix_tpu.parallel import make_mesh
+
+    params = _draw(seed)
+    cfg = _build_or_reject(params)
+    if cfg is None:
+        return
+    rng = np.random.default_rng(seed)
+    paths = []
+    for i in range(int(rng.integers(2, 4))):
+        n = (int(rng.integers(2, 5)) * params["max_block_size"]
+             + int(rng.integers(0, 997)))
+        L, R = make_stereo(n, cfg.sr, seed=seed * 10 + i, kind="mix")
+        p = tmp_path / f"f{i}.wav"
+        write_wav(p, np.column_stack([L, R]).astype(np.float32) * 0.5,
+                  int(cfg.sr))
+        paths.append(p)
+    kw = dict(params)
+    kw.pop("sr")
+    try:
+        results = run_offline_batch(
+            paths, make_mesh({"data": 2, "seq": 4}),
+            out_dir=str(tmp_path / "batch"), **kw,
+        )
+    except ValueError:
+        return  # clean geometry rejection (same contract as ShardedUpmixer)
+    for p, res in zip(paths, results):
+        solo = run_offline(p, out_dir=str(tmp_path / "solo"), **kw)
+        ref, _sr = read_wav(solo.paths[0])
+        got, _sr2 = read_wav(res.paths[0])
+        assert got.shape == ref.shape, f"seed={seed} {p}"
+        for ch in range(ref.shape[1]):
+            s = snr_db(ref[:, ch], got[:, ch])
+            assert s > 60.0, f"batch seed={seed} {p} ch{ch}: {s:.1f} dB"
