@@ -413,3 +413,16 @@ def test_cli_mesh_batch_mixed_sample_rates(tmp_path, capsys):
     yb, srb = read_wav(printed[1])
     assert (sra, len(ya)) == (8000, 3000)
     assert (srb, len(yb)) == (16000, 5000)
+
+
+def test_cli_serve_stream_config_errors_are_clean(tmp_path):
+    # Pool-construction ValueErrors (mesh divisibility, pool
+    # eligibility) must exit as clean CLI errors, not tracebacks.
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    with pytest.raises(SystemExit, match="divide evenly"):
+        main(["-", "--serve-stream", "0", "--sr", "8000", "--streams", "3",
+              "--pool-mesh", "data=2", "--band-edges", "0,400,1600",
+              "--hw-block", "256"])

@@ -730,30 +730,35 @@ def main(argv=None) -> int:
             pool_mesh = build_mesh(
                 args.pool_mesh, allowed=("data",), flag="--pool-mesh"
             )
-        server = run_stream_server(
-            args.serve_stream,
-            sr=args.sr,
-            n_streams=args.streams,
-            hw_block_size=args.hw_block,
-            band_edges=edges,
-            host=args.serve_host,
-            lockstep=args.lockstep,
-            window=args.window,
-            xover_mode=args.xover_mode,
-            threshold_factor=args.threshold_factor,
-            synthesis=args.synthesis or "analysis",
-            bin_rounding=args.bin_rounding or "cpp",
-            engine=args.pool_engine,
-            ola=args.pool_ola,
-            group=args.pool_group,
-            mesh=pool_mesh,
-            snapshot_path=args.snapshot_path,
-            snapshot_every=args.snapshot_every,
-            metrics_http_port=args.metrics_http,
-            hops=args.serve_hops,
-            pipeline=args.serve_pipeline,
-            resume_ttl=args.resume_ttl,
-        )
+        try:
+            server = run_stream_server(
+                args.serve_stream,
+                sr=args.sr,
+                n_streams=args.streams,
+                hw_block_size=args.hw_block,
+                band_edges=edges,
+                host=args.serve_host,
+                lockstep=args.lockstep,
+                window=args.window,
+                xover_mode=args.xover_mode,
+                threshold_factor=args.threshold_factor,
+                synthesis=args.synthesis or "analysis",
+                bin_rounding=args.bin_rounding or "cpp",
+                engine=args.pool_engine,
+                ola=args.pool_ola,
+                group=args.pool_group,
+                mesh=pool_mesh,
+                snapshot_path=args.snapshot_path,
+                snapshot_every=args.snapshot_every,
+                metrics_http_port=args.metrics_http,
+                hops=args.serve_hops,
+                pipeline=args.serve_pipeline,
+                resume_ttl=args.resume_ttl,
+            )
+        except ValueError as e:
+            # Config-shape problems (pool eligibility, mesh divisibility,
+            # band validation) are user errors, not tracebacks.
+            raise SystemExit(f"error: {e}")
         try:
             import signal as _signal
             import threading as _threading
