@@ -369,11 +369,15 @@ def test_cli_mesh_validation(tmp_path):
 
 def test_cli_chunk_override(tmp_path, capsys):
     # --chunk forces the scan chunk size (0 = whole-file program); both
-    # must produce the same audio as the default.
+    # must produce the same audio as the default.  --kernel mm so the
+    # scan kernel (the only chunked path) actually runs on the CPU
+    # backend — under the default auto->xla resolution the flag would
+    # be inert and this test would pass vacuously (review finding).
     from helpers import snr_db
 
     path = _input(tmp_path, n=5000)
-    common = ["--band-edges", "0,400,1600", "--max-block-size", "512"]
+    common = ["--band-edges", "0,400,1600", "--max-block-size", "512",
+              "--kernel", "mm"]
     outs = {}
     for name, extra in (
         ("default", []),
@@ -390,6 +394,8 @@ def test_cli_chunk_override(tmp_path, capsys):
             assert snr_db(outs["default"][:, ch], outs[name][:, ch]) > 60.0
     with pytest.raises(SystemExit, match="chunk"):
         main([str(path), "--chunk", "-1"])
+    with pytest.raises(SystemExit, match="chunk"):
+        main([str(path), "--chunk", "2048", "--mesh", "seq=2"])
 
 
 def test_cli_mesh_batch_mixed_sample_rates(tmp_path, capsys):

@@ -353,3 +353,20 @@ def test_data_only_mesh_pure_dp():
         ref = oracle_multiband(L.astype(np.float32), R.astype(np.float32), cfg)
         for ch, r in enumerate(ref):
             assert snr_db(r, y[i, ch]) > 60.0
+
+
+def test_data_only_mesh_arbitrary_overlap():
+    # A data-only mesh has no sequence shards, so the frame-grid LCM /
+    # padding-blowup restrictions must not apply: overlap 0.65 (rejected
+    # or wildly padded by the seq machinery for short inputs) runs fine
+    # through the pure-DP vmapped pipeline (review finding).
+    cfg = UpmixConfig.make([0.0, 400.0, 1600.0], sr=8000.0,
+                           max_block_size=512, overlap=0.65)
+    mesh = make_mesh({"data": 2})
+    su = ShardedUpmixer(cfg, mesh)
+    L, R = make_stereo(5000, cfg.sr, seed=9)
+    L32, R32 = L.astype(np.float32), R.astype(np.float32)
+    got = su.process(L32, R32)
+    ref = oracle_multiband(L32, R32, cfg)
+    for r, g in zip(ref, got):
+        assert snr_db(r, np.asarray(g)) > 60.0

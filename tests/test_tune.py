@@ -309,8 +309,8 @@ def test_tune_offline_sweep():
 
     report = tune_offline(
         sr=8000.0, band_edges=(0.0, 400.0, 1600.0), max_block_size=512,
-        n_samples=4096, chunks=(2048, 4096, 0), inner=2, visits=2,
-        verbose=False,
+        n_samples=4096, chunks=(2048, 4096, 0), kernel="mm", inner=2,
+        visits=2, verbose=False,
     )
     ok = [r for r in report["results"] if r["ok"]]
     assert len(ok) == 3  # all feasible at this tiny geometry
@@ -332,10 +332,11 @@ def test_tune_offline_chunk_rounds_to_frame_grid():
     # (models/offline.py), not rejected: still a feasible candidate.
     report = tune_offline(
         sr=8000.0, band_edges=(0.0, 400.0, 1600.0), max_block_size=512,
-        n_samples=4096, chunks=(7, 4096), inner=1, visits=1,
+        n_samples=4096, chunks=(7, 4096), kernel="mm", inner=1, visits=1,
         verbose=False,
     )
     assert all(r["ok"] for r in report["results"])
+    assert report["protocol"]["chunk_active"]
 
 
 def test_tune_offline_records_infeasible():
@@ -366,3 +367,39 @@ def test_tune_offline_cli_json(capsys):
 
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["best"]["ok"]
+
+
+def test_tune_offline_inactive_chunking_dedupes():
+    # kernel=xla has no chunked scan: every candidate is the identical
+    # whole-file program, so only one builds and the rest are recorded
+    # as duplicates (review finding: ranking noise between copies of one
+    # program is not a sweep).
+    from upmix_tpu.tune import tune_offline
+
+    report = tune_offline(
+        sr=8000.0, band_edges=(0.0, 400.0, 1600.0), max_block_size=512,
+        n_samples=4096, chunks=(2048, 4096), kernel="xla", inner=1,
+        visits=1, verbose=False,
+    )
+    ok = [r for r in report["results"] if r["ok"]]
+    dup = [r for r in report["results"]
+           if r.get("error") and "identical program" in r["error"]]
+    assert len(ok) == 1 and len(dup) == 1
+    assert report["protocol"]["chunk_active"] is False
+
+
+def test_tune_offline_clamped_chunks_deduped():
+    # Chunks >= the input length all clamp to "whole input, one scan
+    # step": only the first is distinct, later ones are duplicates.
+    from upmix_tpu.tune import tune_offline
+
+    report = tune_offline(
+        sr=8000.0, band_edges=(0.0, 400.0, 1600.0), max_block_size=512,
+        n_samples=4096, chunks=(2048, 4096, 8192), kernel="mm", inner=1,
+        visits=1, verbose=False,
+    )
+    ok = [r for r in report["results"] if r["ok"]]
+    dup = [r for r in report["results"]
+           if r.get("error") and "duplicate" in r["error"]]
+    assert len(ok) == 2  # 2048 (2-step scan) + 4096 (clamped whole)
+    assert len(dup) == 1 and dup[0]["chunk"] == 8192

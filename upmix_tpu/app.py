@@ -459,9 +459,11 @@ def run_offline_batch(
     """Data-parallel batched offline pipeline over a mesh.
 
     Files are grouped by sample rate (one config + compiled program per
-    rate), zero-padded to the group's max length, stacked [batch, 2, n]
-    and processed in ONE mesh-sharded call: the batch rides the mesh's
-    'data' axis, the sample axis its 'seq' axis (parallel/sharded.py).
+    rate) and processed in length-sorted sub-batches — each stacked
+    [batch, 2, n_max] float32 input stays under ~256 MB with at most a
+    2x pad between the shortest and longest member — one mesh-sharded
+    call per sub-batch: the batch rides the mesh's 'data' axis, the
+    sample axis its 'seq' axis (parallel/sharded.py).
     Per-file scaling/export semantics are identical to run_offline —
     trailing zero-padding is prefix-invariant for this pipeline (the
     same property Upmixer's pad_granularity relies on), so each file's
@@ -474,13 +476,20 @@ def run_offline_batch(
         raise ValueError(f"unknown export_mode {export_mode!r}; one of {EXPORT_MODES}")
     loaded = []
     for i, p in enumerate(paths):
+        # Keep the float64 originals: export_lcr's AB mode references the
+        # unprocessed signal, which run_offline passes at full precision.
         L, R, sr, peak_in = load_stereo(p)
-        loaded.append((i, p, L.astype(np.float32), R.astype(np.float32),
-                       int(sr), peak_in))
+        loaded.append((i, p, L, R, int(sr), peak_in))
     results: list = [None] * len(loaded)
     by_sr: dict = {}
     for rec in loaded:
         by_sr.setdefault(rec[4], []).append(rec)
+    # Bound the stacked-batch memory and padding waste: each sharded call
+    # takes a length-sorted sub-batch whose stacked f32 input stays under
+    # the budget and whose longest file is at most 2x its shortest (so a
+    # stray hour-long file cannot pad fifty 3-minute files up to its
+    # length — review finding).
+    budget_bytes = 1 << 28  # 256 MB of stacked [B, 2, n] float32 input
     for sr, group in sorted(by_sr.items()):
         config = UpmixConfig.make(
             list(band_edges),
@@ -495,26 +504,41 @@ def run_offline_batch(
             verbose=verbose,
         )
         su = ShardedUpmixer(config, mesh, kernel=kernel)
-        n_max = max(len(r[2]) for r in group)
-        x = np.zeros((len(group), 2, n_max), np.float32)
-        for j, (_, _, L, R, _, _) in enumerate(group):
-            x[j, 0, : len(L)] = L
-            x[j, 1, : len(R)] = R
-        y = np.asarray(su.process_batch(x))
-        for j, (i, p, L, R, sr_, peak_in) in enumerate(group):
-            n = len(L)
-            C, Ls, Rs, scale = scale_lcr(
-                y[j, 0, :n], y[j, 1, :n], y[j, 2, :n], peak_in
-            )
-            base = os.path.splitext(os.path.basename(str(p)))[0]
-            res = export_lcr(
-                out_dir, base, export_mode, C, Ls, Rs, L, R, sr_, config,
-                subtype,
-            )
-            res.scale_factor = scale
-            res.n_samples = n
-            res.sr = sr_
-            results[i] = res
+
+        def flush(sub):
+            n_max = max(len(r[2]) for r in sub)
+            x = np.zeros((len(sub), 2, n_max), np.float32)
+            for j, (_, _, L, R, _, _) in enumerate(sub):
+                x[j, 0, : len(L)] = L
+                x[j, 1, : len(R)] = R
+            y = np.asarray(su.process_batch(x))
+            for j, (i, p, L, R, sr_, peak_in) in enumerate(sub):
+                n = len(L)
+                C, Ls, Rs, scale = scale_lcr(
+                    y[j, 0, :n], y[j, 1, :n], y[j, 2, :n], peak_in
+                )
+                base = os.path.splitext(os.path.basename(str(p)))[0]
+                res = export_lcr(
+                    out_dir, base, export_mode, C, Ls, Rs, L, R, sr_,
+                    config, subtype,
+                )
+                res.scale_factor = scale
+                res.n_samples = n
+                res.sr = sr_
+                results[i] = res
+
+        sub: list = []
+        for rec in sorted(group, key=lambda r: len(r[2])):
+            n = len(rec[2])
+            if sub and (
+                (len(sub) + 1) * 2 * n * 4 > budget_bytes
+                or n > 2 * len(sub[0][2])
+            ):
+                flush(sub)
+                sub = []
+            sub.append(rec)
+        if sub:
+            flush(sub)
     return results
 
 

@@ -119,8 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         help="offline scan chunk size in samples (default: the v5e-tuned "
-        "2097152; 0 = one whole-file program).  Derive for new hardware "
-        "with `python -m upmix_tpu.tune --offline`",
+        "2097152; 0 = one whole-file program).  Applies to the 'mm' scan "
+        "kernel (the accelerator default) — --kernel xla and "
+        "non-power-of-two band geometries run whole-file regardless.  "
+        "Derive for new hardware with `python -m upmix_tpu.tune "
+        "--offline`",
     )
     p.add_argument(
         "--mesh",
@@ -521,6 +524,11 @@ def main(argv=None) -> int:
         raise SystemExit("error: --pool-mesh requires --serve-stream")
     if args.chunk is not None and args.chunk < 0:
         raise SystemExit("error: --chunk must be >= 0 (0 = whole-file)")
+    if args.chunk is not None and args.mesh is not None:
+        raise SystemExit(
+            "error: --chunk does not apply to --mesh runs (the sharded "
+            "pipeline manages its own chunking)"
+        )
     if args.pad_granularity is not None and args.pad_granularity < 1:
         raise SystemExit("error: --pad-granularity must be >= 1")
 
@@ -899,23 +907,29 @@ def main(argv=None) -> int:
         from upmix_tpu.app import run_offline_batch
 
         t0 = time.perf_counter()
-        results = run_offline_batch(
-            args.inputs,
-            mesh,
-            out_dir=args.out_dir,
-            export_mode=args.export_mode,
-            band_edges=edges,
-            overlap=args.overlap,
-            window=args.window,
-            xover_mode=args.xover_mode,
-            max_block_size=args.max_block_size,
-            threshold_factor=args.threshold_factor,
-            synthesis=args.synthesis or "wola",
-            bin_rounding=args.bin_rounding or "python",
-            subtype=args.subtype,
-            kernel=args.kernel,
-            verbose=args.verbose,
-        )
+        try:
+            results = run_offline_batch(
+                args.inputs,
+                mesh,
+                out_dir=args.out_dir,
+                export_mode=args.export_mode,
+                band_edges=edges,
+                overlap=args.overlap,
+                window=args.window,
+                xover_mode=args.xover_mode,
+                max_block_size=args.max_block_size,
+                threshold_factor=args.threshold_factor,
+                synthesis=args.synthesis or "wola",
+                bin_rounding=args.bin_rounding or "python",
+                subtype=args.subtype,
+                kernel=args.kernel,
+                verbose=args.verbose,
+            )
+        except ValueError as e:
+            # Sharded-geometry rejections (frame-grid LCM, padding
+            # blowup) are user config errors, not tracebacks — same
+            # treatment as the serve path.
+            raise SystemExit(f"error: {e}")
         if args.meter:
             wall = time.perf_counter() - t0
             audio = sum(r.audio_seconds for r in results)
@@ -930,26 +944,32 @@ def main(argv=None) -> int:
         return 0
     for path in args.inputs:
         t0 = time.perf_counter()
-        result = run_offline(
-            path,
-            out_dir=args.out_dir,
-            export_mode=args.export_mode,
-            band_edges=edges,
-            overlap=args.overlap,
-            window=args.window,
-            xover_mode=args.xover_mode,
-            max_block_size=args.max_block_size,
-            threshold_factor=args.threshold_factor,
-            synthesis=args.synthesis or "wola",
-            bin_rounding=args.bin_rounding or "python",
-            subtype=args.subtype,
-            kernel=args.kernel,
-            pad_granularity=args.pad_granularity if args.pad_granularity is not None else 1,
-            upmixer_cache=upmixer_cache,
-            mesh=mesh,
-            chunk=args.chunk,
-            verbose=args.verbose,
-        )
+        try:
+            result = run_offline(
+                path,
+                out_dir=args.out_dir,
+                export_mode=args.export_mode,
+                band_edges=edges,
+                overlap=args.overlap,
+                window=args.window,
+                xover_mode=args.xover_mode,
+                max_block_size=args.max_block_size,
+                threshold_factor=args.threshold_factor,
+                synthesis=args.synthesis or "wola",
+                bin_rounding=args.bin_rounding or "python",
+                subtype=args.subtype,
+                kernel=args.kernel,
+                pad_granularity=args.pad_granularity if args.pad_granularity is not None else 1,
+                upmixer_cache=upmixer_cache,
+                mesh=mesh,
+                chunk=args.chunk,
+                verbose=args.verbose,
+            )
+        except ValueError as e:
+            if mesh is None:
+                raise  # plain-run behavior unchanged
+            # Sharded-geometry rejections are user config errors.
+            raise SystemExit(f"error: {e}")
         _report(args, result, path, t0)
         for out in result.paths:
             print(out)

@@ -300,7 +300,34 @@ def build_sharded_offline_fn(
     """
     if seq_axis is not None and seq_axis not in mesh.shape:
         seq_axis = None
-    n_seq = mesh.shape[seq_axis] if seq_axis is not None else 1
+    if seq_axis is None:
+        # Pure data parallelism: no shard boundaries in the sample axis,
+        # so none of the sequence machinery's frame-grid constraints
+        # (LCM chunk units, halo exchange, padding-blowup guards) apply —
+        # vmap the full single-chip pipeline (which handles arbitrary
+        # geometry, non-divisible overlaps included) and shard only the
+        # batch axis.  use_pallas is governed by the pipeline's own
+        # backend gates here.
+        from upmix_tpu.models.offline import build_offline_fn
+
+        base = build_offline_fn(config, n_samples, kernel=kernel)
+        spec = P(
+            data_axis if (data_axis is not None and data_axis in mesh.shape)
+            else None,
+            None,
+            None,
+        )
+        fn = jax.jit(
+            jax.vmap(lambda x: jnp.stack(base(x[0], x[1]))),
+            in_shardings=NamedSharding(mesh, spec),
+            out_shardings=NamedSharding(mesh, spec),
+        )
+        plan = SequencePlan(
+            n_samples=n_samples, n_devices=1, chunk=n_samples, halo=0,
+            n_padded=n_samples,
+        )
+        return fn, plan
+    n_seq = mesh.shape[seq_axis]
     plan = sequence_plan(config, n_samples, n_seq)
     plans = _plan_buckets(config, plan.chunk)
     kern = resolve_kernel(kernel)
@@ -379,9 +406,11 @@ class ShardedUpmixer:
         # Fail n-independent geometry problems (pathological frame-grid
         # LCM) at construction, not first process(); the n-dependent
         # padding-blowup check still runs per call in sequence_plan.
-        n_seq = self.mesh.shape.get("seq", 1)
-        sequence_plan(config, 1 << 30, max(n_seq, 1))  # huge n: only the
-        # n-independent LCM guard can fire here
+        # A data-only mesh has no sequence shards, hence no frame-grid
+        # constraints at all (pure-DP branch in build_sharded_offline_fn).
+        if "seq" in self.mesh.shape:
+            sequence_plan(config, 1 << 30, self.mesh.shape["seq"])
+            # huge n: only the n-independent LCM guard can fire here
 
     def _compiled(self, n_padded: int):
         key = n_padded

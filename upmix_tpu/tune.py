@@ -508,6 +508,30 @@ def tune_offline(
     if inner < 1 or visits < 1:
         raise ValueError("inner and visits must be >= 1")
 
+    # Chunking only exists on the 'mm' scan kernel with pow2/divisible
+    # band geometry (build_offline_fn's gates).  When inactive, every
+    # chunk candidate builds the IDENTICAL whole-file program — ranking
+    # noise between copies of one program is not a sweep, so build one
+    # candidate and record the rest as duplicates (no silent caps).
+    from upmix_tpu.models.offline import resolve_kernel
+
+    try:
+        kern = resolve_kernel(kernel)
+    except ValueError:
+        kern = None  # unknown kernel: every candidate records the error
+    chunk_active = (
+        kern == "mm"
+        and all(b.block_size % b.hop_size == 0 for b in config.bands)
+        and all(b.block_size & (b.block_size - 1) == 0 for b in config.bands)
+    )
+    if not chunk_active and verbose:
+        print(
+            f"tune: WARNING — chunking is inactive here (kernel resolves "
+            f"to {kern!r} / geometry not pow2-divisible): every candidate "
+            "is the same whole-file program; building one",
+            flush=True,
+        )
+
     rng = np.random.default_rng(0)
     L = jnp.asarray(rng.standard_normal(n_samples), jnp.float32)
     R = jnp.asarray(rng.standard_normal(n_samples), jnp.float32)
@@ -516,11 +540,28 @@ def tune_offline(
 
     results = []
     built = []
+    first_label = None
+    clamped_label = None
     for c in chunks:
         c = int(c)
         label = "whole" if c == 0 else f"chunk={c}"
         rec = {"chunk": c, "label": label, "ok": False}
         results.append(rec)
+        if not chunk_active and first_label is not None:
+            rec["error"] = (
+                f"chunking inactive — identical program to {first_label}"
+            )
+            continue
+        if chunk_active and c >= n_samples and c > 0:
+            # The builder clamps any chunk >= the input to "whole input,
+            # one scan step" — only the first such candidate is distinct.
+            if clamped_label is not None:
+                rec["error"] = (
+                    f"clamps to the input length — duplicate of "
+                    f"{clamped_label}"
+                )
+                continue
+            clamped_label = label
         try:
             base = build_offline_fn(config, n_samples, kernel=kernel, chunk=c)
 
@@ -540,6 +581,8 @@ def tune_offline(
             continue
         rec["visits"] = []
         built.append((rec, fn))
+        if first_label is None:
+            first_label = label
 
     for _v in range(int(visits)):
         for rec, fn in built:
@@ -571,7 +614,7 @@ def tune_offline(
         "best": best,
         "protocol": {"name": "offline", "n_samples": int(n_samples),
                      "inner": int(inner), "visits": int(visits),
-                     "kernel": kernel,
+                     "kernel": kernel, "chunk_active": chunk_active,
                      "estimator": "min-of-visits, interleaved"},
     }
 
